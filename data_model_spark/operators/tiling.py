@@ -1,0 +1,253 @@
+"""Flagship pipeline: image table -> multiscale tile pyramid on a global grid.
+
+Spark plan shape (designed for 10^12 rows / 1000 executors):
+
+1. ``mapInPandas`` decode+downsample+tile-cut — narrow, no shuffle, Arrow
+   batches capped by ``maxRecordsPerBatch``.  Each image emits its pyramid
+   levels cut against a *global* tile grid (tile = 256 px at every level,
+   level pixel size doubles per level), so output tile keys are globally
+   meaningful join/partition keys.
+2. one explicit ``repartitionByRange(level, tile_y, tile_x)`` — the only
+   shuffle; range partitioning keeps spatially-adjacent tiles co-located,
+   which is what makes bbox queries partition-prunable and later tile-merge
+   aggregations local (the chunk-alignment strategy of the reference,
+   re-expressed as Spark partitioning).
+3. partitioned write (level / …) through the Iceberg-or-parquet layer.
+
+Tile rows carry ``(px_sum, px_cnt)`` so downstream cascade levels can be
+rebuilt exactly (mean-of-means correction, SURVEY.md A15) and per-partition
+metrics aggregate without touching pixel bytes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..codecs import decode_image, encode_image, psnr_db
+from ..functions import gridlib
+from ..sources import images as img_src
+from .downsample import block_mean, downsample
+
+TILE_PX = 256
+
+TILE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("level", T.IntegerType(), False),
+        T.StructField("tile_x", T.LongType(), False),
+        T.StructField("tile_y", T.LongType(), False),
+        T.StructField("off_x", T.IntegerType(), False),
+        T.StructField("off_y", T.IntegerType(), False),
+        T.StructField("tile_w", T.IntegerType(), False),
+        T.StructField("tile_h", T.IntegerType(), False),
+        T.StructField("data", T.BinaryType(), False),
+        T.StructField("px_sum", T.DoubleType(), False),
+        T.StructField("px_cnt", T.LongType(), False),
+        T.StructField("px_min", T.DoubleType(), False),
+        T.StructField("px_max", T.DoubleType(), False),
+    ]
+)
+
+VALIDATE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("psnr_db", T.DoubleType(), False),
+        T.StructField("caption_ok", T.BooleanType(), False),
+        T.StructField("phash_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def tiles_for_image(
+    image_id: str,
+    decoded: np.ndarray,
+    anchor_x: float,
+    anchor_y: float,
+    pixel_m: float = img_src.PIXEL_SIZE_M,
+    min_dimension: int = 64,
+    var_name: str = "b02",
+) -> list[dict]:
+    """Cut one image's pyramid against the global tile grid (pure NumPy).
+
+    Returns one record per (level, intersecting global tile).  North-up:
+    image row 0 is the northern edge at ``anchor_y + h*pixel_m``.
+    """
+    h, w = decoded.shape
+    top = anchor_y + h * pixel_m
+    records: list[dict] = []
+    for lv in gridlib.overview_levels(w, h, min_dimension=min_dimension):
+        level = lv["level"]
+        lw, lh = lv["width"], lv["height"]
+        arr = downsample(decoded, lh, lw, var_name) if level > 0 else decoded
+        px = pixel_m * (2**level)
+        tile_m = TILE_PX * px
+        # level image extent (cropping in downsample keeps the same origin)
+        left = anchor_x
+        tx0 = int(np.floor(left / tile_m))
+        tx1 = int(np.floor((left + lw * px - 1e-9) / tile_m))
+        ty0 = int(np.floor((top - lh * px + 1e-9) / tile_m))
+        ty1 = int(np.floor((top - 1e-9) / tile_m))
+        for ty in range(ty0, ty1 + 1):
+            for tx in range(tx0, tx1 + 1):
+                # tile bounds in geo coords (tile_y indexes north-up rows)
+                t_left, t_top = tx * tile_m, (ty + 1) * tile_m
+                # pixel window of the intersection, in level-image indices
+                c0 = max(0, int(round((t_left - left) / px)))
+                c1 = min(lw, int(round((t_left + tile_m - left) / px)))
+                r0 = max(0, int(round((top - t_top) / px)))
+                r1 = min(lh, int(round((top - (t_top - tile_m)) / px)))
+                if c1 <= c0 or r1 <= r0:
+                    continue
+                block = arr[r0:r1, c0:c1]
+                fblock = block.astype(np.float64)
+                records.append(
+                    {
+                        "image_id": image_id,
+                        "level": level,
+                        "tile_x": tx,
+                        "tile_y": ty,
+                        # placement of this block inside the 256-px tile
+                        "off_x": c0 + int(round((left - t_left) / px)),
+                        "off_y": r0 + int(round((t_top - top) / px)),
+                        "tile_w": c1 - c0,
+                        "tile_h": r1 - r0,
+                        "data": encode_image(block.astype(np.uint16), "raw-u16"),
+                        "px_sum": float(fblock.sum()),
+                        "px_cnt": int(block.size),
+                        "px_min": float(fblock.min()),
+                        "px_max": float(fblock.max()),
+                    }
+                )
+    return records
+
+
+def build_tiles(
+    images: DataFrame, min_dimension: int = 64, repartition: bool = True
+) -> DataFrame:
+    """images DF (input_hint schema) -> tile DF, with the one explicit shuffle."""
+
+    def cut(batches):
+        for pdf in batches:
+            recs: list[dict] = []
+            for row in pdf.itertuples(index=False):
+                decoded = decode_image(row.bytes, row.fmt, row.w, row.h)
+                i = img_src.image_index(row.image_id)
+                ax, ay = img_src.scene_anchor(i)
+                recs.extend(
+                    tiles_for_image(row.image_id, decoded, ax, ay, min_dimension=min_dimension)
+                )
+            yield pd.DataFrame.from_records(recs) if recs else pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in TILE_SCHEMA.fields}
+            )
+
+    tiles = images.mapInPandas(cut, TILE_SCHEMA)
+    if repartition:
+        tiles = tiles.repartitionByRange("level", "tile_y", "tile_x")
+    return tiles
+
+
+def merge_tiles(tiles: DataFrame) -> DataFrame:
+    """Merge per-image tile fragments into final global tiles.
+
+    After ``repartitionByRange`` this groupBy reuses the existing
+    partitioning (no second shuffle for the same keys).  Fragments are
+    composited into the 256x256 tile canvas inside ``applyInPandas``.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("level", T.IntegerType(), False),
+            T.StructField("tile_x", T.LongType(), False),
+            T.StructField("tile_y", T.LongType(), False),
+            T.StructField("n_sources", T.IntegerType(), False),
+            T.StructField("filled_px", T.LongType(), False),
+            T.StructField("data", T.BinaryType(), False),
+            T.StructField("px_sum", T.DoubleType(), False),
+            T.StructField("px_cnt", T.LongType(), False),
+        ]
+    )
+
+    def compose(pdf: pd.DataFrame) -> pd.DataFrame:
+        level = int(pdf["level"].iloc[0])
+        tx = int(pdf["tile_x"].iloc[0])
+        ty = int(pdf["tile_y"].iloc[0])
+        canvas = np.zeros((TILE_PX, TILE_PX), dtype=np.uint16)
+        filled = np.zeros((TILE_PX, TILE_PX), dtype=bool)
+        for row in pdf.itertuples(index=False):
+            block = decode_image(row.data, "raw-u16", row.tile_w, row.tile_h)
+            y0, x0 = int(row.off_y), int(row.off_x)
+            canvas[y0 : y0 + row.tile_h, x0 : x0 + row.tile_w] = block
+            filled[y0 : y0 + row.tile_h, x0 : x0 + row.tile_w] = True
+        return pd.DataFrame(
+            [
+                {
+                    "level": level,
+                    "tile_x": tx,
+                    "tile_y": ty,
+                    "n_sources": len(pdf),
+                    "filled_px": int(filled.sum()),
+                    "data": encode_image(canvas, "raw-u16"),
+                    "px_sum": float(pdf["px_sum"].sum()),
+                    "px_cnt": int(pdf["px_cnt"].sum()),
+                }
+            ]
+        )
+
+    return tiles.groupBy("level", "tile_x", "tile_y").applyInPandas(compose, out_schema)
+
+
+def tile_metrics(tiles: DataFrame) -> DataFrame:
+    """Per-(level) lineage metrics for the checkpoint table — no pixel reads."""
+    return tiles.groupBy("level").agg(
+        F.count("*").alias("n_tiles"),
+        F.sum("px_cnt").alias("n_pixels"),
+        F.sum("px_sum").alias("sum_value"),
+        (F.sum("px_sum") / F.sum("px_cnt")).alias("mean_value"),
+        F.min("px_min").alias("min_value"),
+        F.max("px_max").alias("max_value"),
+        F.countDistinct("image_id").alias("n_images"),
+    )
+
+
+def validate_images(images: DataFrame) -> DataFrame:
+    """Per-row invariant gate (input_hint): decode vs regenerated ground truth.
+
+    PSNR >= 40 dB for lossy fmt (inf for lossless), captions byte-equal,
+    phash re-derivable from decoded pixels.
+    """
+
+    def check(batches):
+        for pdf in batches:
+            recs = []
+            for row in pdf.itertuples(index=False):
+                decoded = decode_image(row.bytes, row.fmt, row.w, row.h)
+                original = img_src.synth_pixels(row.image_id, row.w, row.h)
+                i = img_src.image_index(row.image_id)
+                recs.append(
+                    {
+                        "image_id": row.image_id,
+                        "fmt": row.fmt,
+                        "psnr_db": psnr_db(original, decoded),
+                        "caption_ok": row.caption == img_src.caption_for(row.image_id, i),
+                        "phash_ok": img_src.phash64(decoded) == row.phash,
+                    }
+                )
+            yield pd.DataFrame.from_records(recs)
+
+    return images.mapInPandas(check, VALIDATE_SCHEMA)
+
+
+def point_query(tiles: DataFrame, level: int, x: float, y: float,
+                pixel_m: float = img_src.PIXEL_SIZE_M) -> DataFrame:
+    """Partition-pruned point lookup (consumer contract R4): filter on tile keys."""
+    px = pixel_m * (2**level)
+    tile_m = TILE_PX * px
+    tx = int(np.floor(x / tile_m))
+    ty = int(np.floor(y / tile_m))
+    return tiles.filter(
+        (F.col("level") == level) & (F.col("tile_x") == tx) & (F.col("tile_y") == ty)
+    )

@@ -1,0 +1,179 @@
+"""Deterministic synthetic image+caption table (FIXTURES.md §1).
+
+Schema matches BASELINE.json ``input_hint`` exactly:
+``(image_id string, bytes binary, w int, h int, fmt string, caption string,
+phash bigint)``.
+
+Everything is derivable from ``image_id`` alone (seeded NumPy per image), so
+the table is self-contained: footprints, original pixels, and phash can all
+be recomputed oracle-side without storing extra columns.  Generation runs
+*distributed* via ``mapInPandas`` over ``spark.range`` — at 10^12 rows this
+is an embarrassingly parallel scan with no shuffle; locally the same code
+path produces the test fixtures.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..codecs import encode_image
+from ..functions import crs
+
+IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("caption", T.StringType(), False),
+        T.StructField("phash", T.LongType(), False),
+    ]
+)
+
+FMTS = ("raw-u16", "png", "jpeg")
+DIM_CYCLE = (64, 256, 512)
+
+# scene grid anchoring (FIXTURES.md §1): UTM EPSG:32632 squares on a step grid
+SCENE_EPSG = 32632
+ANCHOR_X0 = 600000.0
+ANCHOR_Y0 = 5090000.0
+GRID_COLS = 64
+GRID_STEP_M = 2560.0  # one 256-px tile at 10 m — scenes align with the tile grid
+PIXEL_SIZE_M = 10.0
+
+
+def image_seed(image_id: str) -> int:
+    """Stable per-image 32-bit seed (crc32 — not Python's salted hash)."""
+    return zlib.crc32(image_id.encode("utf-8")) & 0xFFFFFFFF
+
+
+def image_index(image_id: str) -> int:
+    return int(image_id.split("_")[1])
+
+
+def image_dims(i: int, dim_cycle=DIM_CYCLE) -> tuple[int, int]:
+    """(w, h) for image index i — cycled deterministically, non-square mix."""
+    w = dim_cycle[i % len(dim_cycle)]
+    h = dim_cycle[(i // len(dim_cycle)) % len(dim_cycle)]
+    return w, h
+
+
+def image_fmt(i: int) -> str:
+    return FMTS[i % len(FMTS)]
+
+
+def synth_pixels(image_id: str, w: int, h: int) -> np.ndarray:
+    """Seeded uint16 reflectance-like field — the per-image ground truth."""
+    rng = np.random.default_rng(image_seed(image_id))
+    base = rng.integers(500, 3000, size=(h, w), dtype=np.uint16)
+    # add smooth structure so lossy PSNR is meaningful (not pure noise)
+    yy, xx = np.mgrid[0:h, 0:w]
+    wave = (1000 * (np.sin(xx / 17.0) * np.cos(yy / 23.0) + 1)).astype(np.uint16)
+    return (base + wave).astype(np.uint16)
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """Deterministic 64-bit perceptual-style hash of decoded pixels.
+
+    8x8 block-mean downsample -> threshold at the median -> 64 bits.
+    Derivable oracle-side from the decoded image alone.
+    """
+    a = np.asarray(pixels, dtype=np.float64)
+    h, w = a.shape
+    by, bx = max(h // 8, 1), max(w // 8, 1)
+    cropped = a[: by * 8, : bx * 8] if h >= 8 and w >= 8 else np.resize(a, (8, 8))
+    if h >= 8 and w >= 8:
+        blocks = cropped.reshape(8, by, 8, bx).mean(axis=(1, 3))
+    else:
+        blocks = cropped
+    bits = (blocks > np.median(blocks)).ravel()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def caption_for(image_id: str, i: int) -> str:
+    return f"scene {image_id} band b{i % 13 + 1:02d} utm{SCENE_EPSG}"
+
+
+def scene_anchor(i: int) -> tuple[float, float]:
+    """UTM anchor of scene i on the deterministic step grid."""
+    return (
+        ANCHOR_X0 + (i % GRID_COLS) * GRID_STEP_M,
+        ANCHOR_Y0 + (i // GRID_COLS) * GRID_STEP_M,
+    )
+
+
+def footprint_utm(image_id: str, w: int, h: int) -> np.ndarray:
+    """Scene footprint: UTM square of (w*10m x h*10m) anchored on the grid."""
+    i = image_index(image_id)
+    ax, ay = scene_anchor(i)
+    return np.array(
+        [[ax, ay], [ax + w * PIXEL_SIZE_M, ay], [ax + w * PIXEL_SIZE_M, ay + h * PIXEL_SIZE_M], [ax, ay + h * PIXEL_SIZE_M]]
+    )
+
+
+def footprint_lonlat(image_id: str, w: int, h: int) -> np.ndarray:
+    poly = footprint_utm(image_id, w, h)
+    lon, lat = crs.utm_to_lonlat(poly[:, 0], poly[:, 1], *crs.epsg_to_utm_zone(SCENE_EPSG))
+    return np.column_stack([lon, lat])
+
+
+def _rows_for_indices(indices: np.ndarray, dim_cycle) -> pd.DataFrame:
+    recs = []
+    for i in indices:
+        i = int(i)
+        image_id = f"img_{i:012d}"
+        w, h = image_dims(i, dim_cycle)
+        fmt = image_fmt(i)
+        pixels = synth_pixels(image_id, w, h)
+        data = encode_image(pixels, fmt)
+        if fmt == "jpeg":
+            from ..codecs import decode_image
+
+            decoded = decode_image(data, fmt, w, h)
+        else:
+            decoded = pixels
+        recs.append(
+            {
+                "image_id": image_id,
+                "bytes": data,
+                "w": w,
+                "h": h,
+                "fmt": fmt,
+                "caption": caption_for(image_id, i),
+                "phash": phash64(decoded),
+            }
+        )
+    return pd.DataFrame.from_records(recs)
+
+
+def generate_images_pandas(n: int, dim_cycle=DIM_CYCLE) -> pd.DataFrame:
+    """Driver-side generation (tests / tiny fixtures)."""
+    return _rows_for_indices(np.arange(n), dim_cycle)
+
+
+def generate_images_df(
+    spark: SparkSession, n: int, num_partitions: int | None = None, dim_cycle=DIM_CYCLE
+) -> DataFrame:
+    """Distributed generation: ``spark.range(n)`` -> ``mapInPandas`` encode.
+
+    No shuffle; each partition generates its id range independently, which is
+    exactly how a 10^12-row synthetic table would be materialized on a
+    cluster (scan-only, linear scaling).
+    """
+    if num_partitions is None:
+        num_partitions = max(spark.sparkContext.defaultParallelism, 8)
+
+    def gen(batches):
+        for pdf in batches:
+            yield _rows_for_indices(pdf["id"].to_numpy(), dim_cycle)
+
+    return spark.range(0, n, numPartitions=num_partitions).mapInPandas(gen, IMAGE_SCHEMA)

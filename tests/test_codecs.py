@@ -1,0 +1,64 @@
+"""Codec round-trip + PSNR-gate tests (no Spark)."""
+
+import numpy as np
+import pytest
+
+from data_model_spark.codecs import decode_image, encode_image, psnr_db
+from data_model_spark.codecs.png import decode_png, encode_png
+
+
+def _field(h, w, seed=42, hi=6000):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, hi, size=(h, w), dtype=np.uint16)
+
+
+class TestPng:
+    def test_roundtrip_u16(self):
+        a = _field(37, 53)
+        np.testing.assert_array_equal(decode_png(encode_png(a)), a)
+
+    def test_roundtrip_u8(self):
+        a = _field(16, 16, hi=255).astype(np.uint8)
+        out = decode_png(encode_png(a))
+        assert out.dtype == np.uint8
+        np.testing.assert_array_equal(out, a)
+
+    def test_extremes(self):
+        a = np.array([[0, 65535], [1, 32768]], dtype=np.uint16)
+        np.testing.assert_array_equal(decode_png(encode_png(a)), a)
+
+    def test_rejects_non_png(self):
+        with pytest.raises(ValueError):
+            decode_png(b"not a png at all")
+
+    def test_deterministic_bytes(self):
+        a = _field(32, 32)
+        assert encode_png(a) == encode_png(a)
+
+
+class TestRegistry:
+    @pytest.mark.parametrize("fmt", ["raw-u16", "png"])
+    def test_lossless_roundtrip(self, fmt):
+        a = _field(64, 48)
+        out = decode_image(encode_image(a, fmt), fmt, 48, 64)
+        np.testing.assert_array_equal(out, a)
+        assert psnr_db(a, out) == float("inf")
+
+    def test_lossy_stub_meets_psnr_gate(self):
+        a = _field(256, 256)
+        out = decode_image(encode_image(a, "jpeg"), "jpeg", 256, 256)
+        p = psnr_db(a, out)
+        assert p >= 40.0, f"PSNR {p:.1f} below the 40 dB gate"
+        assert not np.array_equal(out, a)  # genuinely lossy
+
+    def test_lossy_stub_deterministic(self):
+        a = _field(64, 64)
+        assert encode_image(a, "jpeg") == encode_image(a, "jpeg")
+
+    def test_real_jpeg_bytes_raise_not_implemented(self):
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\xff\xd8\xff\xe0real-jpeg-header", "jpeg", 8, 8)
+
+    def test_unknown_fmt(self):
+        with pytest.raises(ValueError):
+            encode_image(_field(4, 4), "webp")
