@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline; ``queries()`` exposes every
+implemented operator from SURVEY.md §2 (plus the training-data suites);
+``oracle_sql()`` gives the DuckDB twin for each SQL-expressible one.
+Registry lives in ``data_model_spark.operators.registry`` — each operator
+module registers its (Spark callable, oracle SQL) pairs at import.
 """
 
 from __future__ import annotations
@@ -15,24 +15,40 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: image table -> decode -> pyramid -> global-grid tiles.
+
+    Loads sf0.001 ``lineitem`` to anchor the run on the driver testdata
+    (row-count scales the synthetic image batch), generates the
+    deterministic image+caption table, cuts multiscale tiles against the
+    global grid (one explicit ``repartitionByRange`` shuffle), and returns
+    per-level pyramid metrics — stable schema, small row count.
+    """
+    from pyspark.sql import functions as F
+
+    from data_model_spark.operators import tiling
+    from data_model_spark.sources import images as img_src
+    from data_model_spark.sources.tables import load_table
+
+    li_rows = load_table(spark, "/root/testdata/sf0.001", "lineitem").count()
+    n_images = max(16, min(64, li_rows // 125))
+    images = img_src.generate_images_df(spark, n_images)
+    tiles = tiling.build_tiles(images, min_dimension=64)
+    return tiling.tile_metrics(tiles).orderBy(F.col("level"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator (SURVEY.md §2 + training-data ops)."""
+    from data_model_spark.operators.registry import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.spark_fn for name, spec in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle for each SQL-expressible query (others: rows-only)."""
+    from data_model_spark.operators.registry import all_queries
+
+    return {
+        name: spec.oracle
+        for name, spec in all_queries().items()
+        if spec.oracle is not None
+    }

@@ -1,0 +1,114 @@
+"""Benchmark harness (driver contract: one JSON line to stdout).
+
+Runs the flagship image pipeline plus headline operator queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+Extras report tiles/sec + join-rows/sec (the BASELINE.json metric) so the
+scaling run (scripts/scaling_bench.sh -> BENCH/BASELINE.md) can compute
+efficiency between core counts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_images = int(os.environ.get("SPARK_GRAFT_N_IMAGES", "512"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from data_model_spark.operators import tiling
+    from data_model_spark.operators.registry import all_queries
+    from data_model_spark.session import get_spark
+    from data_model_spark.sources import images as img_src
+
+    spark = get_spark(cores=cores, app_name="geozarr-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # ---- flagship: decode -> pyramid -> global-grid tiles -> merge ----
+    images = img_src.generate_images_df(spark, n_images)
+    images.cache()
+    timed("flagship_generate", lambda: images.count())
+
+    tiles = tiling.build_tiles(images, min_dimension=64)
+    tiles.cache()
+    n_tiles = timed("flagship_tiles", lambda: tiles.count())
+    n_merged = timed("flagship_merge", lambda: tiling.merge_tiles(tiles).count())
+    timed("flagship_metrics", lambda: tiling.tile_metrics(tiles).count())
+    n_valid = timed(
+        "flagship_validate",
+        lambda: tiling.validate_images(images).filter("psnr_db >= 40").count(),
+    )
+    pipeline_s = (
+        timings["flagship_tiles"]
+        + timings["flagship_merge"]
+        + timings["flagship_metrics"]
+    )
+    extras["tiles_per_sec"] = round(n_tiles / max(pipeline_s, 1e-9), 1)
+    extras["n_tiles"] = n_tiles
+    extras["n_merged_tiles"] = n_merged
+    extras["n_images"] = n_images
+    extras["n_valid_images"] = n_valid
+
+    # ---- headline operator queries at the target SF ----
+    headline = [
+        "block_avg",
+        "two_phase_avg",
+        "topk_window",
+        "broadcast_dim",
+        "semi_anti",
+        "inject_join",
+        "ngram_jaccard_pairs",
+        "minhash_lsh_pairs",
+        "ann_bruteforce_topk",
+        "pip_rect_join",
+        "pip_cell_join",
+        "knn_cells",
+        "token_count",
+        "quality_score",
+    ]
+    registry = all_queries()
+    join_rows = 0
+    for name in headline:
+        spec = registry[name]
+        join_rows += timed(name, lambda s=spec: s.spark_fn(spark, sf_dir).count())
+    join_s = sum(timings[n] for n in headline)
+    extras["join_rows_per_sec"] = round(join_rows / max(join_s, 1e-9), 1)
+    extras["cores"] = cores
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "tiles+join-rows/sec flagship pipeline + headline operators",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,287 @@
+"""Deduplication operators for training-data pipelines (documents table).
+
+Scale-first designs — every algorithm is expressed as joins/aggregations
+over exploded shingle/feature rows (the MapReduce formulation), never as a
+driver-side pairwise loop:
+
+* exact dedup           — content-hash groupBy (md5)
+* n-gram Jaccard pairs  — explode distinct shingles -> self-equi-join on
+                          shingle -> pair-count = intersection; union from
+                          per-doc sizes.  Exact, shuffle = one equi-join on
+                          the shingle key (skew-safe: hot shingles can be
+                          salted; stopword-like shingles are naturally rare
+                          for 3-grams).
+* MinHash + LSH         — k hash functions via affine transforms of
+                          xxhash64(shingle); banding -> candidate join on
+                          (band, band_hash); exact-Jaccard refinement of
+                          candidates only.
+* SimHash               — 64 conditional bit-sums per doc (pure JVM
+                          aggregations), near-dups via banded chunk join.
+
+Oracle-checked entries use formulas DuckDB reproduces bit-for-bit; LSH
+entries are rows-only (randomized-parameter pipelines) and are instead
+validated for recall in pytest against the exact pair set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+# hash space: Mersenne prime 2^31-1 keeps a*x + b < 2^62 (no int64 overflow
+# under Spark 4's ANSI arithmetic) while leaving minhash collision probability
+# ~2^-31 — negligible for signature lengths in the tens
+P_MERSENNE = (1 << 31) - 1
+
+
+def tokens_df(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.split(F.trim("text"), " +").alias("ws")
+    )
+
+
+def shingles_df(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) with per-doc-distinct n-gram token shingles."""
+    parts = " ,' ',".join(f"element_at(ws, i+{k})" for k in range(n))
+    expr = (
+        f"array_distinct(transform(sequence(1, size(ws)-{n - 1}), "
+        f"i -> concat({parts})))"
+    )
+    return (
+        tokens_df(docs)
+        .filter(F.size("ws") >= n)
+        .select("doc_id", F.explode(F.expr(expr)).alias("shingle"))
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame, threshold: float, n: int = 3, candidates: DataFrame | None = None
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs via shingle self-join.
+
+    ``candidates`` (doc_a, doc_b) optionally restricts the pair space (the
+    LSH refinement path); otherwise all co-shingled pairs are scored.
+    """
+    sh = shingles_df(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 64, seed: int = 42) -> DataFrame:
+    """(doc_id, hash_id, minhash): k affine hashes of xxhash64(shingle).
+
+    h_i(s) = (a_i * x + b_i) mod 2^61-1 with deterministic (a_i, b_i); the
+    k-way expansion is a broadcast cross join (k rows), the min is a single
+    hash aggregation — no Python in the loop.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    params = [
+        (int(rng.integers(1, P_MERSENNE)), int(rng.integers(0, P_MERSENNE)))
+        for _ in range(num_hashes)
+    ]
+    spark = sh.sparkSession
+    pdf = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(params)], "hash_id INT, a LONG, b LONG"
+    )
+    x = F.pmod(F.xxhash64("shingle"), F.lit(P_MERSENNE))
+    return (
+        sh.withColumn("x", x)
+        .crossJoin(F.broadcast(pdf))
+        .withColumn(
+            "hv",
+            F.pmod(
+                F.col("a") * F.col("x") + F.col("b"), F.lit(P_MERSENNE)
+            ),
+        )
+        .groupBy("doc_id", "hash_id")
+        .agg(F.min("hv").alias("minhash"))
+    )
+
+
+def lsh_candidates(signatures: DataFrame, bands: int = 16) -> DataFrame:
+    """Band the signature, hash each band, join docs sharing a band bucket."""
+    sig = signatures.withColumn("band", F.col("hash_id") % bands)
+    band_hash = (
+        sig.groupBy("doc_id", "band")
+        .agg(F.xxhash64(F.concat_ws(",", F.sort_array(F.collect_list("minhash")))).alias("bh"))
+    )
+    a = band_hash.alias("a")
+    b = band_hash.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: candidates then exact refinement."""
+    sh = shingles_df(docs, n)
+    sig = minhash_signatures(sh, num_hashes)
+    cand = lsh_candidates(sig, bands)
+    return jaccard_pairs(docs, threshold, n, candidates=cand)
+
+
+def simhash_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 64-bit SimHash from token xxhash64, pure JVM aggs."""
+    tok = tokens_df(docs).select("doc_id", F.explode("ws").alias("w"))
+    tok = tok.withColumn("hv", F.xxhash64("w"))
+    bit_sums = [
+        F.sum(
+            (F.shiftright("hv", b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"s{b}")
+        for b in range(64)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for b in range(64):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash: banded 16-bit chunk join + popcount refine."""
+    sh = simhash_df(docs)
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned("simhash", 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", "ck.chunk", "ck.cv")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# registered queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+              CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dup_rows
+       FROM documents""",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup accounting via content hash (hash-groupBy shape)."""
+    d = load_table(spark, sf_dir, "documents").withColumn("fp", F.md5("text"))
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fp").alias("n_distinct"),
+        (F.count("*") - F.countDistinct("fp")).alias("n_dup_rows"),
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    """WITH toks AS (
+         SELECT doc_id, string_split_regex(trim(text), ' +') AS ws
+         FROM documents WHERE doc_id < 150
+       ), sh AS (
+         SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ws)-2),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+         FROM toks WHERE len(ws) >= 3
+       )
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+                    (len(a.shingles) + len(b.shingles)
+                     - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+             (len(a.shingles) + len(b.shingles)
+              - len(list_intersect(a.shingles, b.shingles))) >= 0.5""",
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.5) via shingle join."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return jaccard_pairs(docs, 0.5, n=3)
+
+
+@register("minhash_lsh_pairs", None)  # randomized-parameter pipeline: rows-only
+def minhash_lsh_pairs(spark, sf_dir):
+    """MinHash(64) + LSH(16 bands) near-dup pairs, exact-refined at 0.5."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return minhash_lsh_dedup(docs, threshold=0.5)
+
+
+@register("simhash_pairs", None)  # engine-native hash: rows-only
+def simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (hamming <= 12) via banded chunk join."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return simhash_near_pairs(docs, max_hamming=12)

@@ -1,0 +1,36 @@
+"""Shared query registry: name -> (Spark callable, DuckDB oracle SQL | None).
+
+Populated by importing the operator modules; consumed by
+``__spark_entry__.queries()/oracle_sql()`` and the local parity harness.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QuerySpec:
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None -> rows-only check (non-SQL-expressible)
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn, oracle)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    """Import every operator module (triggering registration) and return all."""
+    from . import dedup, relational, similarity, spatial_queries, text  # noqa: F401
+
+    return QUERIES

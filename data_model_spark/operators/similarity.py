@@ -1,0 +1,219 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* brute-force cosine top-k — the exactness baseline: broadcast the (small)
+  query set, JVM-side dot products via ``zip_with``/``aggregate`` column
+  expressions (no Python), per-query top-k with a rank window.
+* LSH-bucketed ANN — the scale path: deterministic random-hyperplane
+  signatures (sign patterns) bucket vectors; probing joins on the bucket key
+  and refines exactly.  At 10^12 rows the bucket join replaces the O(N*Q)
+  scan with an equi-join whose build side is pruned by bucket.
+* IVF-style variant — coarse k-means-ish centroids picked deterministically,
+  cells assigned by nearest centroid, probe = n nearest cells.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+from .registry import register
+
+
+def _as_double(col):
+    return F.col(col).cast("array<double>")
+
+
+def cosine_expr(a: str, b: str):
+    """JVM-side cosine similarity of two array columns."""
+    dot = F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(_as_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    nb = F.sqrt(
+        F.aggregate(_as_double(b), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    vectors: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast queries, windowed rank."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    joined = vectors.crossJoin(F.broadcast(q)).withColumn(
+        "cosine", F.round(cosine_expr("embedding", "q_emb"), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def hyperplane_signatures(
+    vectors: DataFrame, num_planes: int = 16, dim: int = 64, seed: int = 7
+) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector, as one JVM expression.
+
+    Plane matrix is deterministic (seeded) and inlined as array literals;
+    bucket = sign-bit pattern of the projections.
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_planes, dim))
+    bucket = None
+    for p in range(num_planes):
+        lit_plane = F.array(*[F.lit(float(v)) for v in planes[p]])
+        proj = F.aggregate(
+            F.zip_with(_as_double("embedding"), lit_plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << p).cast("long")
+        bucket = term if bucket is None else bucket + term
+    return vectors.withColumn("bucket", bucket)
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 12,
+    dim: int = 64,
+) -> DataFrame:
+    """ANN top-k: bucket join (same-bucket candidates) + exact refinement."""
+    v_sig = hyperplane_signatures(vectors, num_planes, dim)
+    q_sig = hyperplane_signatures(queries, num_planes, dim).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cand = v_sig.join(
+        F.broadcast(q_sig), v_sig.bucket == q_sig.q_bucket
+    ).withColumn("cosine", F.round(cosine_expr("embedding", "q_emb"), 6))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame, num_cells: int = 16, dim: int = 64, seed: int = 11
+) -> DataFrame:
+    """IVF coarse quantization: nearest deterministic centroid per vector.
+
+    Centroids are seeded unit vectors (k-means is an offline refinement on a
+    real deployment; cell assignment/probing mechanics are identical).
+    Assignment = broadcast crossJoin against the 16-row centroid table +
+    ``max_by`` argmax — a flat plan that scales, unlike a nested CASE chain.
+    """
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((num_cells, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    spark = vectors.sparkSession
+    cent_df = spark.createDataFrame(
+        [(c, [float(v) for v in cents[c]]) for c in range(num_cells)],
+        "cent_id INT, cent ARRAY<DOUBLE>",
+    )
+    dot = F.aggregate(
+        F.zip_with(_as_double("embedding"), F.col("cent"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = vectors.crossJoin(F.broadcast(cent_df)).withColumn("dot", dot)
+    # deterministic argmax: highest dot, lowest cent_id on exact ties
+    best = scored.groupBy("vec_id").agg(
+        F.max_by("cent_id", F.struct(F.col("dot"), -F.col("cent_id"))).alias("ivf_cell")
+    )
+    return vectors.join(best, "vec_id")
+
+
+# ---------------------------------------------------------------------------
+# registered queries
+# ---------------------------------------------------------------------------
+
+_ANN_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+           FROM embeddings WHERE vec_id < 3),
+     v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+           WHERE vec_id >= 3),
+     scored AS (
+       SELECT q.query_id, v.vec_id,
+              ROUND(list_cosine_similarity(v.emb, q.q_emb), 6) AS cosine
+       FROM v CROSS JOIN q),
+     ranked AS (
+       SELECT query_id, vec_id, cosine,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS rank
+       FROM scored)
+SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("ann_bruteforce_topk", _ANN_ORACLE)
+def ann_bruteforce_topk(spark, sf_dir):
+    """Exact cosine top-5 for 3 query vectors over the embeddings table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    vectors = emb.filter(F.col("vec_id") >= 3)
+    return brute_force_topk(vectors, queries, k=5).withColumn(
+        "rank", F.col("rank").cast("long")
+    ).drop("label")
+
+
+@register(
+    "emb_neardup_pairs",
+    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]), 6) AS cosine
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE a.vec_id < 200 AND b.vec_id < 200
+         AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]) >= 0.35""",
+)
+def emb_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (threshold 0.35), exact all-pairs."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+    cos = cosine_expr("ea", "eb")
+    return (
+        pairs.withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= 0.35)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+@register("ann_lsh_topk", None)  # randomized buckets: rows-only; recall in pytest
+def ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN top-5 (12 hyperplanes) for 3 query vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    vectors = emb.filter(F.col("vec_id") >= 3)
+    return lsh_topk(vectors, queries, k=5, num_planes=12)
+
+
+@register(
+    "ivf_cell_counts",
+    None,  # centroid arithmetic chain diverges in the last ulp across engines
+)
+def ivf_cell_counts(spark, sf_dir):
+    """IVF cell histogram: nearest-centroid assignment then count per cell."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_assign(emb, num_cells=16).groupBy("ivf_cell").agg(
+        F.count("*").alias("n")
+    )

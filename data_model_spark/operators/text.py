@@ -1,0 +1,132 @@
+"""Text-analysis operators for training-data pipelines (documents table).
+
+Everything stays JVM-side (built-in ``pyspark.sql.functions``) — no Python
+UDFs in the hot path: token counting, quality scoring, language ID
+(stopword-hit heuristic), and document fingerprinting (rolling polynomial
+hash over tokens, expressed with ``aggregate`` over a split array).
+
+SQL oracles use the exact same formulas so DuckDB reproduces every value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+# deterministic stopword sets for the n-gram/stopword language heuristic
+EN_STOPWORDS = ("the", "and", "of", "to", "in", "is", "for", "with")
+DE_STOPWORDS = ("der", "die", "das", "und", "ist", "nicht", "mit", "ein")
+FR_STOPWORDS = ("le", "la", "les", "et", "est", "pour", "dans", "une")
+
+
+def _stopword_hits_sql(words: tuple[str, ...]) -> str:
+    pattern = "|".join(words)
+    return (
+        "length(string_split_regex(' ' || lower(text) || ' ', "
+        f"' ({pattern}) ')) - 1"
+    )
+
+
+def _stopword_hits_spark(words: tuple[str, ...]):
+    pattern = "|".join(words)
+    padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+    return F.size(F.split(padded, f" ({pattern}) ")) - 1
+
+
+@register(
+    "token_count",
+    """SELECT doc_id,
+              CAST(length(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens,
+              CAST(length(text) AS BIGINT) AS n_chars_measured,
+              n_chars
+       FROM documents WHERE doc_id < 200""",
+)
+def token_count(spark, sf_dir):
+    """Whitespace token counting + char length, pure column expressions."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), " +")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+        "n_chars",
+    )
+
+
+@register(
+    "quality_score",
+    """SELECT doc_id,
+              ROUND(CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+                    / length(text), 6) AS punct_ratio,
+              ROUND(CAST(length(string_split_regex(trim(text), ' +')) AS DOUBLE)
+                    / (length(text) + 1), 6) AS token_density,
+              CAST(length(text) BETWEEN 64 AND 4096 AS INTEGER) AS length_ok
+       FROM documents""",
+)
+def quality_score(spark, sf_dir):
+    """Quality heuristics: punctuation ratio, token density, length gate."""
+    d = load_table(spark, sf_dir, "documents")
+    n_nonalpha = F.length(F.regexp_replace("text", "[a-z ]", ""))
+    n_tokens = F.size(F.split(F.trim("text"), " +"))
+    return d.select(
+        "doc_id",
+        F.round(n_nonalpha.cast("double") / F.length("text"), 6).alias("punct_ratio"),
+        F.round(n_tokens.cast("double") / (F.length("text") + 1), 6).alias(
+            "token_density"
+        ),
+        F.col("text").rlike("^.{64,4096}$").cast("int").alias("length_ok"),
+    )
+
+
+@register(
+    "lang_id",
+    f"""SELECT doc_id, lang,
+              CASE
+                WHEN {_stopword_hits_sql(EN_STOPWORDS)} >= {_stopword_hits_sql(DE_STOPWORDS)}
+                 AND {_stopword_hits_sql(EN_STOPWORDS)} >= {_stopword_hits_sql(FR_STOPWORDS)}
+                 AND {_stopword_hits_sql(EN_STOPWORDS)} > 0 THEN 'en'
+                WHEN {_stopword_hits_sql(DE_STOPWORDS)} >= {_stopword_hits_sql(FR_STOPWORDS)}
+                 AND {_stopword_hits_sql(DE_STOPWORDS)} > 0 THEN 'de'
+                WHEN {_stopword_hits_sql(FR_STOPWORDS)} > 0 THEN 'fr'
+                ELSE 'und' END AS lang_pred
+       FROM documents WHERE doc_id < 300""",
+)
+def lang_id(spark, sf_dir):
+    """Stopword-hit language heuristic (n-gram-style language ID)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    en = _stopword_hits_spark(EN_STOPWORDS)
+    de = _stopword_hits_spark(DE_STOPWORDS)
+    fr = _stopword_hits_spark(FR_STOPWORDS)
+    pred = (
+        F.when((en >= de) & (en >= fr) & (en > 0), F.lit("en"))
+        .when((de >= fr) & (de > 0), F.lit("de"))
+        .when(fr > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+    return d.select("doc_id", "lang", pred.alias("lang_pred"))
+
+
+@register("doc_fingerprint", None)  # rows-only: xxhash64 is engine-native
+def doc_fingerprint(spark, sf_dir):
+    """Document fingerprint: rolling token-hash accumulator (Spark-native).
+
+    Uses ``xxhash64`` per token folded with ``aggregate`` — DuckDB's
+    ``hash()`` differs by design, so this entry is rows-only; the
+    byte-exact cross-engine twin is ``doc_fingerprint_md5``.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tokens = F.split(F.trim("text"), " +")
+    tok_hash = F.transform(tokens, lambda w: F.xxhash64(w) % 1000003)
+    fp = F.aggregate(tok_hash, F.lit(0).cast("long"), lambda a, x: a + x) % 1000003
+    return d.select("doc_id", fp.alias("fp_sum"), F.md5("text").alias("fp_md5"))
+
+
+@register(
+    "doc_fingerprint_md5",
+    """SELECT doc_id, md5(text) AS fp_md5 FROM documents WHERE doc_id < 200""",
+)
+def doc_fingerprint_md5(spark, sf_dir):
+    """Exact-oracle fingerprint: md5 agrees across engines byte-for-byte."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select("doc_id", F.md5("text").alias("fp_md5"))

@@ -1,0 +1,111 @@
+"""Dedup + similarity suites: LSH recall vs exact, simhash sanity, ANN recall."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_model_spark.operators import dedup, similarity
+from data_model_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = load_table(spark, SF, "documents").filter(F.col("doc_id") < 150)
+    d.cache().count()
+    return d
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    e = load_table(spark, SF, "embeddings")
+    e.cache().count()
+    return e
+
+
+class TestDedup:
+    def test_exact_pairs_nonempty(self, docs):
+        pairs = dedup.jaccard_pairs(docs, 0.5).collect()
+        assert len(pairs) > 0  # synthetic corpus contains near-dups
+        assert all(r.doc_a < r.doc_b and r.jaccard >= 0.5 for r in pairs)
+
+    def test_minhash_lsh_full_recall_at_high_threshold(self, docs):
+        # 64 hashes / 16 bands of 4: P(miss | j>=0.7) < 1e-6 -> exact match
+        exact = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.jaccard_pairs(docs, 0.7).collect()
+        }
+        lsh = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.minhash_lsh_dedup(docs, threshold=0.7).collect()
+        }
+        assert exact, "expected near-dups at 0.7 in the synthetic corpus"
+        assert lsh == exact
+
+    def test_lsh_candidates_are_pruning(self, docs):
+        sh = dedup.shingles_df(docs)
+        sig = dedup.minhash_signatures(sh)
+        cand = dedup.lsh_candidates(sig).count()
+        n_docs = docs.count()
+        all_pairs = n_docs * (n_docs - 1) // 2
+        assert cand < all_pairs * 0.5  # bucketing prunes the pair space
+
+    def test_simhash_near_pairs_overlap_jaccard(self, docs):
+        sim = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.simhash_near_pairs(docs, max_hamming=16).collect()
+        }
+        exact = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.jaccard_pairs(docs, 0.8).collect()
+        }
+        # very similar docs must collide in at least one 16-bit chunk
+        assert exact.issubset(sim) or len(exact - sim) <= max(1, len(exact) // 5)
+
+    def test_simhash_deterministic(self, docs):
+        a = dedup.simhash_df(docs).orderBy("doc_id").collect()
+        b = dedup.simhash_df(docs).orderBy("doc_id").collect()
+        assert a == b
+
+
+class TestSimilarity:
+    def test_bruteforce_topk_matches_numpy(self, emb):
+        got = similarity.brute_force_topk(
+            emb.filter("vec_id >= 3"), emb.filter("vec_id < 3"), k=5
+        ).collect()
+        pdf = emb.toPandas()
+        mat = np.array([np.asarray(v) for v in pdf["embedding"]], dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        norms = np.linalg.norm(mat, axis=1)
+        for q in range(3):
+            qi = np.where(ids == q)[0][0]
+            sims = mat @ mat[qi] / (norms * norms[qi])
+            cand = [(round(s, 6), int(i)) for s, i in zip(sims, ids) if i >= 3]
+            cand.sort(key=lambda t: (-t[0], t[1]))
+            expected = [i for _, i in cand[:5]]
+            got_q = [r.vec_id for r in sorted(got, key=lambda r: r.rank) if r.query_id == q]
+            assert got_q == expected
+
+    def test_lsh_topk_recall(self, emb):
+        brute = similarity.brute_force_topk(
+            emb.filter("vec_id >= 3"), emb.filter("vec_id < 3"), k=5
+        ).collect()
+        lsh = similarity.lsh_topk(
+            emb.filter("vec_id >= 3"), emb.filter("vec_id < 3"), k=5, num_planes=6
+        ).collect()
+        bset = {(r.query_id, r.vec_id) for r in brute}
+        lset = {(r.query_id, r.vec_id) for r in lsh}
+        # 6 planes -> 64 buckets over ~500 vectors: same-bucket recall is
+        # partial by design; assert the scale path returns sane, refined hits
+        assert len(lset & bset) >= 1
+        assert all(r.cosine <= 1.0 + 1e-9 for r in lsh)
+
+    def test_ivf_assignment_partitions_all(self, emb):
+        cells_df = similarity.ivf_assign(emb, num_cells=8)
+        counts = dict(
+            (r.ivf_cell, r.n)
+            for r in cells_df.groupBy("ivf_cell").agg(F.count("*").alias("n")).collect()
+        )
+        assert sum(counts.values()) == emb.count()
+        assert all(0 <= c < 8 for c in counts)

@@ -1,0 +1,114 @@
+"""Spatial engine tests: PIP joins (broadcast/cell/salted), kNN, covers.
+
+Rows-only registered queries get their exactness checks here, against
+NumPy oracles and against each other (salted == unsalted, cells == brute).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_model_spark.functions import geometry
+from data_model_spark.operators import spatial
+from data_model_spark.operators.spatial_queries import _points
+
+SF = "/root/testdata/sf0.001"
+
+TRI = np.array([[10.1, 46.1], [11.5, 46.2], [10.3, 47.6]])
+ELL = np.array(
+    [[10.0, 46.0], [11.0, 46.0], [11.0, 46.4], [10.4, 46.4], [10.4, 47.4], [10.0, 47.4]]
+)
+
+
+@pytest.fixture(scope="module")
+def pts(spark):
+    df = _points(spark, SF)
+    df.cache().count()
+    return df
+
+
+def _numpy_assignment(pts_pdf, polys: dict):
+    out = set()
+    for pid, ring in polys.items():
+        mask = geometry.points_in_polygon(
+            pts_pdf["lon"].to_numpy(), pts_pdf["lat"].to_numpy(), ring
+        )
+        out |= {(int(p), pid) for p in pts_pdf["point_id"].to_numpy()[mask]}
+    return out
+
+
+class TestPipJoins:
+    def test_broadcast_matches_numpy(self, spark, pts):
+        polys = {"tri": TRI, "ell": ELL}
+        got = {
+            (r.point_id, r.poly_id)
+            for r in spatial.pip_join_broadcast(pts, polys).collect()
+        }
+        assert got == _numpy_assignment(pts.toPandas(), polys)
+        assert len(got) > 0
+
+    def test_cell_join_matches_broadcast(self, spark, pts):
+        polys = {"tri": TRI, "ell": ELL}
+        bc = {
+            (r.point_id, r.poly_id)
+            for r in spatial.pip_join_broadcast(pts, polys).collect()
+        }
+        pdf = spatial.polygons_df(spark, polys)
+        cj = {
+            (r.point_id, r.poly_id)
+            for r in spatial.pip_join_cells(pts, pdf, res=9).collect()
+        }
+        assert cj == bc
+
+    def test_salted_equals_unsalted(self, spark, pts):
+        polys = {"tri": TRI, "ell": ELL}
+        pdf = spatial.polygons_df(spark, polys)
+        plain = {
+            (r.point_id, r.poly_id)
+            for r in spatial.pip_join_cells(pts, pdf, res=9).collect()
+        }
+        salted = {
+            (r.point_id, r.poly_id)
+            for r in spatial.pip_join_cells(pts, pdf, res=9, salt=5).collect()
+        }
+        assert salted == plain
+
+    def test_cell_join_single_shuffle_side(self, spark, pts):
+        polys = {"tri": TRI}
+        pdf = spatial.polygons_df(spark, polys)
+        plan = (
+            spatial.pip_join_cells(pts, pdf, res=9)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # equi-join on the cell key must be present (hash or sort-merge)
+        assert "cell" in plan
+
+
+class TestKnn:
+    def test_cells_match_bruteforce(self, spark, pts):
+        qs = (
+            _points(spark, SF, "supplier", "s_suppkey")
+            .filter(F.col("point_id") < 4)
+            .withColumnRenamed("point_id", "query_id")
+        )
+        brute = {
+            (r.query_id, r.rank): r.point_id
+            for r in spatial.knn_bruteforce(pts, qs, k=5).collect()
+        }
+        ringed = {
+            (r.query_id, r.rank): r.point_id
+            for r in spatial.knn_join(pts, qs, k=5, res=7, ring=2).collect()
+        }
+        assert ringed == brute
+
+    def test_knn_deterministic(self, spark, pts):
+        qs = (
+            _points(spark, SF, "supplier", "s_suppkey")
+            .filter(F.col("point_id") < 2)
+            .withColumnRenamed("point_id", "query_id")
+        )
+        a = spatial.knn_join(pts, qs, k=3, res=7, ring=2).collect()
+        b = spatial.knn_join(pts, qs, k=3, res=7, ring=2).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))

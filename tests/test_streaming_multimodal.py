@@ -1,0 +1,77 @@
+"""Streaming AvailableNow sink + multimodal plumbing + partition planner."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_model_spark.codecs import decode_image
+from data_model_spark.operators import multimodal, tiling
+from data_model_spark.operators.downsample import block_mean
+from data_model_spark.plans import plan_partitions
+from data_model_spark.sources import images as img_src
+from data_model_spark.streaming import stream_tiles_available_now
+
+
+@pytest.fixture(scope="module")
+def images_df(spark):
+    df = img_src.generate_images_df(spark, 12, num_partitions=2)
+    df.cache().count()
+    return df
+
+
+class TestStreaming:
+    def test_available_now_drains_and_resumes(self, spark, images_df, tmp_path_factory):
+        base = tmp_path_factory.mktemp("stream")
+        src = str(base / "images")
+        out = str(base / "tiles")
+        ckpt = str(base / "ckpt")
+        images_df.write.parquet(src)
+        q = stream_tiles_available_now(spark, src, out, ckpt)
+        q.awaitTermination(120)
+        batch = tiling.build_tiles(images_df, repartition=False)
+        expected = batch.count()
+        got = spark.read.parquet(out).count()
+        assert got == expected
+        # re-run with same checkpoint: no new files -> no duplicate rows
+        q2 = stream_tiles_available_now(spark, src, out, ckpt)
+        q2.awaitTermination(120)
+        assert spark.read.parquet(out).count() == expected
+
+
+class TestMultimodal:
+    def test_features_match_numpy(self, images_df):
+        feats = {r.image_id: r for r in multimodal.extract_features(images_df).collect()}
+        pix = img_src.synth_pixels("img_000000000001", *img_src.image_dims(1))
+        a = pix.astype(np.float64)
+        r = feats["img_000000000001"]  # png image: lossless
+        assert r.mean == pytest.approx(a.mean())
+        assert r.p95 == pytest.approx(np.percentile(a, 95))
+
+    def test_thumbnails(self, images_df):
+        th = multimodal.resize_thumbnails(images_df, thumb=8).collect()
+        assert all(len(r.thumb) == 64 for r in th)
+        row = next(r for r in th if r.image_id == "img_000000000001")
+        pix = img_src.synth_pixels("img_000000000001", row.w, row.h)
+        exp = block_mean(pix.astype(np.float64), 8, 8).ravel()
+        np.testing.assert_allclose(np.array(row.thumb), exp)
+
+    def test_stubs_marked(self):
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_audio_stub(b"xx", "wav")
+        with pytest.raises(NotImplementedError):
+            multimodal.sample_video_frames_stub(b"xx", "mp4", 5)
+
+    def test_caption_tokens(self, images_df):
+        ct = multimodal.caption_tokens(images_df).collect()
+        assert all(r.n_caption_tokens == 5 for r in ct)  # "scene <id> band bNN utmNNNNN"
+
+
+class TestPartitionPlanner:
+    def test_aligned_counts(self):
+        plan = plan_partitions(1_000_000, 100_000)
+        assert 1_000_000 % plan.chunk_rows == 0
+        assert plan.n_partitions == 1_000_000 // plan.chunk_rows
+
+    def test_small_input(self):
+        plan = plan_partitions(50, 100_000)
+        assert plan.n_partitions == 1
