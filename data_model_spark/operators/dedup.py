@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, local_df
 from .registry import register
 
 # hash space: Mersenne prime 2^31-1 keeps a*x + b < 2^62 (no int64 overflow
@@ -109,8 +109,8 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 64, seed: int = 42) -> D
         for _ in range(num_hashes)
     ]
     spark = sh.sparkSession
-    pdf = spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(params)], "hash_id INT, a LONG, b LONG"
+    pdf = local_df(
+        spark, [(i, a, b) for i, (a, b) in enumerate(params)], "hash_id INT, a LONG, b LONG"
     )
     x = F.pmod(F.xxhash64("shingle"), F.lit(P_MERSENNE))
     return (

@@ -23,7 +23,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import PartitionedTable
+from ..sources.tables import PartitionedTable, local_df
 
 CHECKPOINT_COLS = ["unit", "n_rows", "checksum", "wall_s", "ts_epoch"]
 
@@ -38,13 +38,14 @@ class CheckpointLog:
         if not os.path.isdir(self.path) or not any(
             not e.startswith("_") for e in os.listdir(self.path)
         ):
-            return spark.createDataFrame(
-                [], "unit string, n_rows long, checksum double, wall_s double, ts_epoch long"
+            return local_df(
+                spark, [], "unit string, n_rows long, checksum double, wall_s double, ts_epoch long"
             )
         return spark.read.parquet(self.path)
 
     def record(self, spark: SparkSession, unit: str, n_rows: int, checksum: float, wall_s: float):
-        spark.createDataFrame(
+        local_df(
+            spark,
             [(unit, n_rows, float(checksum), float(wall_s), int(time.time()))],
             "unit string, n_rows long, checksum double, wall_s double, ts_epoch long",
         ).coalesce(1).write.mode("append").parquet(self.path)
@@ -70,7 +71,7 @@ class ResumableTileWrite:
         self.log = CheckpointLog(checkpoint_path)
 
     def run(self, spark: SparkSession, tiles: DataFrame, levels: list[int]) -> dict:
-        plan = spark.createDataFrame([(f"level={lv}",) for lv in levels], "unit string")
+        plan = local_df(spark, [(f"level={lv}",) for lv in levels], "unit string")
         todo_units = {r.unit for r in pending_units(spark, plan, self.log).collect()}
         results = {"written": [], "skipped": []}
         for lv in levels:

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, local_df
 from .registry import register
 
 
@@ -123,7 +123,8 @@ def ivf_assign(
     cents = rng.standard_normal((num_cells, dim))
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
     spark = vectors.sparkSession
-    cent_df = spark.createDataFrame(
+    cent_df = local_df(
+        spark,
         [(c, [float(v) for v in cents[c]]) for c in range(num_cells)],
         "cent_id INT, cent ARRAY<DOUBLE>",
     )

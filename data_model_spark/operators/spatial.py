@@ -44,8 +44,10 @@ def _ring_to_np(ring) -> np.ndarray:
 
 
 def polygons_df(spark, polys: dict[str, np.ndarray]) -> DataFrame:
+    from ..sources.tables import local_df
+
     rows = [(pid, [float(v) for v in np.asarray(r).ravel()]) for pid, r in polys.items()]
-    return spark.createDataFrame(rows, POLY_SCHEMA)
+    return local_df(spark, rows, POLY_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -156,14 +158,20 @@ def pip_join_cells(
     covers = polygon_cover_df(polys, res)
     pts = with_point_cell(points, res, lon, lat)
     if salt is None:
-        joined = pts.join(covers, "cell")
+        # build side = polygon covers (always the small side vs the point
+        # corpus); without the hint Spark may broadcast the *points* when
+        # their stats happen to be smaller — backwards at 10^12 points
+        joined = pts.join(F.broadcast(covers), "cell")
     else:
+        # skew path: replicate the build side `salt` ways, probe picks one
+        # replica by point hash — forces the shuffled sort-merge plan the
+        # hint names, so hot cells split across `salt` reducers
         salts = F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("salt")
         covers_s = covers.select("*", salts)
         pts_s = pts.withColumn(
             "salt", F.pmod(F.xxhash64(lon, lat), F.lit(salt)).cast("int")
         )
-        joined = pts_s.join(covers_s, ["cell", "salt"]).drop("salt")
+        joined = pts_s.join(covers_s.hint("merge"), ["cell", "salt"]).drop("salt")
     return _pip_refine(joined, lon, lat).drop("ring", "cell")
 
 

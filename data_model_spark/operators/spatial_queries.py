@@ -13,7 +13,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, local_df
 from .registry import register
 from . import spatial
 
@@ -65,7 +65,7 @@ def pip_rect_join(spark, sf_dir):
     pts = _points(spark, sf_dir)
     polys = {rid: _rect_ring(*bounds) for rid, bounds in RECTS.items()}
     assigned = spatial.pip_join_broadcast(pts, polys)
-    rect_ids = spark.createDataFrame([(r,) for r in RECTS], "rect_id string")
+    rect_ids = local_df(spark, [(r,) for r in RECTS], "rect_id string")
     counts = assigned.groupBy(F.col("poly_id").alias("rect_id")).agg(
         F.count("*").alias("n_points")
     )

@@ -12,7 +12,50 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+
+
+def local_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Small in-memory dimension table as a JVM ``LocalTableScan``.
+
+    ``spark.createDataFrame(list_of_tuples)`` pickles rows into a Python RDD
+    that re-runs Python workers on *every* action; routing through pandas
+    takes the Arrow path instead, so the relation lives JVM-side and costs
+    nothing per action.  Always use this for literal dim tables.
+
+    ``rows``: list of tuples (possibly empty) or a pandas DataFrame.
+    ``schema``: DDL string or StructType (required — empty input has no
+    inferable types).
+    """
+    if isinstance(rows, pd.DataFrame):
+        pdf = rows
+    else:
+        names = (
+            [f.name for f in schema.fields]
+            if hasattr(schema, "fields")
+            else [c.strip().split()[0] for c in _split_ddl(schema)]
+        )
+        pdf = pd.DataFrame(list(rows), columns=names)
+    return spark.createDataFrame(pdf, schema)
+
+
+def _split_ddl(ddl: str) -> list[str]:
+    """Split a DDL column list on top-level commas (ARRAY<..> safe)."""
+    out, depth, cur = [], 0, []
+    for ch in ddl:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
 
 TESTDATA_TABLES = (
     "region",
