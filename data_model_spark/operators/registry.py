@@ -31,6 +31,14 @@ def register(name: str, oracle: str | None):
 
 def all_queries() -> dict[str, QuerySpec]:
     """Import every operator module (triggering registration) and return all."""
-    from . import dedup, relational, similarity, spatial_queries, text  # noqa: F401
+    from . import (  # noqa: F401
+        dedup,
+        multimodal,
+        pipeline_queries,
+        relational,
+        similarity,
+        spatial_queries,
+        text,
+    )
 
     return QUERIES

@@ -573,3 +573,25 @@ def except_paths(spark, sf_dir):
     return n.select("n_name").subtract(
         n.filter(F.col("n_regionkey") == 0).select("n_name")
     )
+
+
+@register(
+    "anti_join_refs",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_unreferenced
+       FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def anti_join_refs(spark, sf_dir):
+    """P2 grid-mapping exclusion shape: entities NOT referenced by any other.
+
+    The reference projects away CRS variables that other variables point at
+    via ``grid_mapping`` attrs (``conversion/utils.py:135-158``); the
+    relational shape is an anti-join of the candidate set against the
+    reference set — here: customers no order references.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .agg(F.count("*").alias("n_unreferenced"))
+    )

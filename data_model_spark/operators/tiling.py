@@ -154,9 +154,13 @@ def build_tiles(
 def merge_tiles(tiles: DataFrame) -> DataFrame:
     """Merge per-image tile fragments into final global tiles.
 
-    After ``repartitionByRange`` this groupBy reuses the existing
-    partitioning (no second shuffle for the same keys).  Fragments are
-    composited into the 256x256 tile canvas inside ``applyInPandas``.
+    ``applyInPandas`` hash-shuffles on the grouping keys — this IS the one
+    scene->tile redistribution shuffle of the pipeline, so feed it raw
+    fragments (``build_tiles(..., repartition=False)``); a prior
+    ``repartitionByRange`` would add a second full shuffle plus a sampling
+    pass that re-executes the tile cut. Range-partition the *merged* output
+    (4-5x smaller) before writing instead. Fragments are composited into
+    the 256x256 tile canvas inside ``applyInPandas``.
     """
     out_schema = T.StructType(
         [

@@ -32,11 +32,16 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # 256 rows/batch: image and tile rows run ~100-150 KB, so a batch is
+        # ~25-40 MB — big enough to amortize Arrow framing, small enough that
+        # 32 concurrent tasks stay within executor memory (SURVEY.md §7 risk v;
+        # measured: 1024 -> 31-38 s merge, 64 -> 94 s, 256 -> 10-24 s)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.extraJavaOptions", "-Dio.netty.tryReflectionSetAccessible=true")
     )
     if extra_conf:
