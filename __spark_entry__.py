@@ -32,7 +32,7 @@ def entry(spark: SparkSession) -> DataFrame:
     li_rows = load_table(spark, "/root/testdata/sf0.001", "lineitem").count()
     n_images = max(16, min(64, li_rows // 125))
     images = img_src.generate_images_df(spark, n_images)
-    tiles = tiling.build_tiles(images, min_dimension=64)
+    tiles = tiling.build_tiles(images, min_dimension=64, repartition=False)
     return tiling.tile_metrics(tiles).orderBy(F.col("level"))
 
 

@@ -36,6 +36,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal,
         pipeline_queries,
         relational,
+        reproject,
         similarity,
         spatial_queries,
         text,

@@ -595,3 +595,99 @@ def anti_join_refs(spark, sf_dir):
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .agg(F.count("*").alias("n_unreferenced"))
     )
+
+
+@register(
+    "pyramid_cascade",
+    """WITH g AS (
+         SELECT event_id // 30 AS y, event_id % 30 AS x, value AS v
+         FROM events WHERE event_id < 900)
+       SELECT CAST(y // 6 AS BIGINT) AS by2, CAST(x // 6 AS BIGINT) AS bx2,
+              ROUND(SUM(v) / COUNT(*), 6) AS mean_v,
+              CAST(COUNT(*) AS BIGINT) AS n_px
+       FROM g GROUP BY 1, 2""",
+)
+def pyramid_cascade(spark, sf_dir):
+    """A15 cascade exactness: 30x30 -> /2 -> /3 with (sum,count) carry.
+
+    Two cascaded levels with MIXED factors (2 then 3 — the reference's S2
+    pyramid mixes /2 and /3 steps, `docs/geozarr-minispec.md` 10980->5490->
+    1830 scales 2,6) rebuilt from carried (sum, count) pairs; the DuckDB
+    oracle aggregates the base grid directly in ONE step — equality proves
+    mean-of-means exactness under the carry (`SURVEY.md §2.4 A15`).
+    """
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 900)
+    g = e.select(
+        (F.col("event_id") / 30).cast("long").alias("y"),
+        F.pmod(F.col("event_id"), F.lit(30)).alias("x"),
+        F.col("value").alias("v"),
+    )
+    l1 = g.groupBy(
+        (F.col("y") / 2).cast("long").alias("by1"),
+        (F.col("x") / 2).cast("long").alias("bx1"),
+    ).agg(F.sum("v").alias("s"), F.count("*").alias("c"))
+    return l1.groupBy(
+        (F.col("by1") / 3).cast("long").alias("by2"),
+        (F.col("bx1") / 3).cast("long").alias("bx2"),
+    ).agg(
+        F.round(F.sum("s") / F.sum("c"), 6).alias("mean_v"),
+        F.sum("c").alias("n_px"),
+    )
+
+
+@register(
+    "cf_scale_offset",
+    """WITH packed AS (
+         SELECT l_orderkey, l_linenumber,
+                CAST(l_quantity AS BIGINT) AS p
+         FROM lineitem WHERE l_orderkey < 200),
+       dec AS (
+         SELECT l_orderkey, l_linenumber, p,
+                p * 0.001 + 0.5 AS unpacked
+         FROM packed)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+              ROUND(SUM(unpacked), 6) AS sum_unpacked,
+              CAST(SUM(CASE WHEN CAST(ROUND((unpacked - 0.5) / 0.001, 0) AS BIGINT) = p
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_exact
+       FROM dec""",
+)
+def cf_scale_offset(spark, sf_dir):
+    """F6 CF packing codec: unpacked = packed*sf + ao; re-encode must
+    round-trip bit-exactly (`codecs/scale_offset.py:15-27`,
+    `tests/test_scale_offset.py:17`)."""
+    sf, ao = 0.001, 0.5
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    p = li.select(
+        "l_orderkey", "l_linenumber", F.col("l_quantity").cast("long").alias("p")
+    )
+    dec = p.withColumn("unpacked", F.col("p") * sf + ao)
+    enc = dec.withColumn(
+        "re_packed", F.round((F.col("unpacked") - ao) / sf, 0).cast("long")
+    )
+    return enc.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("unpacked"), 6).alias("sum_unpacked"),
+        F.sum(F.when(F.col("re_packed") == F.col("p"), 1).otherwise(0)).alias(
+            "n_roundtrip_exact"
+        ),
+    )
+
+
+@register(
+    "epsg_parse",
+    """SELECT CAST(string_split('EPSG:' || CAST(32600 + n_nationkey AS VARCHAR), ':')[-1]
+                   AS BIGINT) AS code,
+              n_name AS name
+       FROM nation WHERE n_nationkey < 10""",
+)
+def epsg_parse(spark, sf_dir):
+    """F4 EPSG parsing: 'EPSG:32632' -> 32632 via split + last-element cast
+    (`s2_converter.py:26-102`)."""
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 10)
+    s = n.select(
+        F.concat(F.lit("EPSG:"), (F.lit(32600) + F.col("n_nationkey")).cast("string")).alias("crs"),
+        F.col("n_name").alias("name"),
+    )
+    return s.select(
+        F.element_at(F.split("crs", ":"), -1).cast("long").alias("code"), "name"
+    )

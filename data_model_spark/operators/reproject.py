@@ -1,0 +1,182 @@
+"""GCP-based scene reprojection as a Spark operator (SURVEY §2.8 R1/R2).
+
+The reference warps each Sentinel-1 polarization from radar geometry to an
+EPSG:4326 grid using a ground-control-point grid
+(`conversion/sentinel1_reprojection.py:20-108`; per-band kernel
+`:277-329`). Spark expression:
+
+* measurements are long-format rows ``(pol, line, pixel, grd)`` — the tall
+  twin of the chunked radar raster (FIXTURES.md §3);
+* the GCP grid (~10x21 rows) is broadcast — carried in the UDF closure,
+  the degenerate broadcast join the reference's "GCP <-> measurement
+  association" is (SURVEY §2.3 J3);
+* ``groupBy(pol).applyInPandas`` rebuilds the 2-D array per polarization,
+  fits the inverse polynomial, warps, and emits long-format output — the
+  per-band parallel granularity the reference's dask graph uses; at
+  10^12-image scale the fleet parallelism is across scenes/polarizations,
+  each warp a single vectorized NumPy call.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import warp
+from ..sources.tables import local_df
+from .registry import register
+
+WARPED_SCHEMA = T.StructType(
+    [
+        T.StructField("pol", T.StringType(), False),
+        T.StructField("row", T.IntegerType(), False),
+        T.StructField("col", T.IntegerType(), False),
+        T.StructField("lon", T.DoubleType(), False),
+        T.StructField("lat", T.DoubleType(), False),
+        T.StructField("value", T.DoubleType(), False),
+    ]
+)
+
+
+def reproject_gcp(
+    meas: DataFrame,
+    gcps: pd.DataFrame,
+    src_width: int,
+    src_height: int,
+    nodata: float = 65535.0,
+    order: int = 1,
+) -> DataFrame:
+    """Warp long-format measurements to EPSG:4326, one group per ``pol``.
+
+    ``gcps``: pandas DataFrame (line, pixel, latitude, longitude) — small,
+    rides in the closure (broadcast).  Output keeps only valid (non-nodata)
+    cells, long format.
+    """
+    g_line = gcps["line"].to_numpy()
+    g_pixel = gcps["pixel"].to_numpy()
+    g_lat = gcps["latitude"].to_numpy()
+    g_lon = gcps["longitude"].to_numpy()
+
+    def warp_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pol = pdf["pol"].iloc[0]
+        src = np.full((src_height, src_width), nodata, dtype=np.float64)
+        src[pdf["line"].to_numpy(), pdf["pixel"].to_numpy()] = pdf["grd"].to_numpy()
+        out, lons, lats = warp.warp_gcp(
+            src, g_line, g_pixel, g_lat, g_lon, nodata=nodata, order=order
+        )
+        rows, cols = np.nonzero(
+            ~np.isnan(out) if np.isnan(nodata) else out != nodata
+        )
+        return pd.DataFrame(
+            {
+                "pol": pol,
+                "row": rows.astype(np.int32),
+                "col": cols.astype(np.int32),
+                "lon": lons[cols],
+                "lat": lats[rows],
+                "value": out[rows, cols],
+            }
+        )
+
+    return meas.groupBy("pol").applyInPandas(warp_one, WARPED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthetic S1 scene (FIXTURES.md §3, scaled)
+# ---------------------------------------------------------------------------
+
+S1_W, S1_H = 128, 72
+S1_NODATA = 65535.0
+
+
+def s1_value(line, pixel):
+    """Deterministic grd value — recomputable oracle-side (uint16 < 200)."""
+    return (np.asarray(line) * 7 + np.asarray(pixel) * 13) % 200
+
+
+def synth_s1_gcps(n_lines: int = 7, n_pixels: int = 9) -> pd.DataFrame:
+    """Linear GCP grid like the reference fixture
+    (`tests/test_integration_sentinel1.py:84-97`): lat 39..41, lon 15..18."""
+    ll, pp = np.meshgrid(
+        np.linspace(0, S1_H - 1, n_lines), np.linspace(0, S1_W - 1, n_pixels),
+        indexing="ij",
+    )
+    return pd.DataFrame(
+        {
+            "line": ll.ravel().astype(np.int64),
+            "pixel": pp.ravel().astype(np.int64),
+            "latitude": 39.0 + 2.0 * ll.ravel() / (S1_H - 1),
+            "longitude": 15.0 + 3.0 * pp.ravel() / (S1_W - 1),
+            "height": 0.0,
+        }
+    )
+
+
+def synth_s1_measurements(spark) -> DataFrame:
+    """Distributed long-format scene: 2 polarizations x 72 x 128."""
+    n = S1_W * S1_H
+
+    def gen(batches):
+        for pdf in batches:
+            idx = pdf["id"].to_numpy()
+            pol_idx, cell = np.divmod(idx, n)
+            line, pixel = np.divmod(cell, S1_W)
+            yield pd.DataFrame(
+                {
+                    "pol": np.where(pol_idx == 0, "VV", "VH"),
+                    "line": line.astype(np.int64),
+                    "pixel": pixel.astype(np.int64),
+                    "grd": np.where(
+                        pol_idx == 0, s1_value(line, pixel), s1_value(pixel, line)
+                    ).astype(np.int64),
+                }
+            )
+
+    schema = "pol string, line long, pixel long, grd long"
+    return spark.range(0, 2 * n, numPartitions=8).mapInPandas(gen, schema)
+
+
+@register("gcp_warp", None)  # NumPy-exact golden in tests/test_warp.py
+def gcp_warp(spark, sf_dir):
+    """R1 warp query: per-polarization summary of the reprojected scene."""
+    meas = synth_s1_measurements(spark)
+    out = reproject_gcp(meas, synth_s1_gcps(), S1_W, S1_H, nodata=S1_NODATA)
+    return (
+        out.groupBy("pol")
+        .agg(
+            F.count("*").alias("n_valid"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+            F.round(F.min("lat"), 6).alias("lat_min"),
+            F.round(F.max("lat"), 6).alias("lat_max"),
+            F.round(F.min("lon"), 6).alias("lon_min"),
+            F.round(F.max("lon"), 6).alias("lon_max"),
+        )
+        .orderBy("pol")
+    )
+
+
+@register("gcp_overview_gcps", None)  # golden-tested vs NumPy in tests/test_warp.py
+def gcp_overview_gcps(spark, sf_dir):
+    """A11 on real GCPs: overview-level GCP grid via scale+round+group-mean
+    (`conversion/utils.py:261-298`) for the /2 overview of the S1 scene."""
+    g = local_df(
+        spark,
+        synth_s1_gcps(),
+        "line long, pixel long, latitude double, longitude double, height double",
+    )
+    f = 2.0
+    return (
+        g.groupBy(
+            F.round(g.line / f).cast("long").alias("line"),
+            F.round(g.pixel / f).cast("long").alias("pixel"),
+        )
+        .agg(
+            F.round(F.avg("latitude"), 9).alias("latitude"),
+            F.round(F.avg("longitude"), 9).alias("longitude"),
+            F.round(F.avg("height"), 9).alias("height"),
+        )
+        .orderBy("line", "pixel")
+    )

@@ -148,3 +148,117 @@ def cell_cover_counts(spark, sf_dir):
     return keyed.groupBy("cell").agg(F.count("*").alias("n")).orderBy(
         F.col("n").desc(), "cell"
     )
+
+
+@register("image_validation", None)  # PSNR/caption/phash gate, NumPy-oracled in pytest
+def image_validation(spark, sf_dir):
+    """input_hint per-row invariant summary by fmt: PSNR>=40dB, captions,
+    phash re-derivation — the correctness gate of BASELINE.json."""
+    from ..sources.images import generate_images_df
+    from .tiling import validate_images
+
+    v = validate_images(generate_images_df(spark, 48))
+    return (
+        v.groupBy("fmt")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("psnr_db") >= 40, 1).otherwise(0)).alias("n_psnr_ok"),
+            F.sum(F.col("caption_ok").cast("int")).alias("n_caption_ok"),
+            F.sum(F.col("phash_ok").cast("int")).alias("n_phash_ok"),
+        )
+        .orderBy("fmt")
+    )
+
+
+@register("tile_point_query", None)  # R4 consumer contract, golden in test_tiling_e2e
+def tile_point_query(spark, sf_dir):
+    """Partition-pruned point lookup against the merged tile table: the
+    filter hits only (level, tile_x, tile_y) keys — no pixel decode."""
+    from ..sources.images import generate_images_df
+    from . import tiling
+
+    images = generate_images_df(spark, 48)
+    merged = tiling.merge_tiles(
+        tiling.build_tiles(images, min_dimension=64, repartition=False)
+    )
+    # a point inside scene 0 (anchor 600000,5090000; 64x64 px at 10 m)
+    hits = tiling.point_query(merged, level=0, x=600100.0, y=5090100.0)
+    return hits.select("level", "tile_x", "tile_y", "n_sources", "filled_px")
+
+
+@register("pyramid_layout_meta", None)  # R3 geometry, golden-tested in test_gridlib
+def pyramid_layout_meta(spark, sf_dir):
+    """Multiscale layout metadata table (minispec `layout` fields): level
+    dims, relative scale/translation, absolute affine — R3 as a query."""
+    from ..functions import gridlib
+    from ..sources.tables import local_df
+
+    bounds = (600000.0, 5090000.0, 654900.0, 5144900.0)
+    ovw = gridlib.overview_levels(5490, 5490, min_dimension=256)
+    geoms = [
+        gridlib.LevelGeom(
+            asset=f"r{10 * d['scale_relative']}m",
+            width=d["width"],
+            height=d["height"],
+            resolution_m=10.0 * d["scale_relative"],
+            derived_from=None if d["level"] == 0 else f"r{10 * 2 ** (d['level'] - 1)}m",
+        )
+        for d in ovw
+    ]
+    layout = gridlib.multiscale_layout(geoms, bounds)
+    rows = [
+        (
+            d["asset"],
+            d["derived_from"],
+            int(d["zoom"]),
+            float(d["transform"]["scale"]),
+            float(d["transform"]["translation"]),
+            int(d["spatial:shape"][0]),
+            int(d["spatial:shape"][1]),
+            float(d["spatial:transform"][0]),
+            float(d["spatial:transform"][4]),
+        )
+        for d in layout.levels
+    ]
+    return local_df(
+        spark,
+        rows,
+        "asset string, derived_from string, zoom int, rel_scale double,"
+        " rel_translation double, shape_h int, shape_w int,"
+        " pixel_dx double, pixel_dy double",
+    )
+
+
+@register("store_root_bbox", None)  # A13: per-scene bbox -> 4326 -> union
+def store_root_bbox(spark, sf_dir):
+    """Store-root bbox: every scene footprint reprojected to EPSG:4326 in a
+    vectorized pandas UDF, then one global min/max union aggregation
+    (`s2_converter.py:321-363`)."""
+    import pandas as pd
+
+    from ..functions import crs
+    from ..sources import images as img_src
+    from ..sources.images import generate_images_df
+
+    imgs = generate_images_df(spark, 48).select("image_id", "w", "h")
+
+    def bbox4326(batches):
+        zone, north = crs.epsg_to_utm_zone(img_src.SCENE_EPSG)
+        for pdf in batches:
+            recs = []
+            for iid, ww, hh in zip(pdf["image_id"], pdf["w"], pdf["h"]):
+                ring = img_src.footprint_utm(iid, int(ww), int(hh))
+                lon, lat = crs.utm_to_lonlat(ring[:, 0], ring[:, 1], zone, north)
+                recs.append((lon.min(), lat.min(), lon.max(), lat.max()))
+            yield pd.DataFrame(recs, columns=["xmin", "ymin", "xmax", "ymax"])
+
+    b = imgs.mapInPandas(
+        bbox4326, "xmin double, ymin double, xmax double, ymax double"
+    )
+    return b.agg(
+        F.round(F.min("xmin"), 9).alias("xmin"),
+        F.round(F.min("ymin"), 9).alias("ymin"),
+        F.round(F.max("xmax"), 9).alias("xmax"),
+        F.round(F.max("ymax"), 9).alias("ymax"),
+        F.count("*").alias("n_scenes"),
+    )

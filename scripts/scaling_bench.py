@@ -53,16 +53,11 @@ def main() -> None:
         app_name=f"scaling-bench-{cores}",
         shuffle_partitions=64,
         extra_conf={
-            "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "48g"),
+            "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "16g"),
             # tmpfs shuffle dir: the sandbox's virtio disk has high variance
             # (measured 20-600 MB/s); the protocol measures CPU scaling, so
             # shuffle+output go to RAM the way a cluster uses local NVMe
             "spark.local.dir": f"/dev/shm/spark-local-{cores}",
-            # tile payloads are high-entropy (zlib ratio 0.86 measured) and
-            # shuffle lives on tmpfs: compression would spend CPU + memory
-            # bandwidth to save nothing
-            "spark.shuffle.compress": "false",
-            "spark.shuffle.spill.compress": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -72,6 +67,19 @@ def main() -> None:
 
     _warm = F.pandas_udf(lambda s: s, T.LongType())
     spark.range(0, cores * 4, numPartitions=cores * 4).select(_warm("id")).count()
+    # JIT-warm the shuffle + parquet-write machinery (first write job in a
+    # JVM pays ~30-50s of C2 compilation otherwise — a fixed cost a
+    # long-lived cluster never re-pays, not part of the throughput metric)
+    warm_dir = tempfile.mkdtemp(prefix="warm_", dir="/dev/shm")
+    (
+        spark.range(0, 10000)
+        .withColumn("k", F.pmod("id", F.lit(7)))
+        .repartitionByRange(4, "k", "id")
+        .write.mode("overwrite")
+        .partitionBy("k")
+        .parquet(warm_dir)
+    )
+    shutil.rmtree(warm_dir, ignore_errors=True)
 
     out_dir = tempfile.mkdtemp(prefix=f"tiles_{cores}_", dir="/dev/shm")
     try:

@@ -11,15 +11,15 @@
 # the condition a real N -> 4N executor comparison has. The 8->32 pair is
 # also run and reported with the measured hardware ceiling for context.
 #
-# Noise control: the sandbox host shows +/-30% run-to-run variance on
-# shuffle-heavy phases (shared hypervisor). Each core count runs ROUNDS
-# times interleaved (2,8,32, 2,8,32, ...) so all configs see the same
-# thermal/noise conditions; the report uses per-config MEDIAN totals.
+# Noise control: the sandbox host's memory bandwidth swings 3-5x on minute
+# timescales (hypervisor neighbors; zero CPU steal, pure-compute probes
+# stable). The headline pair runs ROUNDS times interleaved (2,8, 2,8, ...)
+# so both configs see the same conditions; the report uses MEDIAN totals.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
 N_IMAGES="${SPARK_GRAFT_SCALE_IMAGES:-4096}"
-ROUNDS="${SPARK_GRAFT_SCALE_ROUNDS:-3}"
+ROUNDS="${SPARK_GRAFT_SCALE_ROUNDS:-5}"
 mkdir -p BENCH
 
 echo "== machine ceiling probe ==" >&2
@@ -27,12 +27,22 @@ CEILING_JSON=$(python scripts/machine_ceiling.py)
 echo "$CEILING_JSON" >&2
 
 RUNS_FILE=$(mktemp)
+# headline pair 2 vs 8, interleaved ROUNDS times (the sandbox host's memory
+# bandwidth swings 3-5x on minute timescales from hypervisor neighbors —
+# zero CPU steal, pure-compute probes stable — so medians over several
+# interleaved rounds are the only honest wall-clock estimator here)
 for round in $(seq 1 "$ROUNDS"); do
-  for cores in 2 8 32; do
+  for cores in 2 8; do
     echo "== round $round local[$cores] ==" >&2
     SPARK_GRAFT_SCALE_IMAGES="$N_IMAGES" python scripts/scaling_bench.py "$cores" 2>/dev/null | tail -1 >> "$RUNS_FILE"
     rm -rf "/dev/shm/spark-local-${cores}"
   done
+done
+# SMT-regime context runs (fewer rounds: reported with the hardware ceiling)
+for round in 1 2; do
+  echo "== context round $round local[32] ==" >&2
+  SPARK_GRAFT_SCALE_IMAGES="$N_IMAGES" python scripts/scaling_bench.py 32 2>/dev/null | tail -1 >> "$RUNS_FILE"
+  rm -rf "/dev/shm/spark-local-32"
 done
 
 python - "$RUNS_FILE" "$CEILING_JSON" <<'EOF'
