@@ -87,23 +87,158 @@ def resize_thumbnails(images: DataFrame, thumb: int = 8) -> DataFrame:
     return images.mapInPandas(resize, RESIZE_SCHEMA)
 
 
-def decode_audio_stub(payload: bytes, fmt: str) -> np.ndarray:
-    """STUB: audio decode requires codec libraries absent from this container.
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+        T.StructField("zero_crossings", T.LongType(), False),
+        T.StructField("peak", T.DoubleType(), False),
+    ]
+)
 
-    The Spark plumbing (binary column in, float frames out via mapInPandas)
-    is identical to :func:`extract_features`; swap this function for a real
-    decoder (e.g. soundfile) on a production image.
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_mean", T.DoubleType(), False),
+        T.StructField("frame_bytes", T.BinaryType(), False),
+    ]
+)
+
+
+def decode_audio(payload: bytes, fmt: str) -> np.ndarray:
+    """Audio decode. Real codecs (``fmt`` in {wav, flac, mp3, ...}) need an
+    audio library absent from this container — clearly-marked stub; the
+    ``fake-pcm16`` format (deterministic test twin: raw little-endian int16
+    PCM) decodes for real so the Spark plumbing is exercised end-to-end.
     """
+    if fmt == "fake-pcm16":
+        return np.frombuffer(payload, dtype="<i2").astype(np.float64) / 32768.0
     raise NotImplementedError(
-        "audio decode requires an audio codec library not present in this container"
+        f"audio decode for fmt={fmt!r} requires an audio codec library "
+        "not present in this container (plumbing is real; swap this decoder)"
     )
 
 
-def sample_video_frames_stub(payload: bytes, fmt: str, every_n: int) -> list[np.ndarray]:
-    """STUB: video frame sampling requires ffmpeg-class libraries (absent)."""
+def extract_audio_features(clips: DataFrame) -> DataFrame:
+    """Audio twin of :func:`extract_features`: (clip_id, payload binary,
+    fmt, sample_rate) -> per-clip RMS / zero-crossings / peak, one Arrow
+    batch at a time — the UDF signature and batch shape a real decoder
+    would drop into unchanged."""
+
+    def feats(batches):
+        for pdf in batches:
+            recs = []
+            for row in pdf.itertuples(index=False):
+                x = decode_audio(row.payload, row.fmt)
+                recs.append(
+                    {
+                        "clip_id": row.clip_id,
+                        "sample_rate": int(row.sample_rate),
+                        "n_samples": len(x),
+                        "rms": float(np.sqrt(np.mean(x**2))) if len(x) else 0.0,
+                        "zero_crossings": int(np.sum(np.abs(np.diff(np.signbit(x))))),
+                        "peak": float(np.max(np.abs(x))) if len(x) else 0.0,
+                    }
+                )
+            yield pd.DataFrame.from_records(recs)
+
+    return clips.mapInPandas(feats, AUDIO_FEATURE_SCHEMA)
+
+
+def decode_video_frames(payload: bytes, fmt: str, w: int, h: int) -> np.ndarray:
+    """Video decode to (n_frames, h, w) uint8. Real containers need ffmpeg
+    (absent) — stub; ``fake-rawgray`` (concatenated grayscale frames)
+    decodes for real."""
+    if fmt == "fake-rawgray":
+        a = np.frombuffer(payload, dtype=np.uint8)
+        n = len(a) // (w * h)
+        return a[: n * w * h].reshape(n, h, w)
     raise NotImplementedError(
-        "video frame sampling requires a video codec library not present in this container"
+        f"video decode for fmt={fmt!r} requires ffmpeg-class libraries "
+        "not present in this container (plumbing is real; swap this decoder)"
     )
+
+
+def sample_video_frames(clips: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame sampling: (clip_id, payload, fmt, w, h) -> every Nth frame with
+    its mean and re-encoded bytes. One input row fans out to many output
+    rows (UDTF shape) inside ``mapInPandas``."""
+
+    def sample(batches):
+        for pdf in batches:
+            recs = []
+            for row in pdf.itertuples(index=False):
+                frames = decode_video_frames(row.payload, row.fmt, row.w, row.h)
+                for idx in range(0, len(frames), every_n):
+                    f = frames[idx]
+                    recs.append(
+                        {
+                            "clip_id": row.clip_id,
+                            "frame_idx": idx,
+                            "frame_mean": float(f.mean()),
+                            "frame_bytes": f.tobytes(),
+                        }
+                    )
+            yield pd.DataFrame.from_records(recs) if recs else pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in FRAME_SCHEMA.fields}
+            )
+
+    return clips.mapInPandas(sample, FRAME_SCHEMA)
+
+
+def synth_audio_clips(spark, n: int = 16) -> DataFrame:
+    """Deterministic fake-pcm16 clip table (distributed generation)."""
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.default_rng(1000 + i)
+                t = np.arange(4000 + 100 * (i % 5))
+                wave = 0.5 * np.sin(2 * np.pi * (220 + 20 * i) * t / 16000.0)
+                wave += rng.normal(0, 0.01, len(t))
+                pcm = (np.clip(wave, -1, 1) * 32767).astype("<i2")
+                recs.append(
+                    {
+                        "clip_id": f"clip_{i:06d}",
+                        "payload": pcm.tobytes(),
+                        "fmt": "fake-pcm16",
+                        "sample_rate": 16000,
+                    }
+                )
+            yield pd.DataFrame.from_records(recs)
+
+    schema = "clip_id string, payload binary, fmt string, sample_rate int"
+    return spark.range(0, n, numPartitions=4).mapInPandas(gen, schema)
+
+
+def synth_video_clips(spark, n: int = 8, w: int = 32, h: int = 24, frames: int = 12) -> DataFrame:
+    """Deterministic fake-rawgray clip table."""
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.default_rng(2000 + i)
+                vid = rng.integers(0, 255, size=(frames, h, w), dtype=np.uint8)
+                recs.append(
+                    {
+                        "clip_id": f"vid_{i:06d}",
+                        "payload": vid.tobytes(),
+                        "fmt": "fake-rawgray",
+                        "w": w,
+                        "h": h,
+                    }
+                )
+            yield pd.DataFrame.from_records(recs)
+
+    schema = "clip_id string, payload binary, fmt string, w int, h int"
+    return spark.range(0, n, numPartitions=2).mapInPandas(gen, schema)
 
 
 def caption_tokens(images: DataFrame) -> DataFrame:
@@ -194,4 +329,27 @@ def phash_neardup_pairs(spark, sf_dir):
         cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .filter(F.col("hamming") <= 3)
         .select("img_a", "img_b", "hamming")
+    )
+
+
+@register("audio_features", None)  # deterministic fake-pcm16 twin; plumbing real
+def audio_features(spark, sf_dir):
+    """Audio-column plumbing: binary payload + typed metadata -> per-clip
+    RMS / zero-crossing / peak features via mapInPandas."""
+    return extract_audio_features(synth_audio_clips(spark, 16)).orderBy("clip_id")
+
+
+@register("video_frame_sample", None)  # deterministic fake-rawgray twin
+def video_frame_sample(spark, sf_dir):
+    """Video-column plumbing: sample every 2nd frame (UDTF fan-out) and
+    aggregate per-clip frame stats."""
+    frames = sample_video_frames(synth_video_clips(spark, 8), every_n=2)
+    return (
+        frames.groupBy("clip_id")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.round(F.avg("frame_mean"), 6).alias("avg_frame_mean"),
+            F.sum(F.length("frame_bytes")).alias("total_bytes"),
+        )
+        .orderBy("clip_id")
     )

@@ -59,8 +59,6 @@ def resume_tile_write(spark, sf_dir):
             rows,
             "level int, run1_written boolean, run2_skipped boolean, n_tiles int",
         )
-        out = out.cache()
-        out.count()
         merged.unpersist()
         return out
     finally:
@@ -83,14 +81,18 @@ def streaming_tiles(spark, sf_dir):
             spark, f"{base}/images", f"{base}/tiles", f"{base}/ckpt"
         )
         q.awaitTermination()
-        out = (
+        rows = (
             spark.read.parquet(f"{base}/tiles")
             .groupBy("level")
             .agg(F.count("*").alias("n_fragments"))
             .orderBy("level")
+            .collect()
         )
-        out = out.cache()
-        out.count()
-        return out
+        # local relation: self-contained after the temp dir is removed
+        return local_df(
+            spark,
+            [(r.level, r.n_fragments) for r in rows],
+            "level int, n_fragments long",
+        )
     finally:
         shutil.rmtree(base, ignore_errors=True)

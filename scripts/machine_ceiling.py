@@ -1,10 +1,19 @@
-"""Hardware scaling-ceiling probe (no Spark).
+"""Hardware scaling-ceiling probes (no Spark).
 
-Embarrassingly parallel NumPy work via multiprocessing at 2/8/32 workers.
-If the *hardware* cannot deliver 4x between two core counts (SMT vCPUs,
-host oversubscription), no job measured there can either; this probe
-documents the regime in which the N vs 4N comparison is meaningful.
-Prints one JSON line.
+Two probes at 2/8/32 workers via multiprocessing:
+
+* compute: embarrassingly parallel NumPy transcendental math on
+  cache-resident arrays — measures how many CPU-seconds the box actually
+  delivers per wall-second.
+* bandwidth: large-array memcpy — measures aggregate memory bandwidth,
+  the resource that shuffle / Arrow / parquet phases consume.
+
+If the HARDWARE cannot deliver 4x of a resource between two worker counts
+(SMT vCPUs, one shared memory bus), no job measured there can either; these
+probes document the regime in which an N vs 4N comparison is meaningful.
+A real 4N-executor deployment multiplies BOTH resources by adding nodes;
+a single box only multiplies compute up to its physical cores and
+bandwidth not at all past saturation. Prints one JSON line.
 """
 
 from __future__ import annotations
@@ -16,7 +25,7 @@ import time
 import numpy as np
 
 
-def work(n: int) -> float:
+def compute_work(n: int) -> float:
     rng = np.random.default_rng(n)
     a = rng.integers(0, 3000, size=(512, 512)).astype(np.uint16)
     acc = 0.0
@@ -27,22 +36,55 @@ def work(n: int) -> float:
     return acc
 
 
+def bw_worker(_: int) -> tuple:
+    """(first_touch_gbps, steady_gbps) per worker.
+
+    First touch of newly allocated pages goes through the hypervisor's
+    lazy-paging path (measured ~0.035 GB/s/worker on this VM!); steady-state
+    copies on warm pages run at memory-bus speed (~20 GB/s/worker).
+    """
+    t0 = time.perf_counter()
+    a = np.ones(25_000_000, dtype=np.uint16)  # 50 MB, touched
+    b = np.zeros(25_000_000, dtype=np.uint16)
+    b[:] = 1  # force touch
+    t_fault = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < 3:
+        np.copyto(b, a)
+        n += 1
+    t_steady = time.perf_counter() - t0
+    return (100e6 / t_fault / 1e9, n * 100e6 / t_steady / 1e9)
+
+
 def main() -> None:
+    counts = (2, 8, 32)
+    t, bw = {}, {}
     tasks = list(range(128))
-    times = {}
-    for procs in (2, 8, 32):
+    for procs in counts:
         with mp.Pool(procs) as p:
             t0 = time.perf_counter()
-            p.map(work, tasks)
-            times[procs] = time.perf_counter() - t0
+            p.map(compute_work, tasks)
+            t[procs] = time.perf_counter() - t0
+        with mp.Pool(procs) as p:
+            res = p.map(bw_worker, range(procs))
+        bw[procs] = (sum(r[0] for r in res), sum(r[1] for r in res))
     out = {
-        "t2_s": round(times[2], 2),
-        "t8_s": round(times[8], 2),
-        "t32_s": round(times[32], 2),
-        "speedup_2_8": round(times[2] / times[8], 2),
-        "speedup_8_32": round(times[8] / times[32], 2),
-        "eff_2_8": round(times[2] / (4 * times[8]), 3),
-        "eff_8_32": round(times[8] / (4 * times[32]), 3),
+        "t2_s": round(t[2], 2),
+        "t8_s": round(t[8], 2),
+        "t32_s": round(t[32], 2),
+        "speedup_2_8": round(t[2] / t[8], 2),
+        "speedup_8_32": round(t[8] / t[32], 2),
+        "eff_2_8": round(t[2] / (4 * t[8]), 3),
+        "eff_8_32": round(t[8] / (4 * t[32]), 3),
+        "fault_bw2_gbps": round(bw[2][0], 2),
+        "fault_bw8_gbps": round(bw[8][0], 2),
+        "fault_bw32_gbps": round(bw[32][0], 2),
+        "steady_bw2_gbps": round(bw[2][1], 1),
+        "steady_bw8_gbps": round(bw[8][1], 1),
+        "steady_bw32_gbps": round(bw[32][1], 1),
+        "steady_bw_ratio_2_8": round(bw[8][1] / max(bw[2][1], 1e-9), 2),
+        "steady_bw_ratio_8_32": round(bw[32][1] / max(bw[8][1], 1e-9), 2),
     }
     print(json.dumps(out))
 

@@ -58,6 +58,12 @@ def main() -> None:
             # (measured 20-600 MB/s); the protocol measures CPU scaling, so
             # shuffle+output go to RAM the way a cluster uses local NVMe
             "spark.local.dir": f"/dev/shm/spark-local-{cores}",
+            # this VM's memory is lazily paged by the hypervisor: first touch
+            # of a new page runs at ~35 MB/s/thread while warm pages copy at
+            # ~20 GB/s/thread (scripts/machine_ceiling.py). Pre-fault the heap
+            # so the timed phases never pay the hypervisor fault path.
+            "spark.driver.extraJavaOptions": "-XX:+AlwaysPreTouch"
+            " -Dio.netty.tryReflectionSetAccessible=true",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -81,8 +87,7 @@ def main() -> None:
     )
     shutil.rmtree(warm_dir, ignore_errors=True)
 
-    out_dir = tempfile.mkdtemp(prefix=f"tiles_{cores}_", dir="/dev/shm")
-    try:
+    def run_pipeline(out_dir: str) -> dict:
         t0 = time.perf_counter()
         images = img_src.generate_images_df(
             spark, n_images, num_partitions=input_partitions
@@ -110,8 +115,10 @@ def main() -> None:
         )
         t_write = time.perf_counter() - t0
 
+        images.unpersist()
+        merged.unpersist()
         total = t_generate + t_validate + t_merge + t_write
-        out = {
+        return {
             "cores": cores,
             "n_images": n_img,
             "n_valid": n_valid,
@@ -126,9 +133,23 @@ def main() -> None:
             "rows_per_sec": round((n_merged + int(n_fragments)) / total, 2),
             "images_per_sec": round(n_img / total, 2),
         }
+
+    # warmup iteration: the full pipeline once, untimed — faults in guest
+    # pages (heap growth, Arrow pools, tmpfs), JIT-compiles the write path.
+    # A long-lived cluster executor runs in this warmed state permanently;
+    # the hypervisor's lazy-page cost is a boot cost, not throughput.
+    dirs = [
+        tempfile.mkdtemp(prefix=f"tiles_{cores}_{tag}_", dir="/dev/shm")
+        for tag in ("warm", "timed")
+    ]
+    try:
+        run_pipeline(dirs[0])
+        shutil.rmtree(dirs[0], ignore_errors=True)
+        out = run_pipeline(dirs[1])
         print(json.dumps(out))
     finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
     spark.stop()
 
 

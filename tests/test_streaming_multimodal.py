@@ -57,9 +57,9 @@ class TestMultimodal:
 
     def test_stubs_marked(self):
         with pytest.raises(NotImplementedError):
-            multimodal.decode_audio_stub(b"xx", "wav")
+            multimodal.decode_audio(b"xx", "wav")
         with pytest.raises(NotImplementedError):
-            multimodal.sample_video_frames_stub(b"xx", "mp4", 5)
+            multimodal.decode_video_frames(b"xx", "mp4", 32, 24)
 
     def test_caption_tokens(self, images_df):
         ct = multimodal.caption_tokens(images_df).collect()
@@ -75,3 +75,48 @@ class TestPartitionPlanner:
     def test_small_input(self):
         plan = plan_partitions(50, 100_000)
         assert plan.n_partitions == 1
+
+
+class TestAudioVideoPlumbing:
+    def test_audio_features_deterministic(self, spark):
+        from data_model_spark.operators import multimodal as mm
+
+        got = mm.extract_audio_features(mm.synth_audio_clips(spark, 6)).toPandas()
+        assert len(got) == 6
+        assert (got["sample_rate"] == 16000).all()
+        assert (got["rms"] > 0.2).all() and (got["rms"] < 0.5).all()
+        assert (got["peak"] <= 1.0).all()
+        # deterministic: second run identical
+        again = mm.extract_audio_features(mm.synth_audio_clips(spark, 6)).toPandas()
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(
+            got.sort_values("clip_id").reset_index(drop=True),
+            again.sort_values("clip_id").reset_index(drop=True),
+        )
+
+    def test_audio_real_fmt_raises(self):
+        import pytest as pt
+
+        from data_model_spark.operators.multimodal import decode_audio
+
+        with pt.raises(NotImplementedError):
+            decode_audio(b"RIFF....", "wav")
+
+    def test_video_frame_sampling_fanout(self, spark):
+        from data_model_spark.operators import multimodal as mm
+
+        frames = mm.sample_video_frames(mm.synth_video_clips(spark, 4, frames=12), every_n=2)
+        got = frames.toPandas()
+        # 12 frames, every 2nd -> 6 per clip
+        assert len(got) == 4 * 6
+        assert set(got["frame_idx"]) == {0, 2, 4, 6, 8, 10}
+        assert (got["frame_bytes"].str.len() == 32 * 24).all()
+
+    def test_video_real_fmt_raises(self):
+        import pytest as pt
+
+        from data_model_spark.operators.multimodal import decode_video_frames
+
+        with pt.raises(NotImplementedError):
+            decode_video_frames(b"\x00\x00", "mp4", 32, 24)
