@@ -691,3 +691,50 @@ def epsg_parse(spark, sf_dir):
     return s.select(
         F.element_at(F.split("crs", ":"), -1).cast("long").alias("code"), "name"
     )
+
+
+@register(
+    "grouping_rollup",
+    """SELECT COALESCE(CAST(l_returnflag AS VARCHAR), 'ALL') AS rf,
+              COALESCE(CAST(l_linestatus AS VARCHAR), 'ALL') AS ls,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              ROUND(SUM(l_quantity), 4) AS sum_qty
+       FROM lineitem
+       GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def grouping_rollup(spark, sf_dir):
+    """Pyramid-as-rollup (SURVEY §2.4 note): the same measure at every
+    grain in one pass — GROUP BY ROLLUP over the pyramid-level analogue."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+        .select(
+            F.coalesce(F.col("l_returnflag").cast("string"), F.lit("ALL")).alias("rf"),
+            F.coalesce(F.col("l_linestatus").cast("string"), F.lit("ALL")).alias("ls"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "grouping_cube",
+    """SELECT COALESCE(CAST(o_orderstatus AS VARCHAR), 'ALL') AS st,
+              COALESCE(CAST(o_orderpriority AS VARCHAR), 'ALL') AS pri,
+              CAST(COUNT(*) AS BIGINT) AS n
+       FROM orders WHERE o_orderkey < 2000
+       GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+)
+def grouping_cube(spark, sf_dir):
+    """CUBE over two dims — all grain combinations in one shuffle."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce(F.col("o_orderstatus").cast("string"), F.lit("ALL")).alias("st"),
+            F.coalesce(F.col("o_orderpriority").cast("string"), F.lit("ALL")).alias("pri"),
+            "n",
+        )
+    )
