@@ -98,6 +98,10 @@ def main() -> None:
         "knn_cells",
         "token_count",
         "quality_score",
+        "gcp_warp",
+        "phash_neardup_pairs",
+        "grouping_rollup",
+        "pyramid_cascade",
     ]
     registry = all_queries()
     join_rows = 0
