@@ -262,3 +262,26 @@ def store_root_bbox(spark, sf_dir):
         F.round(F.max("ymax"), 9).alias("ymax"),
         F.count("*").alias("n_scenes"),
     )
+
+
+@register("tile_bbox_query", None)  # R4 bbox crop, golden vs direct geometry
+def tile_bbox_query(spark, sf_dir):
+    """Range-filtered bbox crop over the merged tile table: only tile keys
+    are touched (partition pruning on a range-partitioned write)."""
+    from ..sources.images import generate_images_df
+    from . import tiling
+
+    images = generate_images_df(spark, 48)
+    merged = tiling.merge_tiles(
+        tiling.build_tiles(images, min_dimension=64, repartition=False)
+    )
+    crop = tiling.bbox_query(
+        merged, level=0, x0=600000.0, y0=5090000.0, x1=605120.0, y1=5092560.0
+    )
+    return crop.groupBy("level").agg(
+        F.count("*").alias("n_tiles"),
+        F.min("tile_x").alias("tx_min"),
+        F.max("tile_x").alias("tx_max"),
+        F.min("tile_y").alias("ty_min"),
+        F.max("tile_y").alias("ty_max"),
+    )

@@ -296,3 +296,20 @@ def point_query(tiles: DataFrame, level: int, x: float, y: float,
     return tiles.filter(
         (F.col("level") == level) & (F.col("tile_x") == tx) & (F.col("tile_y") == ty)
     )
+
+
+def bbox_query(tiles: DataFrame, level: int, x0: float, y0: float,
+               x1: float, y1: float,
+               pixel_m: float = img_src.PIXEL_SIZE_M) -> DataFrame:
+    """Partition-pruned bbox crop (consumer contract R4): range filter on
+    tile keys only — the Spark twin of a chunk-keyed zarr range read
+    (`tests/test_titiler_integration.py:256-306`)."""
+    px = pixel_m * (2**level)
+    tile_m = TILE_PX * px
+    tx0, tx1 = int(np.floor(x0 / tile_m)), int(np.floor((x1 - 1e-9) / tile_m))
+    ty0, ty1 = int(np.floor(y0 / tile_m)), int(np.floor((y1 - 1e-9) / tile_m))
+    return tiles.filter(
+        (F.col("level") == level)
+        & F.col("tile_x").between(tx0, tx1)
+        & F.col("tile_y").between(ty0, ty1)
+    )

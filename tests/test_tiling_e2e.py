@@ -159,3 +159,29 @@ class TestPlanShape:
         plan = merged._jdf.queryExecution().executedPlan().toString()
         # merge must not introduce a second shuffle on the same keys
         assert plan.count("Exchange") == 1, plan
+
+
+class TestBboxQuery:
+    def test_bbox_crop_matches_direct_geometry(self, spark):
+        from data_model_spark.operators import tiling
+        from data_model_spark.sources.images import generate_images_df
+
+        images = generate_images_df(spark, 16)
+        merged = tiling.merge_tiles(
+            tiling.build_tiles(images, min_dimension=64, repartition=False)
+        ).cache()
+        x0, y0, x1, y1 = 600000.0, 5090000.0, 602560.0, 5092560.0
+        got = tiling.bbox_query(merged, 0, x0, y0, x1, y1).toPandas()
+        tile_m = tiling.TILE_PX * 10.0
+        all_t = merged.filter("level = 0").toPandas()
+        exp = all_t[
+            (all_t.tile_x * tile_m < x1)
+            & ((all_t.tile_x + 1) * tile_m > x0)
+            & (all_t.tile_y * tile_m < y1)
+            & ((all_t.tile_y + 1) * tile_m > y0)
+        ]
+        assert sorted(zip(got.tile_x, got.tile_y)) == sorted(
+            zip(exp.tile_x, exp.tile_y)
+        )
+        assert len(got) > 0
+        merged.unpersist()
