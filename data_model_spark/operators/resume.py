@@ -44,9 +44,14 @@ class CheckpointLog:
         return spark.read.parquet(self.path)
 
     def record(self, spark: SparkSession, unit: str, n_rows: int, checksum: float, wall_s: float):
+        self.record_many(spark, [(unit, n_rows, checksum, wall_s)])
+
+    def record_many(self, spark: SparkSession, rows: list[tuple]):
+        """Append (unit, n_rows, checksum, wall_s) lineage rows in one commit."""
+        ts = int(time.time())
         local_df(
             spark,
-            [(unit, n_rows, float(checksum), float(wall_s), int(time.time()))],
+            [(u, n, float(c), float(w), ts) for u, n, c, w in rows],
             "unit string, n_rows long, checksum double, wall_s double, ts_epoch long",
         ).coalesce(1).write.mode("append").parquet(self.path)
 
@@ -82,16 +87,26 @@ class ResumableTileWrite:
             t0 = time.time()
             level_df = tiles.filter(F.col("level") == lv)
             self.table.overwrite_partitions(level_df)
-            # validation probe: re-read the committed partition
-            written = (
+            # validation probe: re-read the committed partition, collecting
+            # PER-PARTITION lineage (north rule: "per-partition lineage +
+            # row-count metrics to a checkpoint table") in the same pass
+            parts = (
                 self.table.read(spark)
                 .filter(F.col("level") == lv)
+                .groupBy(F.spark_partition_id().alias("pid"))
                 .agg(
                     F.count("*").alias("n"),
                     F.coalesce(F.sum("px_sum"), F.lit(0.0)).alias("chk"),
                 )
-                .collect()[0]
+                .collect()
             )
-            self.log.record(spark, unit, written.n, written.chk, time.time() - t0)
+            wall = time.time() - t0
+            n_total = sum(p.n for p in parts)
+            chk_total = float(sum(p.chk for p in parts))
+            self.log.record_many(
+                spark,
+                [(unit, n_total, chk_total, wall)]
+                + [(f"{unit}/part={p.pid}", p.n, float(p.chk), wall) for p in parts],
+            )
             results["written"].append(lv)
         return results

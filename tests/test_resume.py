@@ -75,3 +75,32 @@ def test_pending_units_anti_join(spark, tmp_path):
     log.record(spark, "b", 10, 1.0, 0.1)
     left = {r.unit for r in pending_units(spark, plan, log).collect()}
     assert left == {"a", "c"}
+
+
+def test_per_partition_lineage_recorded(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from data_model_spark.operators import tiling
+    from data_model_spark.operators.resume import ResumableTileWrite
+    from data_model_spark.sources.images import generate_images_df
+
+    images = generate_images_df(spark, 8)
+    merged = tiling.merge_tiles(
+        tiling.build_tiles(images, min_dimension=64, repartition=False)
+    )
+    sink = ResumableTileWrite(str(tmp_path / "t"), str(tmp_path / "c"))
+    levels = sorted(r.level for r in merged.select("level").distinct().collect())
+    sink.run(spark, merged, levels)
+    log = sink.log.read(spark).toPandas()
+    units = set(log["unit"])
+    # unit-level rows + at least one per-partition lineage row per level
+    for lv in levels:
+        assert f"level={lv}" in units
+        assert any(u.startswith(f"level={lv}/part=") for u in units)
+    # per-partition rows sum to the unit totals
+    for lv in levels:
+        unit_n = int(log[log.unit == f"level={lv}"]["n_rows"].iloc[0])
+        part_n = int(
+            log[log.unit.str.startswith(f"level={lv}/part=")]["n_rows"].sum()
+        )
+        assert unit_n == part_n
