@@ -158,20 +158,17 @@ def gcp_warp(spark, sf_dir):
     )
 
 
-@register("gcp_overview_gcps", None)  # golden-tested vs NumPy in tests/test_warp.py
-def gcp_overview_gcps(spark, sf_dir):
+def overview_gcps(g: DataFrame, factor: float) -> DataFrame:
     """A11 on real GCPs: overview-level GCP grid via scale+round+group-mean
-    (`conversion/utils.py:261-298`) for the /2 overview of the S1 scene."""
-    g = local_df(
-        spark,
-        synth_s1_gcps(),
-        "line long, pixel long, latitude double, longitude double, height double",
-    )
-    f = 2.0
+    (`conversion/utils.py:261-298`).
+
+    F.bround = HALF_EVEN, matching the reference's np.round; F.round
+    (HALF_UP) diverges on odd half-integers (5/2=2.5 -> np 2, HALF_UP 3).
+    """
     return (
         g.groupBy(
-            F.round(g.line / f).cast("long").alias("line"),
-            F.round(g.pixel / f).cast("long").alias("pixel"),
+            F.bround(g.line / factor).cast("long").alias("line"),
+            F.bround(g.pixel / factor).cast("long").alias("pixel"),
         )
         .agg(
             F.round(F.avg("latitude"), 9).alias("latitude"),
@@ -180,3 +177,14 @@ def gcp_overview_gcps(spark, sf_dir):
         )
         .orderBy("line", "pixel")
     )
+
+
+@register("gcp_overview_gcps", None)  # golden-tested vs NumPy in tests/test_warp.py
+def gcp_overview_gcps(spark, sf_dir):
+    """Registered /2-overview GCP grid for the synthetic S1 scene."""
+    g = local_df(
+        spark,
+        synth_s1_gcps(),
+        "line long, pixel long, latitude double, longitude double, height double",
+    )
+    return overview_gcps(g, 2.0)

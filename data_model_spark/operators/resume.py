@@ -2,21 +2,31 @@
 
 Re-expresses the reference's band-by-band validated write + skip-if-valid
 semantics (``conversion/geozarr.py:974-1183``, skip/semi + delete/anti at
-``geozarr.py:1020-1056``) as table operations:
+``geozarr.py:1020-1056``, re-validate + delete-invalid + bounded retry at
+``conversion/utils.py:192-258`` / ``geozarr.py:1077-1159``) as table
+operations:
 
 * every completed unit of work (a pyramid level, a partition range) appends
   a row to a **checkpoint table**: unit key, row count, value checksum,
   metrics (the per-partition lineage the north rule requires);
 * resume = ``LEFT ANTI JOIN`` of the work plan against valid checkpoint
   rows — only missing/invalid units are recomputed;
+* on resume, checkpointed units are **re-validated** against the committed
+  data (row count + checksum probe — the reference's
+  ``is_dataset_valid``); an invalid unit is overwritten and retried up to
+  ``max_retries`` times;
 * writes go through dynamic partition overwrite, so re-running a unit is
   idempotent (the Iceberg overwrite-by-filter analogue);
 * a unit's checkpoint row is written *after* its data commit; a crash
-  between the two re-runs just that unit (safe under overwrite).
+  between the two re-runs just that unit (safe under overwrite);
+* per-partition lineage rows are keyed by a **content-stable bucket**
+  (``xxhash64(tile_x, tile_y) % n``), not ``spark_partition_id()``, so
+  lineage from run N joins to run N+1 regardless of read parallelism.
 """
 
 from __future__ import annotations
 
+import math
 import os
 import time
 
@@ -26,6 +36,7 @@ from pyspark.sql import functions as F
 from ..sources.tables import PartitionedTable, local_df
 
 CHECKPOINT_COLS = ["unit", "n_rows", "checksum", "wall_s", "ts_epoch"]
+CHECKPOINT_DDL = "unit string, n_rows long, checksum double, wall_s double, ts_epoch long"
 
 
 class CheckpointLog:
@@ -38,9 +49,7 @@ class CheckpointLog:
         if not os.path.isdir(self.path) or not any(
             not e.startswith("_") for e in os.listdir(self.path)
         ):
-            return local_df(
-                spark, [], "unit string, n_rows long, checksum double, wall_s double, ts_epoch long"
-            )
+            return local_df(spark, [], CHECKPOINT_DDL)
         return spark.read.parquet(self.path)
 
     def record(self, spark: SparkSession, unit: str, n_rows: int, checksum: float, wall_s: float):
@@ -52,7 +61,7 @@ class CheckpointLog:
         local_df(
             spark,
             [(u, n, float(c), float(w), ts) for u, n, c, w in rows],
-            "unit string, n_rows long, checksum double, wall_s double, ts_epoch long",
+            CHECKPOINT_DDL,
         ).coalesce(1).write.mode("append").parquet(self.path)
 
 
@@ -62,51 +71,136 @@ def pending_units(spark: SparkSession, plan: DataFrame, log: CheckpointLog) -> D
     return plan.join(done, "unit", "left_anti")
 
 
+def _chk_matches(a: float, b: float) -> bool:
+    return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-6)
+
+
 class ResumableTileWrite:
     """The flagship sink: per-level validated, checkpointed, idempotent.
 
     Unit granularity = pyramid level (the reference's band loop); each unit:
-    1. already checkpointed?  skip (semi/anti resume join semantics)
+    1. already checkpointed?  re-validate the committed partition (row count
+       + checksum probe vs the checkpoint row — the reference's
+       ``is_dataset_valid``, ``conversion/utils.py:192-258``); valid -> skip
+       (semi/anti resume join semantics), invalid -> fall through to rewrite
+       (the delete-invalid-prefix path, ``geozarr.py:1025-1041``)
     2. else overwrite the level partition (idempotent), verify the written
-       row count + checksum by re-reading, then checkpoint.
+       row count + checksum by re-reading, and checkpoint; a verify
+       mismatch retries the overwrite up to ``max_retries`` times
+       (``geozarr.py:1077-1159``) before raising.
+
+    Per-partition lineage buckets are keyed by tile content
+    (``xxhash64(tile_x, tile_y) % lineage_buckets``) so rows are stable
+    across reruns with different parallelism.
     """
 
-    def __init__(self, table_path: str, checkpoint_path: str):
+    def __init__(self, table_path: str, checkpoint_path: str, lineage_buckets: int = 16):
         self.table = PartitionedTable(table_path, ["level"])
         self.log = CheckpointLog(checkpoint_path)
+        self.lineage_buckets = lineage_buckets
 
-    def run(self, spark: SparkSession, tiles: DataFrame, levels: list[int]) -> dict:
-        plan = local_df(spark, [(f"level={lv}",) for lv in levels], "unit string")
-        todo_units = {r.unit for r in pending_units(spark, plan, self.log).collect()}
-        results = {"written": [], "skipped": []}
+    def _probe(self, spark: SparkSession, lv: int) -> list:
+        """Per-bucket (n, checksum) lineage of the committed level partition."""
+        return (
+            self.table.read(spark)
+            .filter(F.col("level") == lv)
+            .groupBy(
+                F.pmod(F.xxhash64("tile_x", "tile_y"), F.lit(self.lineage_buckets))
+                .cast("int")
+                .alias("bucket")
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.coalesce(F.sum("px_sum"), F.lit(0.0)).alias("chk"),
+            )
+            .collect()
+        )
+
+    def _expected(self, unit: str, ckpt) -> tuple[int, float] | None:
+        rows = [r for r in ckpt if r.unit == unit]
+        if not rows:
+            return None
+        latest = max(rows, key=lambda r: r.ts_epoch)
+        return int(latest.n_rows), float(latest.checksum)
+
+    def run(
+        self,
+        spark: SparkSession,
+        tiles: DataFrame,
+        levels: list[int],
+        max_retries: int = 2,
+        revalidate: bool = True,
+    ) -> dict:
+        # guard against re-executing the upstream tile-cut DAG once per level
+        was_cached = tiles.is_cached
+        if not was_cached:
+            tiles.persist()
+        try:
+            return self._run(spark, tiles, levels, max_retries, revalidate)
+        finally:
+            if not was_cached:
+                tiles.unpersist()
+
+    def _run(self, spark, tiles, levels, max_retries, revalidate) -> dict:
+        ckpt = [
+            r
+            for r in self.log.read(spark).collect()
+            if "/" not in r.unit  # unit-level rows only (O(levels) driver-side)
+        ]
+        done_units = {r.unit for r in ckpt}
+        results = {"written": [], "skipped": [], "revalidated": [], "retried": []}
         for lv in levels:
             unit = f"level={lv}"
-            if unit not in todo_units:
-                results["skipped"].append(lv)
-                continue
+            if unit in done_units:
+                if not revalidate:
+                    results["skipped"].append(lv)
+                    continue
+                exp = self._expected(unit, ckpt)
+                parts = self._probe(spark, lv) if self.table.exists() else []
+                n = sum(p.n for p in parts)
+                chk = float(sum(p.chk for p in parts))
+                if exp and n == exp[0] and _chk_matches(chk, exp[1]):
+                    results["skipped"].append(lv)
+                    continue
+                # committed data no longer matches its checkpoint: rewrite
+                results["revalidated"].append(lv)
             t0 = time.time()
             level_df = tiles.filter(F.col("level") == lv)
-            self.table.overwrite_partitions(level_df)
-            # validation probe: re-read the committed partition, collecting
-            # PER-PARTITION lineage (north rule: "per-partition lineage +
-            # row-count metrics to a checkpoint table") in the same pass
-            parts = (
-                self.table.read(spark)
-                .filter(F.col("level") == lv)
-                .groupBy(F.spark_partition_id().alias("pid"))
-                .agg(
+            exp_n, exp_chk = (
+                level_df.agg(
                     F.count("*").alias("n"),
                     F.coalesce(F.sum("px_sum"), F.lit(0.0)).alias("chk"),
                 )
-                .collect()
+                .collect()[0][:2]
             )
+            parts = []
+            for attempt in range(max_retries + 1):
+                self.table.overwrite_partitions(level_df)
+                # validation probe: re-read the committed partition,
+                # collecting PER-PARTITION lineage (north rule) in the same
+                # pass, bucketed by stable content key
+                parts = self._probe(spark, lv)
+                n_total = sum(p.n for p in parts)
+                chk_total = float(sum(p.chk for p in parts))
+                if n_total == exp_n and _chk_matches(chk_total, float(exp_chk)):
+                    break
+                if attempt == max_retries:
+                    raise RuntimeError(
+                        f"{unit}: written partition failed validation after "
+                        f"{max_retries + 1} attempts "
+                        f"(rows {n_total}!={exp_n} or checksum mismatch)"
+                    )
+                results["retried"].append(lv)
             wall = time.time() - t0
             n_total = sum(p.n for p in parts)
             chk_total = float(sum(p.chk for p in parts))
             self.log.record_many(
                 spark,
                 [(unit, n_total, chk_total, wall)]
-                + [(f"{unit}/part={p.pid}", p.n, float(p.chk), wall) for p in parts],
+                + [
+                    (f"{unit}/bucket={p.bucket}", p.n, float(p.chk), wall)
+                    for p in parts
+                ],
             )
             results["written"].append(lv)
         return results

@@ -147,6 +147,8 @@ def pip_join_cells(
     lon="lon",
     lat="lat",
     salt: int | None = None,
+    broadcast_covers: bool | None = None,
+    broadcast_limit: int = 200_000,
 ) -> DataFrame:
     """Cell-keyed PIP join: cover-explode, equi-join on cell, exact refine.
 
@@ -154,14 +156,26 @@ def pip_join_cells(
     ``salt`` ways and the point (probe) side picks one replica by point
     hash — the join output is provably identical to the unsalted join
     (each point meets each covering polygon exactly once).
+
+    ``broadcast_covers``: None = auto — broadcast only when a bounded probe
+    (scans at most ``broadcast_limit + 1`` cover rows) finds the exploded
+    cover table small enough; a large polygon set at fine resolution falls
+    back to the planner's shuffle join instead of an executor-OOM-sized
+    forced broadcast.
     """
     covers = polygon_cover_df(polys, res)
     pts = with_point_cell(points, res, lon, lat)
     if salt is None:
-        # build side = polygon covers (always the small side vs the point
+        if broadcast_covers is None:
+            broadcast_covers = (
+                covers.limit(broadcast_limit + 1).count() <= broadcast_limit
+            )
+        # build side = polygon covers (normally the small side vs the point
         # corpus); without the hint Spark may broadcast the *points* when
         # their stats happen to be smaller — backwards at 10^12 points
-        joined = pts.join(F.broadcast(covers), "cell")
+        joined = pts.join(
+            F.broadcast(covers) if broadcast_covers else covers, "cell"
+        )
     else:
         # skew path: replicate the build side `salt` ways, probe picks one
         # replica by point hash — forces the shuffled sort-merge plan the

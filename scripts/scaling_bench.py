@@ -39,6 +39,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     cores = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    round_tag = sys.argv[2] if len(sys.argv) > 2 else "0"
     n_images = int(os.environ.get("SPARK_GRAFT_SCALE_IMAGES", "4096"))
     input_partitions = int(os.environ.get("SPARK_GRAFT_SCALE_PARTS", "128"))
 
@@ -120,6 +121,7 @@ def main() -> None:
         total = t_generate + t_validate + t_merge + t_write
         return {
             "cores": cores,
+            "round": round_tag,
             "n_images": n_img,
             "n_valid": n_valid,
             "n_tile_fragments": int(n_fragments),

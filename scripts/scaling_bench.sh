@@ -34,14 +34,14 @@ RUNS_FILE=$(mktemp)
 for round in $(seq 1 "$ROUNDS"); do
   for cores in 2 8; do
     echo "== round $round local[$cores] ==" >&2
-    SPARK_GRAFT_SCALE_IMAGES="$N_IMAGES" python scripts/scaling_bench.py "$cores" 2>/dev/null | tail -1 >> "$RUNS_FILE"
+    SPARK_GRAFT_SCALE_IMAGES="$N_IMAGES" python scripts/scaling_bench.py "$cores" "$round" 2>/dev/null | tail -1 >> "$RUNS_FILE"
     rm -rf "/dev/shm/spark-local-${cores}"
   done
 done
 # SMT-regime context runs (fewer rounds: reported with the hardware ceiling)
 for round in 1 2; do
   echo "== context round $round local[32] ==" >&2
-  SPARK_GRAFT_SCALE_IMAGES="$N_IMAGES" python scripts/scaling_bench.py 32 2>/dev/null | tail -1 >> "$RUNS_FILE"
+  SPARK_GRAFT_SCALE_IMAGES="$N_IMAGES" python scripts/scaling_bench.py 32 "ctx$round" 2>/dev/null | tail -1 >> "$RUNS_FILE"
   rm -rf "/dev/shm/spark-local-32"
 done
 

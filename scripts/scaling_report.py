@@ -34,13 +34,20 @@ def main() -> None:
     r2s, r8s, r32s = by[2], by[8], by.get(32, [])
 
     def med_run(rs):
+        # lower-middle for even counts (rs[len//2] would pick the slower run)
         rs = sorted(rs, key=lambda r: r["total_s"])
-        return rs[len(rs) // 2]
+        return rs[(len(rs) - 1) // 2]
 
     m2, m8 = med_run(r2s), med_run(r8s)
     m32 = med_run(r32s) if r32s else None
 
-    paired = list(zip(r2s, r8s))
+    # pair by the explicit per-round tag when present (interleaved rounds
+    # share a noise window); fall back to line order for legacy runs files
+    if all("round" in r for r in r2s + r8s):
+        by_round8 = {r["round"]: r for r in r8s}
+        paired = [(a, by_round8[a["round"]]) for a in r2s if a["round"] in by_round8]
+    else:
+        paired = list(zip(r2s, r8s))
     overall_ratios = [a["total_s"] / (4 * b["total_s"]) for a, b in paired]
     comp = lambda r: r["t_generate_s"] + r["t_validate_s"]
     compute_ratios = [comp(a) / (4 * comp(b)) for a, b in paired]

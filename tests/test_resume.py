@@ -96,11 +96,68 @@ def test_per_partition_lineage_recorded(spark, tmp_path):
     # unit-level rows + at least one per-partition lineage row per level
     for lv in levels:
         assert f"level={lv}" in units
-        assert any(u.startswith(f"level={lv}/part=") for u in units)
+        assert any(u.startswith(f"level={lv}/bucket=") for u in units)
     # per-partition rows sum to the unit totals
     for lv in levels:
         unit_n = int(log[log.unit == f"level={lv}"]["n_rows"].iloc[0])
         part_n = int(
-            log[log.unit.str.startswith(f"level={lv}/part=")]["n_rows"].sum()
+            log[log.unit.str.startswith(f"level={lv}/bucket=")]["n_rows"].sum()
         )
         assert unit_n == part_n
+
+
+def test_lineage_keys_stable_across_parallelism(spark, tiles, tmp_path):
+    """Content-keyed lineage buckets must be identical across runs with
+    different shuffle parallelism (ADVICE: spark_partition_id is not)."""
+    def lineage(ckpt_dir, tiles_df):
+        sink = ResumableTileWrite(str(tmp_path / "t_stab"), str(ckpt_dir))
+        levels = sorted(r.level for r in tiles_df.select("level").distinct().collect())
+        sink.run(spark, tiles_df, levels)
+        pdf = sink.log.read(spark).toPandas()
+        part = pdf[pdf.unit.str.contains("/bucket=")]
+        return {
+            (u, int(n), round(float(c), 6))
+            for u, n, c in zip(part["unit"], part["n_rows"], part["checksum"])
+        }
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        l1 = lineage(tmp_path / "c1", tiles)
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        l2 = lineage(tmp_path / "c2", tiles.repartition(3))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert l1 == l2
+
+
+def test_corrupted_partition_detected_and_rewritten(spark, tiles, tmp_path):
+    """Resume-time re-validation (reference conversion/utils.py:192-258 +
+    delete-invalid geozarr.py:1025-1041): a committed partition that no
+    longer matches its checkpoint is detected, overwritten, and re-verified."""
+    import os
+
+    sink = ResumableTileWrite(str(tmp_path / "tiles"), str(tmp_path / "ckpt"))
+    levels = sorted(r.level for r in tiles.select("level").distinct().collect())
+    sink.run(spark, tiles, levels)
+    exp = {
+        (row.level, row.n)
+        for row in tiles.groupBy("level").agg(F.count("*").alias("n")).collect()
+    }
+    # corrupt level 0: drop one committed parquet data file
+    lv_dir = str(tmp_path / "tiles" / f"level={levels[0]}")
+    victims = [f for f in os.listdir(lv_dir) if f.endswith(".parquet")]
+    assert victims
+    os.remove(os.path.join(lv_dir, victims[0]))
+    r = sink.run(spark, tiles, levels)
+    assert r["revalidated"] == [levels[0]]
+    assert r["written"] == [levels[0]]
+    assert sorted(r["skipped"]) == levels[1:]
+    got = {
+        (row.level, row.n)
+        for row in sink.table.read(spark).groupBy("level").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == exp
+    # with revalidation off, nothing is touched (pure anti-join skip)
+    r2 = sink.run(spark, tiles, levels, revalidate=False)
+    assert sorted(r2["skipped"]) == levels and not r2["written"]

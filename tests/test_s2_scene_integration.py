@@ -15,6 +15,8 @@ reference's structural invariants:
 * per-type reduction values match the NumPy kernels exactly.
 """
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -33,7 +35,10 @@ R60M = [("b01", 92, 800, 3000), ("b09", 92, 200, 1000)]
 
 
 def band_pixels(band: str, n: int, lo: int, hi: int) -> np.ndarray:
-    rng = np.random.default_rng(SEED + hash(band) % 1000)
+    # sha256, not builtin hash(): str hash is salted per process
+    # (PYTHONHASHSEED), which would make the "seed-42" scene irreproducible
+    band_key = int.from_bytes(hashlib.sha256(band.encode()).digest()[:4], "little")
+    rng = np.random.default_rng(SEED + band_key % 1000)
     return rng.integers(lo, hi, size=(n, n)).astype(np.int64)
 
 

@@ -85,6 +85,24 @@ class TestPipJoins:
         # equi-join on the cell key must be present (hash or sort-merge)
         assert "cell" in plan
 
+    def test_broadcast_gate_falls_back_on_large_covers(self, spark, pts):
+        """ADVICE: the broadcast hint must be gated — with a cover table over
+        the limit, the plan must NOT force a broadcast of the covers, and the
+        result stays identical."""
+        polys = {"tri": TRI, "ell": ELL}
+        pdf = spatial.polygons_df(spark, polys)
+        forced = spatial.pip_join_cells(pts, pdf, res=9, broadcast_covers=True)
+        gated = spatial.pip_join_cells(pts, pdf, res=9, broadcast_limit=0)
+        # the *hint* (which bypasses size thresholds) must be gone; the
+        # planner remains free to pick broadcast from its own stats
+        plan_f = forced._jdf.queryExecution().analyzed().toString()
+        plan_g = gated._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" in plan_f
+        assert "ResolvedHint" not in plan_g
+        assert {(r.point_id, r.poly_id) for r in gated.collect()} == {
+            (r.point_id, r.poly_id) for r in forced.collect()
+        }
+
 
 class TestKnn:
     def test_cells_match_bruteforce(self, spark, pts):

@@ -181,3 +181,45 @@ class TestSparkReproject:
             exp[["latitude", "longitude"]].to_numpy(),
             atol=1e-8,
         )
+
+    def test_overview_gcps_rounds_half_to_even(self, spark):
+        """Odd half-integers (5/2=2.5) must round like np.round (-> 2, not
+        HALF_UP's 3) to match the reference's compute_overview_gcps."""
+        from data_model_spark.sources.tables import local_df
+
+        line = np.array([1, 3, 5, 7, 9, 10], dtype=np.int64)
+        pixel = np.array([5, 5, 5, 5, 5, 5], dtype=np.int64)
+        pdf = pd.DataFrame(
+            {
+                "line": line,
+                "pixel": pixel,
+                "latitude": line * 1.0,
+                "longitude": pixel * 1.0,
+                "height": 0.0,
+            }
+        )
+        g = local_df(
+            spark,
+            pdf,
+            "line long, pixel long, latitude double, longitude double, height double",
+        )
+        got = rp.overview_gcps(g, 2.0).toPandas()
+        lk = np.round(line / 2.0).astype(np.int64)  # [0, 2, 2, 4, 4, 5]
+        pk = np.round(pixel / 2.0).astype(np.int64)  # all 2 (2.5 -> 2)
+        exp = (
+            pdf.assign(line=lk, pixel=pk)
+            .groupby(["line", "pixel"], as_index=False)[
+                ["latitude", "longitude", "height"]
+            ]
+            .mean()
+            .sort_values(["line", "pixel"])
+            .reset_index(drop=True)
+        )
+        assert (pk == 2).all()  # the fixture actually exercises odd halves
+        assert list(got["line"]) == list(exp["line"])
+        assert list(got["pixel"]) == list(exp["pixel"])
+        np.testing.assert_allclose(
+            got[["latitude", "longitude"]].to_numpy(),
+            exp[["latitude", "longitude"]].to_numpy(),
+            atol=1e-8,
+        )
