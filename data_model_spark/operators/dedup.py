@@ -7,10 +7,10 @@ driver-side pairwise loop:
 * exact dedup           — content-hash groupBy (md5)
 * n-gram Jaccard pairs  — explode distinct shingles -> self-equi-join on
                           shingle -> pair-count = intersection; union from
-                          per-doc sizes.  Exact, shuffle = one equi-join on
-                          the shingle key (skew-safe: hot shingles can be
-                          salted; stopword-like shingles are naturally rare
-                          for 3-grams).
+                          per-doc sizes.  Exact; hot shingles (boilerplate
+                          n-grams above ``hot_min`` occurrences) are salted
+                          BY DEFAULT via ``self_pairs`` so no single reducer
+                          sees a whole hot key.
 * MinHash + LSH         — k hash functions via affine transforms of
                           xxhash64(shingle); banding -> candidate join on
                           (band, band_hash); exact-Jaccard refinement of
@@ -57,23 +57,81 @@ def shingles_df(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def jaccard_pairs(
-    docs: DataFrame, threshold: float, n: int = 3, candidates: DataFrame | None = None
+def self_pairs(
+    df: DataFrame,
+    keys: list[str],
+    id_col: str = "doc_id",
+    carry: tuple[str, ...] = (),
+    salt: int = 8,
+    hot_min: int = 1024,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similar pairs via shingle self-join.
+    """All (doc_a, doc_b) rows sharing ``keys``, id_a < id_b — skew-salted.
+
+    The default self-equi-join puts every row of a hot key (a boilerplate
+    shingle, a near-dup band bucket) on ONE reducer: f rows -> f^2/2 pair
+    work in a single task.  Keys at/above ``hot_min`` occurrences are split
+    out and joined salted instead — probe side salted by ``hash(id) % salt``,
+    build side replicated ``salt`` ways — so each hot key spreads across
+    ``salt`` reducers while every unordered pair still meets exactly once
+    (the mechanics proven for the spatial join, `operators/spatial.py`).
+    Hot keys are <= rows/hot_min distinct values, so their key list always
+    broadcasts.  ``salt=None/0`` disables the skew path (plain self-join).
+
+    ``carry``: extra columns duplicated to the output as ``{c}_a``/``{c}_b``.
+    """
+    out_cols = [
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"),
+        *[F.col(f"a.{c}").alias(f"{c}_a") for c in carry],
+        *[F.col(f"b.{c}").alias(f"{c}_b") for c in carry],
+    ]
+
+    def plain(rows: DataFrame) -> DataFrame:
+        a, b = rows.alias("a"), rows.alias("b")
+        cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        for k in keys:
+            cond &= F.col(f"a.{k}") == F.col(f"b.{k}")
+        return a.join(b, cond).select(*out_cols)
+
+    if not salt:
+        return plain(df)
+    freq = df.groupBy(*keys).agg(F.count("*").alias("f"))
+    hot = freq.filter(F.col("f") >= hot_min).select(*keys)
+    cold_pairs = plain(df.join(F.broadcast(hot), keys, "left_anti"))
+    hot_rows = df.join(F.broadcast(hot), keys, "left_semi")
+    a = hot_rows.withColumn(
+        "_salt", F.pmod(F.xxhash64(id_col), F.lit(salt)).cast("int")
+    ).alias("a")
+    b = hot_rows.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    ).alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (
+        F.col("a._salt") == F.col("b._salt")
+    )
+    for k in keys:
+        cond &= F.col(f"a.{k}") == F.col(f"b.{k}")
+    hot_pairs = a.join(b, cond).select(*out_cols)
+    return cold_pairs.unionByName(hot_pairs)
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    n: int = 3,
+    candidates: DataFrame | None = None,
+    salt: int = 8,
+    hot_min: int = 1024,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs via (skew-salted) shingle self-join.
 
     ``candidates`` (doc_a, doc_b) optionally restricts the pair space (the
     LSH refinement path); otherwise all co-shingled pairs are scored.
     """
     sh = shingles_df(docs, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        self_pairs(sh, ["shingle"], salt=salt, hot_min=hot_min)
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
     if candidates is not None:
@@ -127,23 +185,23 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 64, seed: int = 42) -> D
     )
 
 
-def lsh_candidates(signatures: DataFrame, bands: int = 16) -> DataFrame:
-    """Band the signature, hash each band, join docs sharing a band bucket."""
+def lsh_candidates(
+    signatures: DataFrame, bands: int = 16, salt: int = 8, hot_min: int = 1024
+) -> DataFrame:
+    """Band the signature, hash each band, join docs sharing a band bucket.
+
+    A hot bucket (thousands of mutual near-dups hashing to one band value)
+    is the same mega-reducer shape as a hot shingle — the bucket self-join
+    goes through the salted ``self_pairs`` path.
+    """
     sig = signatures.withColumn("band", F.col("hash_id") % bands)
     band_hash = (
         sig.groupBy("doc_id", "band")
         .agg(F.xxhash64(F.concat_ws(",", F.sort_array(F.collect_list("minhash")))).alias("bh"))
     )
-    a = band_hash.alias("a")
-    b = band_hash.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        self_pairs(band_hash, ["band", "bh"], salt=salt, hot_min=hot_min)
+        .select("doc_a", "doc_b")
         .distinct()
     )
 
@@ -201,21 +259,10 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
             )
         ).alias("ck"),
     ).select("doc_id", "simhash", "ck.chunk", "ck.cv")
-    a = chunks.alias("a")
-    b = chunks.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.cv") == F.col("b.cv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
-        )
+        self_pairs(chunks, ["chunk", "cv"], carry=("simhash",))
+        .withColumnRenamed("simhash_a", "ha")
+        .withColumnRenamed("simhash_b", "hb")
         .distinct()
     )
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))

@@ -30,6 +30,45 @@ class TestDedup:
         assert len(pairs) > 0  # synthetic corpus contains near-dups
         assert all(r.doc_a < r.doc_b and r.jaccard >= 0.5 for r in pairs)
 
+    def test_salted_shingle_join_equals_unsalted(self, spark):
+        """Hot-key skew fixture: one boilerplate shingle in 50% of docs.
+        The default (salted) path must return exactly the unsalted output."""
+        rng = np.random.default_rng(7)
+        rows = []
+        for i in range(80):
+            words = [f"w{rng.integers(0, 40)}" for _ in range(12)]
+            if i % 2 == 0:  # hot 3-gram "hot hot hot" in half the corpus
+                words[3:3] = ["hot", "hot", "hot"]
+            rows.append((i, " ".join(words)))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        # hot_min=10 makes the fixture's hot shingle take the salted path
+        salted = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dedup.jaccard_pairs(docs, 0.1, salt=5, hot_min=10).collect()
+        }
+        unsalted = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dedup.jaccard_pairs(docs, 0.1, salt=0).collect()
+        }
+        assert salted == unsalted and len(unsalted) > 0
+
+    def test_self_pairs_hot_path_covers_hot_keys(self, spark):
+        """self_pairs with hot_min=2: every key is hot; pairs still exact."""
+        df = spark.createDataFrame(
+            [(i, "k%d" % (i % 3)) for i in range(12)], "doc_id long, shingle string"
+        )
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.self_pairs(df, ["shingle"], salt=4, hot_min=2).collect()
+        }
+        exp = {
+            (a, b)
+            for a in range(12)
+            for b in range(12)
+            if a < b and a % 3 == b % 3
+        }
+        assert got == exp
+
     def test_minhash_lsh_full_recall_at_high_threshold(self, docs):
         # 64 hashes / 16 bands of 4: P(miss | j>=0.7) < 1e-6 -> exact match
         exact = {
