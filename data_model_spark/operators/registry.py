@@ -32,6 +32,7 @@ def register(name: str, oracle: str | None):
 def all_queries() -> dict[str, QuerySpec]:
     """Import every operator module (triggering registration) and return all."""
     from . import (  # noqa: F401
+        consolidate,
         dedup,
         multimodal,
         pipeline_queries,
@@ -40,6 +41,7 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity,
         spatial_queries,
         text,
+        validate,
     )
 
     return QUERIES

@@ -1,0 +1,72 @@
+"""Metadata-document validation layer (reference store.py / common.py rules)."""
+
+from data_model_spark.operators import validate as V
+from data_model_spark.sources.tables import local_df
+
+DDL = "store_id string, doc_type string, doc string"
+
+
+def test_valid_docs_yield_no_issues(spark):
+    docs = local_df(
+        spark,
+        [r for r in V.FIXTURE_DOCS if r[0] in ("s_ok_code", "s_ok_wkt", "l_ok", "l_ok_nostd")],
+        DDL,
+    )
+    assert V.validate_docs(docs).count() == 0
+
+
+def test_each_failure_mode_detected_once(spark):
+    got = {
+        (r.store_id, r.code)
+        for r in V.validate_docs(local_df(spark, V.FIXTURE_DOCS, DDL)).collect()
+    }
+    assert got == {
+        ("s_bbox_missing", "BBOX_MISSING"),
+        ("s_bbox_len", "BBOX_LEN"),
+        ("s_bbox_order", "BBOX_ORDER_X"),
+        ("s_bbox_order", "BBOX_ORDER_Y"),
+        ("s_crs_missing", "CRS_MISSING"),
+        ("s_crs_multi", "CRS_MULTIPLE"),
+        ("s_code_fmt", "CRS_CODE_FORMAT"),
+        ("l_shape_len", "SHAPE_LEN"),
+        ("l_shape_missing", "SHAPE_LEN"),
+        ("l_transform_len", "TRANSFORM_LEN"),
+        ("l_cf_unknown", "CF_NAME_UNKNOWN"),
+    }
+
+
+def test_engine_layout_docs_validate_clean(spark):
+    """The engine's own multiscale_layout output passes its own validator —
+    the reference's 'models validate what the converter writes' loop."""
+    import json
+
+    from data_model_spark.functions import gridlib
+
+    bounds = (600000.0, 5090000.0, 654900.0, 5144900.0)
+    ovw = gridlib.overview_levels(5490, 5490, min_dimension=256)
+    geoms = [
+        gridlib.LevelGeom(
+            asset=f"lv{d['level']}",
+            width=d["width"],
+            height=d["height"],
+            resolution_m=10.0 * d["scale_relative"],
+            derived_from=None,
+        )
+        for d in ovw
+    ]
+    layout = gridlib.multiscale_layout(geoms, bounds)
+    rows = [("store0", "store", json.dumps({"spatial:bbox": list(bounds), "proj:code": "EPSG:32633"}))]
+    rows += [
+        (
+            "store0",
+            "level",
+            json.dumps(
+                {
+                    "spatial:shape": d["spatial:shape"],
+                    "spatial:transform": d["spatial:transform"],
+                }
+            ),
+        )
+        for d in layout.levels
+    ]
+    assert V.validate_docs(local_df(spark, rows, DDL)).count() == 0
