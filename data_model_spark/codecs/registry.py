@@ -3,15 +3,14 @@
 Formats (matching the ``fmt`` column of the input table, FIXTURES.md §1):
 
 * ``raw-u16`` — big-endian uint16 pixels, lossless, no container.
-* ``png``     — real grayscale PNG (``png.py``), lossless.
-* ``jpeg``    — **DETERMINISTIC LOSSY STUB.**  A real JPEG codec needs an
-  imaging library that is not installed in this container (no PIL/libjpeg).
-  The Spark-side plumbing (binary column, schema, Arrow batching, PSNR gate)
-  is real; the codec is a clearly-marked stand-in: uniform quantization
-  (step 4) + zlib, which is deterministic and *lossy*, so it genuinely
-  exercises the PSNR >= 40 dB acceptance gate from BASELINE.json
-  ``input_hint``.  Swap in a real JPEG codec by replacing the two functions
-  guarded by ``_FAKE_JPEG_MAGIC`` below.
+* ``png``     — real grayscale PNG (``png.py``, from RFC 2083), lossless.
+* ``jpeg``    — **real baseline JFIF** (``jpeg.py``, written from ITU-T
+  T.81 — no PIL/libjpeg in this container).  16-bit samples ride through a
+  per-image affine rescale to 8-bit whose (offset, scale) pair is carried
+  in an APP4 segment — the CF scale/offset packing idea (SURVEY §2 F6) at
+  the codec boundary; the pixel stream itself is standard-decodable.
+  Decode also accepts the legacy ``QJPG`` stand-in (uniform quantization +
+  zlib) used before the real codec existed.
 
 All functions operate on whole images (NumPy in / bytes out) so they stay
 vectorized inside ``mapInPandas`` / pandas UDFs — no per-row Python in the
@@ -25,35 +24,43 @@ import zlib
 
 import numpy as np
 
+from .jpeg import decode_jpeg_gray8, encode_jpeg_gray8, read_app4
 from .png import decode_png, encode_png
 
-_FAKE_JPEG_MAGIC = b"QJPG"  # deterministic lossy stand-in, NOT a real JPEG
+_FAKE_JPEG_MAGIC = b"QJPG"  # legacy deterministic lossy stand-in
 _QUANT_STEP = 4
+_APP4_MAGIC = b"DMS1"
+JPEG_QUALITY = 95
 
 
-def _encode_fake_jpeg(arr: np.ndarray) -> bytes:
-    """STUB (see module docstring): quantize uint16 by step 4 + zlib."""
+def _encode_jpeg_u16(arr: np.ndarray) -> bytes:
+    """Real baseline JFIF of the affine-rescaled 16-bit image; (offset,
+    scale) stored in APP4 so decode restores the radiometric range."""
     a = np.asarray(arr, dtype=np.uint16)
-    h, w = a.shape
-    q = (a // _QUANT_STEP).astype(">u2")
-    return (
-        _FAKE_JPEG_MAGIC
-        + struct.pack(">IIH", w, h, _QUANT_STEP)
-        + zlib.compress(q.tobytes(), 6)
+    lo = float(a.min()) if a.size else 0.0
+    hi = float(a.max()) if a.size else 0.0
+    scale = max((hi - lo) / 255.0, 1.0 / 255.0)
+    e8 = np.clip(np.round((a.astype(np.float64) - lo) / scale), 0, 255).astype(
+        np.uint8
     )
+    app4 = _APP4_MAGIC + struct.pack(">dd", lo, scale)
+    return encode_jpeg_gray8(e8, quality=JPEG_QUALITY, extra_app=app4)
 
 
-def _decode_fake_jpeg(data: bytes) -> np.ndarray:
-    if data[:4] != _FAKE_JPEG_MAGIC:
-        raise NotImplementedError(
-            "real JPEG decode requires an imaging library not present in this "
-            "container; only the deterministic QJPG stand-in is supported"
-        )
-    w, h, step = struct.unpack(">IIH", data[4:14])
-    q = np.frombuffer(zlib.decompress(data[14:]), dtype=">u2").reshape(h, w)
-    # dequantize to bin centers (step//2) for minimal expected error
-    return np.minimum(
-        q.astype(np.uint32) * step + step // 2, np.uint32(65535)
+def _decode_jpeg_u16(data: bytes) -> np.ndarray:
+    if data[:4] == _FAKE_JPEG_MAGIC:  # legacy QJPG stand-in
+        w, h, step = struct.unpack(">IIH", data[4:14])
+        q = np.frombuffer(zlib.decompress(data[14:]), dtype=">u2").reshape(h, w)
+        return np.minimum(
+            q.astype(np.uint32) * step + step // 2, np.uint32(65535)
+        ).astype(np.uint16)
+    lo, scale = 0.0, 1.0
+    app4 = read_app4(data)
+    if app4 is not None and app4[:4] == _APP4_MAGIC:
+        lo, scale = struct.unpack(">dd", app4[4:20])
+    e8 = decode_jpeg_gray8(data)
+    return np.clip(
+        np.round(e8.astype(np.float64) * scale + lo), 0, 65535
     ).astype(np.uint16)
 
 
@@ -64,7 +71,7 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
     if fmt == "png":
         return encode_png(a.astype(np.uint16))
     if fmt == "jpeg":
-        return _encode_fake_jpeg(a)
+        return _encode_jpeg_u16(a)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -75,7 +82,7 @@ def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
     if fmt == "png":
         return decode_png(data).astype(np.uint16)
     if fmt == "jpeg":
-        return _decode_fake_jpeg(data)
+        return _decode_jpeg_u16(data)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

@@ -95,6 +95,10 @@ def self_pairs(
 
     if not salt:
         return plain(df)
+    # the hot/cold split reads df three times (freq agg, anti, semi);
+    # persist so the upstream explosion/aggregation runs once
+    if not df.is_cached:
+        df = df.persist()
     freq = df.groupBy(*keys).agg(F.count("*").alias("f"))
     hot = freq.filter(F.col("f") >= hot_min).select(*keys)
     cold_pairs = plain(df.join(F.broadcast(hot), keys, "left_anti"))
@@ -128,6 +132,8 @@ def jaccard_pairs(
     LSH refinement path); otherwise all co-shingled pairs are scored.
     """
     sh = shingles_df(docs, n)
+    if salt and not sh.is_cached:
+        sh = sh.persist()  # reused by sizes + the salted split
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         self_pairs(sh, ["shingle"], salt=salt, hot_min=hot_min)

@@ -55,9 +55,13 @@ class TestRegistry:
         a = _field(64, 64)
         assert encode_image(a, "jpeg") == encode_image(a, "jpeg")
 
-    def test_real_jpeg_bytes_raise_not_implemented(self):
-        with pytest.raises(NotImplementedError):
-            decode_image(b"\xff\xd8\xff\xe0real-jpeg-header", "jpeg", 8, 8)
+    def test_real_jpeg_roundtrip_via_registry(self):
+        # a true JFIF stream now decodes (codec written from ITU-T T.81)
+        a = _field(24, 24)
+        enc = encode_image(a, "jpeg")
+        assert enc[:2] == b"\xff\xd8"
+        dec = decode_image(enc, "jpeg", 24, 24)
+        assert dec.shape == (24, 24)
 
     def test_unknown_fmt(self):
         with pytest.raises(ValueError):
