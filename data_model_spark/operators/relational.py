@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, local_df
 from .registry import QUERIES, register  # noqa: F401  (re-export for tests)
 
 
@@ -738,3 +738,52 @@ def grouping_cube(spark, sf_dir):
             "n",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# F8: path functions over a manifest table (fs_utils.py:110-181,246-268)
+# ---------------------------------------------------------------------------
+
+_PATHS_FIXTURE = [
+    "s3://eopf-bucket/scenes/S2A_T33TTG/b02.tif",
+    "s3://eopf-bucket//scenes//S2A_T33TTG///b03.tif",
+    "s3://other-bucket/",
+    "s3://lonely-bucket",
+    "/data//tiles///level=0/part.parquet",
+    "/data/tiles/",
+    "relative/path//x",
+]
+
+
+@register(
+    "path_parse",
+    """WITH p(path) AS (VALUES """
+    + ", ".join(f"('{x}')" for x in _PATHS_FIXTURE)
+    + """)
+       SELECT path,
+              path LIKE 's3://%' AS is_s3,
+              CASE WHEN path LIKE 's3://%'
+                   THEN regexp_extract(path, '^s3://([^/]*)', 1) END AS bucket,
+              CASE WHEN path LIKE 's3://%'
+                   THEN regexp_replace(regexp_extract(path, '^s3://[^/]*(/.*)?$', 1), '^/+', '', 'g')
+              END AS key,
+              CASE WHEN path LIKE 's3://%'
+                   THEN 's3://' || array_to_string(
+                        list_filter(string_split(substr(path, 6), '/'), x -> x <> ''), '/')
+                   ELSE regexp_replace(regexp_replace(path, '/{2,}', '/', 'g'), '(.)/$', '\\1')
+              END AS norm
+       FROM p ORDER BY path""",
+)
+def path_parse(spark, sf_dir):
+    """F8 path functions as JVM column expressions over a manifest table."""
+    from ..functions import paths as P
+
+    p = local_df(spark, [(x,) for x in _PATHS_FIXTURE], "path string")
+    c = F.col("path")
+    return p.select(
+        "path",
+        P.col_is_s3(c).alias("is_s3"),
+        P.col_bucket(c).alias("bucket"),
+        P.col_key(c).alias("key"),
+        P.col_normalize(c).alias("norm"),
+    ).orderBy("path")
