@@ -1,0 +1,104 @@
+"""Custom stateful streaming operator: per-tile-key merge state.
+
+The batch pipeline merges tile fragments with one hash shuffle
+(``tiling.merge_tiles``).  The streaming twin must merge fragments that
+arrive in DIFFERENT micro-batches (two scenes overlapping one tile can be
+read minutes apart), which Spark's built-in streaming aggregations can't
+express for our compose semantics — the custom-stateful-operator case:
+``applyInPandasWithState`` (GroupState, GroupStateTimeout) keyed by
+``(level, tile_x, tile_y)``.
+
+State per key = running (n_sources, filled_px, px_sum, px_cnt) — the same
+associative carry the batch merge uses (partial+final exactness, SURVEY §2
+A15), so the streamed totals equal the batch job's.  Keys idle past the
+processing-time timeout emit their final row and drop their state — the
+watermark-style eviction that bounds state size at 10^12 tiles.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+MERGE_STATE_SCHEMA = "n_sources INT, filled_px LONG, px_sum DOUBLE, px_cnt LONG"
+MERGED_SCHEMA = (
+    "level INT, tile_x LONG, tile_y LONG, n_sources INT, filled_px LONG,"
+    " px_sum DOUBLE, px_cnt LONG, final BOOLEAN"
+)
+
+
+def _merge_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState, timeout_ms: int | None
+) -> Iterator[pd.DataFrame]:
+    ns, fp, ps, pc = state.get if state.exists else (0, 0, 0.0, 0)
+    n_new = 0
+    for pdf in pdfs:  # a timed-out invocation yields one EMPTY frame
+        n_new += int(len(pdf))
+        if len(pdf):
+            ns += int(len(pdf))
+            fp += int(pdf["px_cnt"].sum())
+            ps += float(pdf["px_sum"].sum())
+            pc += int(pdf["px_cnt"].sum())
+    level, tx, ty = key
+    if not state.hasTimedOut and n_new:
+        state.update((ns, fp, ps, pc))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)  # evict when idle
+        final = False
+    else:  # timeout fired (or spurious empty call): emit final, drop state
+        state.remove()
+        final = True
+    yield pd.DataFrame(
+        {
+            "level": [int(level)],
+            "tile_x": [int(tx)],
+            "tile_y": [int(ty)],
+            "n_sources": [ns],
+            "filled_px": [fp],
+            "px_sum": [ps],
+            "px_cnt": [pc],
+            "final": [final],
+        }
+    )
+
+
+def merge_tiles_stateful(
+    fragments: DataFrame, timeout_ms: int | None = 30_000
+) -> DataFrame:
+    """Cross-micro-batch tile merge: running per-key totals.
+
+    ``fragments`` is a STREAMING tile-fragment DataFrame.  The latest
+    ``update`` row per key is the accumulated merge total.
+
+    ``timeout_ms`` picks the eviction mode:
+
+    * an int (continuous deployments) — keys idle past it emit a
+      ``final=True`` row and drop their state, bounding state size.  NOTE:
+      with ``Trigger.AvailableNow`` a ProcessingTimeTimeout query keeps
+      scheduling empty micro-batches and never terminates on its own (the
+      engine can't prove no future timeout matters) — use only with
+      continuous triggers, or stop() the query externally.
+    * ``None`` (drain-once jobs) — no timers; the availableNow query
+      terminates as soon as the input is drained.
+    """
+    def fn(key, pdfs, state):  # closure: timeout_ms pickled by value
+        return _merge_fn(key, pdfs, state, timeout_ms)
+
+    return (
+        fragments.select("level", "tile_x", "tile_y", "px_sum", "px_cnt")
+        .groupBy("level", "tile_x", "tile_y")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=MERGED_SCHEMA,
+            stateStructType=MERGE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if timeout_ms is None
+                else GroupStateTimeout.ProcessingTimeTimeout
+            ),
+        )
+    )

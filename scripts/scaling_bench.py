@@ -19,10 +19,11 @@ Plan-shape notes (the 100 TB rationale):
 * raw tile fragments are NEVER cached or range-sampled — merge consumes
   them in the applyInPandas hash shuffle directly; at 10^12 images the
   fragment stream is the biggest intermediate and must stay single-pass.
-* the explicit ``repartitionByRange(level, tile_y, tile_x)`` runs on the
-  *merged* tiles (4-5x smaller) right before the partitioned write, where
-  range layout buys partition-pruned reads; the sampling pass reads the
-  persisted merged tiles, not the pipeline.
+* the write layout uses ``spatial_block_partition`` on the *merged* tiles
+  (4-5x smaller): a deterministic hash of (level, tile_y-band) with an
+  in-partition sort — spatially clustered files (bbox/point queries prune
+  on file-level stats) WITHOUT repartitionByRange's sampling job, which
+  measured as the write phase's non-scaler (scripts/write_phase_probe.py).
 """
 
 from __future__ import annotations
@@ -108,8 +109,12 @@ def main() -> None:
         t_merge = time.perf_counter() - t0
 
         t0 = time.perf_counter()
+        from data_model_spark.plans.partitioning import spatial_block_partition
+
         (
-            merged.repartitionByRange(32, "level", "tile_y", "tile_x")
+            # deterministic spatial blocks: repartitionByRange's sampling
+            # job was the write phase's non-scaler (see write_phase_probe)
+            spatial_block_partition(merged, 2 * cores)
             .write.mode("overwrite")
             .partitionBy("level")
             .parquet(out_dir)

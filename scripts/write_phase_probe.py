@@ -65,10 +65,16 @@ def main() -> None:
             return merged.repartition(2 * cores, "level", "tile_y", "tile_x")
         if name == "sortwp":
             return merged.sortWithinPartitions("level", "tile_y", "tile_x")
+        if name == "block2c":
+            # deterministic spatial blocks: no sampling job, adjacent tiles
+            # co-located -> tight file-level min/max stats for pruning
+            return merged.repartition(
+                2 * cores, "level", (F.col("tile_y") / 8).cast("long")
+            ).sortWithinPartitions("level", "tile_y", "tile_x")
         raise ValueError(name)
 
     results = {}
-    for name in ("range32", "direct", "hash2c", "sortwp"):
+    for name in ("range32", "direct", "hash2c", "sortwp", "block2c"):
         times = []
         for _ in range(reps):
             out = tempfile.mkdtemp(prefix=f"probe_{name}_", dir="/dev/shm")
