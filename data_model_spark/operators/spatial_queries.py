@@ -2,10 +2,16 @@
 
 Deterministic synthetic geometry derived from table keys (no external
 data): customers become points on a lon/lat grid, suppliers become query
-points, rectangles/polygons come from fixed literals.  Axis-aligned
-variants are SQL-oracle-checked (PIP on rectangles == BETWEEN range join);
-general polygon / cell-index variants are rows-only and validated against
-NumPy oracles in pytest.
+points, rectangles/polygons come from fixed literals.
+
+Every query here is SQL-oracle-checked.  The general-polygon PIP oracle
+replays the engine's exact even-odd ray-casting edge rule
+(functions/geometry.py:points_in_polygon) edge-by-edge in SQL — identical
+IEEE-754 double ops, so agreement is bit-exact, not approximate.  The cell
+oracle reproduces the int64 zcell packing (functions/cells.py:cell_of) with
+BIGINT shifts.  The kNN-via-cells oracle is the exact brute-force ranking:
+tests/test_spatial.py proves the k-ring candidate set recovers it exactly
+at the registered (res, ring) config.
 """
 
 from __future__ import annotations
@@ -75,17 +81,59 @@ def pip_rect_join(spark, sf_dir):
     )
 
 
-@register("pip_cell_join", None)  # general polygons: NumPy-oracle in pytest
+_PIP_POLYS = {
+    "tri": np.array([[10.1, 46.1], [11.5, 46.2], [10.3, 47.6]]),
+    "ell": np.array(
+        [[10.0, 46.0], [11.0, 46.0], [11.0, 46.4], [10.4, 46.4], [10.4, 47.4], [10.0, 47.4]]
+    ),
+}
+
+
+def _raycast_sql(poly: np.ndarray, poly_id: str) -> str:
+    """Even-odd ray-cast PIP as SQL, mirroring geometry.points_in_polygon.
+
+    One CASE term per non-horizontal edge (horizontal edges never straddle
+    the ray, exactly as the NumPy kernel's mask makes them no-ops); the
+    crossing test uses the same expression tree — x1 + (py-y1)/(y2-y1)*(x2-x1)
+    — so the doubles agree bit-for-bit with the pandas-UDF refine stage.
+    """
+    terms = []
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = float(poly[i][0]), float(poly[i][1])
+        x2, y2 = float(poly[(i + 1) % n][0]), float(poly[(i + 1) % n][1])
+        if y1 == y2:
+            continue  # cond (y1<=py) != (y2<=py) is identically false
+        terms.append(
+            f"(CASE WHEN (({y1!r} <= lat) != ({y2!r} <= lat)) AND "
+            f"lon < {x1!r} + (lat - {y1!r}) / ({y2!r} - {y1!r}) * ({x2!r} - {x1!r}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    return (
+        f"SELECT point_id, '{poly_id}' AS poly_id FROM pts "
+        f"WHERE ({' + '.join(terms)}) % 2 = 1"
+    )
+
+
+_PIP_CELL_ORACLE = (
+    """
+WITH pts AS (
+  SELECT c_custkey AS point_id,
+         10.0 + (c_custkey * 37 % 2000) / 1000.0 AS lon,
+         46.0 + (c_custkey * 91 % 2000) / 1000.0 AS lat
+  FROM customer)
+"""
+    + "\nUNION ALL\n".join(
+        _raycast_sql(poly, pid) for pid, poly in _PIP_POLYS.items()
+    )
+)
+
+
+@register("pip_cell_join", _PIP_CELL_ORACLE)
 def pip_cell_join(spark, sf_dir):
     """Cell-partitioned PIP join (triangle + concave polygon), salted."""
     pts = _points(spark, sf_dir)
-    polys = {
-        "tri": np.array([[10.1, 46.1], [11.5, 46.2], [10.3, 47.6]]),
-        "ell": np.array(
-            [[10.0, 46.0], [11.0, 46.0], [11.0, 46.4], [10.4, 46.4], [10.4, 47.4], [10.0, 47.4]]
-        ),
-    }
-    pdf = spatial.polygons_df(spark, polys)
+    pdf = spatial.polygons_df(spark, _PIP_POLYS)
     return spatial.pip_join_cells(pts, pdf, res=9, salt=4).select(
         "point_id", "poly_id"
     )
@@ -130,19 +178,53 @@ def knn_bruteforce(spark, sf_dir):
     )
 
 
-@register("knn_cells", None)  # ring-size dependent: brute-force twin in pytest
+@register("knn_cells", _KNN_ORACLE)
 def knn_cells(spark, sf_dir):
-    """kNN via cell k-ring expansion + exact refinement (the scale path)."""
+    """kNN via cell k-ring expansion + exact refinement (the scale path).
+
+    Oracle = the brute-force ranking: the (res=7, ring=2) candidate window
+    provably contains every true top-5 neighbor for this point density
+    (equality asserted in tests/test_spatial.py), so the bucketed path must
+    reproduce the exact result — the property that makes it a drop-in for
+    the O(N*Q) cross join at 10^12 rows.
+    """
     pts = _points(spark, sf_dir)
     qs = _points(spark, sf_dir, "supplier", "s_suppkey").filter(
         F.col("point_id") < 4
     ).withColumnRenamed("point_id", "query_id")
-    return spatial.knn_join(pts, qs, k=5, res=7, ring=2)
+    return spatial.knn_join(pts, qs, k=5, res=7, ring=2).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
 
 
-@register("cell_cover_counts", None)  # engine-native cell index: rows-only
+_CELL_COVER_ORACLE = """
+WITH pts AS (
+  SELECT c_custkey AS point_id,
+         10.0 + (c_custkey * 37 % 2000) / 1000.0 AS lon,
+         46.0 + (c_custkey * 91 % 2000) / 1000.0 AS lat
+  FROM customer),
+keyed AS (
+  SELECT point_id,
+         (CAST(9 AS BIGINT) << 56)
+         | (least(greatest(CAST(floor((lat + 90.0) / 180.0 * 512) AS BIGINT),
+                           CAST(0 AS BIGINT)), CAST(511 AS BIGINT)) << 28)
+         | least(greatest(CAST(floor((lon + 180.0) / 360.0 * 512) AS BIGINT),
+                          CAST(0 AS BIGINT)), CAST(511 AS BIGINT)) AS cell
+  FROM pts)
+SELECT cell, CAST(COUNT(*) AS BIGINT) AS n
+FROM keyed GROUP BY cell
+"""
+
+
+@register("cell_cover_counts", _CELL_COVER_ORACLE)
 def cell_cover_counts(spark, sf_dir):
-    """Histogram of points per cell at res 9 — partition-key balance probe."""
+    """Histogram of points per cell at res 9 — partition-key balance probe.
+
+    The oracle re-derives the int64 zcell packing (functions/cells.py:28:
+    ``(res << 56) | (y << 28) | x`` with x/y = clip(trunc(frac * 2^res)))
+    in plain BIGINT arithmetic — floor == trunc here because the fractions
+    are non-negative.
+    """
     pts = _points(spark, sf_dir)
     keyed = spatial.with_point_cell(pts, res=9)
     return keyed.groupBy("cell").agg(F.count("*").alias("n")).orderBy(
