@@ -11,16 +11,18 @@ driver-side pairwise loop:
                           n-grams above ``hot_min`` occurrences) are salted
                           BY DEFAULT via ``self_pairs`` so no single reducer
                           sees a whole hot key.
-* MinHash + LSH         — k hash functions via affine transforms of
-                          xxhash64(shingle); banding -> candidate join on
-                          (band, band_hash); exact-Jaccard refinement of
+* MinHash + LSH         — k hash functions via affine transforms of a
+                          60-bit md5 shingle hash; banding -> candidate join
+                          on (band, band_hash); exact-Jaccard refinement of
                           candidates only.
-* SimHash               — 64 conditional bit-sums per doc (pure JVM
+* SimHash               — 60 conditional bit-sums per doc (pure JVM
                           aggregations), near-dups via banded chunk join.
 
-Oracle-checked entries use formulas DuckDB reproduces bit-for-bit; LSH
-entries are rows-only (randomized-parameter pipelines) and are instead
-validated for recall in pytest against the exact pair set.
+Every entry is oracle-checked: all content hashes route through md5 (the
+one hash Spark and DuckDB compute identically), widened to a 60-bit integer
+from the first 15 hex chars, so the MinHash/LSH and SimHash pipelines —
+candidate generation AND refinement — are reproduced bit-for-bit in SQL.
+Recall vs the exact pair set is additionally validated in pytest.
 """
 
 from __future__ import annotations
@@ -35,6 +37,20 @@ from .registry import register
 # under Spark 4's ANSI arithmetic) while leaving minhash collision probability
 # ~2^-31 — negligible for signature lengths in the tens
 P_MERSENNE = (1 << 31) - 1
+
+
+def md5_60(col) -> "F.Column":
+    """First 60 bits of md5 as a non-negative int64.
+
+    The cross-engine hash primitive: Spark `conv(substring(md5(x),1,15),16,10)`
+    and DuckDB `CAST('0x' || substr(md5(x),1,15) AS BIGINT)` produce the same
+    integer, which makes every downstream sketch SQL-oracle-able.  15 hex
+    chars = 60 bits, so the value always fits a signed int64.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+MD5_60_SQL = "CAST('0x' || substr(md5({col}), 1, 15) AS BIGINT)"
 
 
 def tokens_df(docs: DataFrame) -> DataFrame:
@@ -158,25 +174,30 @@ def jaccard_pairs(
     )
 
 
-def minhash_signatures(sh: DataFrame, num_hashes: int = 64, seed: int = 42) -> DataFrame:
-    """(doc_id, hash_id, minhash): k affine hashes of xxhash64(shingle).
-
-    h_i(s) = (a_i * x + b_i) mod 2^61-1 with deterministic (a_i, b_i); the
-    k-way expansion is a broadcast cross join (k rows), the min is a single
-    hash aggregation — no Python in the loop.
-    """
+def minhash_params(num_hashes: int = 64, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic affine-hash parameters, shared by Spark and oracle SQL."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
-    params = [
+    return [
         (int(rng.integers(1, P_MERSENNE)), int(rng.integers(0, P_MERSENNE)))
         for _ in range(num_hashes)
     ]
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 64, seed: int = 42) -> DataFrame:
+    """(doc_id, hash_id, minhash): k affine hashes of md5_60(shingle).
+
+    h_i(s) = (a_i * x + b_i) mod 2^31-1 with deterministic (a_i, b_i); the
+    k-way expansion is a broadcast cross join (k rows), the min is a single
+    hash aggregation — no Python in the loop.
+    """
+    params = minhash_params(num_hashes, seed)
     spark = sh.sparkSession
     pdf = local_df(
         spark, [(i, a, b) for i, (a, b) in enumerate(params)], "hash_id INT, a LONG, b LONG"
     )
-    x = F.pmod(F.xxhash64("shingle"), F.lit(P_MERSENNE))
+    x = F.pmod(md5_60("shingle"), F.lit(P_MERSENNE))
     return (
         sh.withColumn("x", x)
         .crossJoin(F.broadcast(pdf))
@@ -203,7 +224,7 @@ def lsh_candidates(
     sig = signatures.withColumn("band", F.col("hash_id") % bands)
     band_hash = (
         sig.groupBy("doc_id", "band")
-        .agg(F.xxhash64(F.concat_ws(",", F.sort_array(F.collect_list("minhash")))).alias("bh"))
+        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list("minhash")))).alias("bh"))
     )
     return (
         self_pairs(band_hash, ["band", "bh"], salt=salt, hot_min=hot_min)
@@ -226,21 +247,24 @@ def minhash_lsh_dedup(
     return jaccard_pairs(docs, threshold, n, candidates=cand)
 
 
+SIMHASH_BITS = 60  # md5_60 token hash width; simhash stays a positive int64
+
+
 def simhash_df(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash): 64-bit SimHash from token xxhash64, pure JVM aggs."""
+    """(doc_id, simhash): 60-bit SimHash from token md5_60, pure JVM aggs."""
     tok = tokens_df(docs).select("doc_id", F.explode("ws").alias("w"))
-    tok = tok.withColumn("hv", F.xxhash64("w"))
+    tok = tok.withColumn("hv", md5_60("w"))
     bit_sums = [
         F.sum(
             (F.shiftright("hv", b).bitwiseAND(F.lit(1)) * 2 - 1)
         ).alias(f"s{b}")
-        for b in range(64)
+        for b in range(SIMHASH_BITS)
     ]
     agg = tok.groupBy("doc_id").agg(*bit_sums)
     sim = None
-    for b in range(64):
+    for b in range(SIMHASH_BITS):
         bit = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = bit * F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")
+        term = bit * F.lit(1 << b).cast("long")
         sim = term if sim is None else sim + term
     return agg.select("doc_id", sim.alias("simhash"))
 
@@ -326,15 +350,95 @@ def ngram_jaccard_pairs(spark, sf_dir):
     return jaccard_pairs(docs, 0.5, n=3)
 
 
-@register("minhash_lsh_pairs", None)  # randomized-parameter pipeline: rows-only
+def _minhash_oracle() -> str:
+    """Full MinHash-LSH pipeline in DuckDB SQL — bit-exact vs the Spark path.
+
+    Reproduces candidate generation (same 64 affine params over md5_60
+    shingle hashes, same 16-band md5 bucket keys) AND the exact-Jaccard
+    refinement, so the oracle checks the LSH bucketing itself, not just the
+    refined score.
+    """
+    vals = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_params(64, 42))
+    )
+    h = MD5_60_SQL.format(col="shingle")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS ws
+  FROM documents WHERE doc_id < 150),
+shl AS (
+  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ws)-2),
+        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+  FROM toks WHERE len(ws) >= 3),
+sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM shl),
+xs AS (SELECT doc_id, {h} % 2147483647 AS x FROM sh),
+params(hash_id, a, b) AS (VALUES {vals}),
+sig AS (
+  SELECT doc_id, hash_id,
+         MIN((CAST(a AS BIGINT) * x + CAST(b AS BIGINT)) % 2147483647) AS minhash
+  FROM xs CROSS JOIN params GROUP BY doc_id, hash_id),
+bands AS (
+  SELECT doc_id, hash_id % 16 AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY minhash)) AS bh
+  FROM sig GROUP BY doc_id, hash_id % 16),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+               (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+  FROM cand c
+  JOIN shl a ON a.doc_id = c.doc_a
+  JOIN shl b ON b.doc_id = c.doc_b)
+SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5"""
+
+
+@register("minhash_lsh_pairs", _minhash_oracle())
 def minhash_lsh_pairs(spark, sf_dir):
     """MinHash(64) + LSH(16 bands) near-dup pairs, exact-refined at 0.5."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     return minhash_lsh_dedup(docs, threshold=0.5)
 
 
-@register("simhash_pairs", None)  # engine-native hash: rows-only
+def _simhash_oracle(max_hamming: int = 12) -> str:
+    """SimHash pipeline in DuckDB SQL, including the 16-bit-chunk candidate
+    condition (a pair only surfaces if SOME chunk matches — the banded join's
+    recall contract), so oracle rows == Spark rows exactly."""
+    h = MD5_60_SQL.format(col="w")
+    sums = ", ".join(
+        f"SUM(((hv >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(SIMHASH_BITS)
+    )
+    sim = " | ".join(
+        f"(CAST(CASE WHEN s{b} > 0 THEN 1 ELSE 0 END AS BIGINT) << {b})"
+        for b in range(SIMHASH_BITS)
+    )
+    chunk_cond = " OR ".join(
+        f"((a.simhash >> {16 * c}) & 65535) = ((b.simhash >> {16 * c}) & 65535)"
+        for c in range(4)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS ws
+  FROM documents WHERE doc_id < 150),
+tok AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+hvs AS (SELECT doc_id, {h} AS hv FROM tok),
+bits AS (SELECT doc_id, {sums} FROM hvs GROUP BY doc_id),
+sim AS (SELECT doc_id, {sim} AS simhash FROM bits),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+  WHERE {chunk_cond})
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {max_hamming}"""
+
+
+@register("simhash_pairs", _simhash_oracle(12))
 def simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (hamming <= 12) via banded chunk join."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
-    return simhash_near_pairs(docs, max_hamming=12)
+    return simhash_near_pairs(docs, max_hamming=12).withColumn(
+        "hamming", F.col("hamming").cast("long")
+    )

@@ -251,8 +251,11 @@ def caption_tokens(images: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# registered queries (rows-only: the image table is engine-generated, not a
-# DuckDB view; exact kernels are golden-tested in tests/test_streaming_multimodal.py)
+# registered queries.  Pixel-decode paths are rows-only (the image table is
+# engine-generated, not a DuckDB view; exact kernels are golden-tested in
+# tests/test_streaming_multimodal.py).  Caption stats and the phash join are
+# oracle-checked via lazy VALUES oracles built from the same deterministic
+# fixture (see _fixture_pdf).
 # ---------------------------------------------------------------------------
 
 from ..sources.images import generate_images_df  # noqa: E402
@@ -275,13 +278,73 @@ def image_thumbnails(spark, sf_dir):
     )
 
 
-@register("caption_token_stats", None)
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _fixture_pdf():
+    """The 48-image fixture materialized once, driver-side, for lazy oracles.
+
+    The image table is engine-generated (not a DuckDB view), but every row is
+    a deterministic function of the image index — so captions and phashes can
+    be inlined as VALUES, turning the caption-stat and phash-join queries
+    into full value-hash-checked oracles.  Lazy (registry callable) because
+    the 48 encode/decode round-trips cost ~4 s — paid only when an oracle is
+    actually requested, not at import.
+    """
+    import numpy as np
+
+    from ..sources import images as img
+
+    return img._rows_for_indices(np.arange(_N_IMG_QUERY), img.DIM_CYCLE)
+
+
+def _caption_oracle() -> str:
+    pdf = _fixture_pdf()
+    vals = ", ".join(
+        "('{}', '{}')".format(r.image_id, r.caption.replace("'", "''"))
+        for r in pdf.itertuples()
+    )
+    return f"""
+WITH caps(image_id, caption) AS (VALUES {vals})
+SELECT image_id,
+       CAST(len(string_split_regex(trim(caption), ' +')) AS INTEGER)
+         AS n_caption_tokens,
+       CAST(length(caption) AS INTEGER) AS caption_chars
+FROM caps"""
+
+
+@register("caption_token_stats", _caption_oracle)
 def caption_token_stats(spark, sf_dir):
     """Caption-side token stats of the image+caption pair table (JVM-only)."""
     return caption_tokens(generate_images_df(spark, _N_IMG_QUERY))
 
 
-@register("phash_neardup_pairs", None)
+def _phash_oracle() -> str:
+    """Chunk-join + popcount refine over the fixture's (image_id, phash) rows.
+
+    DuckDB's arithmetic ``>>`` equals Spark's ``shiftrightunsigned`` here
+    because the ``& 65535`` mask keeps only bits the two shifts agree on.
+    """
+    pdf = _fixture_pdf()
+    vals = ", ".join(
+        f"('{r.image_id}', {int(r.phash)})" for r in pdf.itertuples()
+    )
+    return f"""
+WITH imgs(image_id, phash) AS (VALUES {vals}),
+chunks AS (
+  SELECT image_id, phash, c.chunk, (phash >> (16 * c.chunk)) & 65535 AS cv
+  FROM imgs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS chunk) c),
+cand AS (
+  SELECT DISTINCT a.image_id AS img_a, b.image_id AS img_b,
+         a.phash AS ha, b.phash AS hb
+  FROM chunks a JOIN chunks b
+    ON a.chunk = b.chunk AND a.cv = b.cv AND a.image_id < b.image_id)
+SELECT img_a, img_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3"""
+
+
+@register("phash_neardup_pairs", _phash_oracle)
 def phash_neardup_pairs(spark, sf_dir):
     """Image near-dup pairs via 64-bit phash: banded 16-bit chunk join.
 
@@ -326,7 +389,9 @@ def phash_neardup_pairs(spark, sf_dir):
         .distinct()
     )
     return (
-        cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
+        )
         .filter(F.col("hamming") <= 3)
         .select("img_a", "img_b", "hamming")
     )

@@ -15,13 +15,22 @@ from pyspark.sql import DataFrame, SparkSession
 @dataclass
 class QuerySpec:
     spark_fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # None -> rows-only check (non-SQL-expressible)
+    # str -> oracle SQL; callable -> lazy oracle builder (resolved once on
+    # first access, for oracles whose literal tables are expensive to
+    # derive at import time); None -> rows-only check (non-SQL-expressible)
+    _oracle: str | Callable[[], str] | None
+
+    @property
+    def oracle(self) -> str | None:
+        if callable(self._oracle):
+            self._oracle = self._oracle()
+        return self._oracle
 
 
 QUERIES: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None):
+def register(name: str, oracle: str | Callable[[], str] | None):
     def deco(fn):
         QUERIES[name] = QuerySpec(fn, oracle)
         return fn

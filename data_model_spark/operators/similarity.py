@@ -60,6 +60,19 @@ def brute_force_topk(
     )
 
 
+def lsh_planes(num_planes: int = 16, dim: int = 64, seed: int = 7) -> np.ndarray:
+    """Deterministic hyperplane matrix, shared by Spark and oracle SQL."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_planes, dim))
+
+
+def ivf_centroids(num_cells: int = 16, dim: int = 64, seed: int = 11) -> np.ndarray:
+    """Deterministic unit centroids, shared by Spark and oracle SQL."""
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((num_cells, dim))
+    return cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+
 def hyperplane_signatures(
     vectors: DataFrame, num_planes: int = 16, dim: int = 64, seed: int = 7
 ) -> DataFrame:
@@ -68,8 +81,7 @@ def hyperplane_signatures(
     Plane matrix is deterministic (seeded) and inlined as array literals;
     bucket = sign-bit pattern of the projections.
     """
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((num_planes, dim))
+    planes = lsh_planes(num_planes, dim, seed)
     bucket = None
     for p in range(num_planes):
         lit_plane = F.array(*[F.lit(float(v)) for v in planes[p]])
@@ -119,9 +131,7 @@ def ivf_assign(
     Assignment = broadcast crossJoin against the 16-row centroid table +
     ``max_by`` argmax — a flat plan that scales, unlike a nested CASE chain.
     """
-    rng = np.random.default_rng(seed)
-    cents = rng.standard_normal((num_cells, dim))
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    cents = ivf_centroids(num_cells, dim, seed)
     spark = vectors.sparkSession
     cent_df = local_df(
         spark,
@@ -199,21 +209,89 @@ def emb_neardup_pairs(spark, sf_dir):
     )
 
 
-@register("ann_lsh_topk", None)  # randomized buckets: rows-only; recall in pytest
+def _dot_sql(consts, col: str = "e") -> str:
+    """Explicit per-element dot product: ``e[1]*c1 + e[2]*c2 + ...``.
+
+    SQL's left-associative ``+`` parses to the same sequential fold Spark's
+    ``F.aggregate(zip_with(...), 0.0, acc + x)`` evaluates (IEEE addition in
+    identical order, and 0.0 + x1 == x1 exactly), so the doubles agree
+    bit-for-bit — which is what makes SIGN and ARGMAX steps oracle-safe.
+    ``list_dot_product`` was tried first and diverges in the last ulp.
+    """
+    return " + ".join(f"{col}[{i + 1}]*{float(c)!r}" for i, c in enumerate(consts))
+
+
+def _lsh_oracle(num_planes: int = 12, dim: int = 64, k: int = 5) -> str:
+    planes = lsh_planes(num_planes, dim)
+    bucket = " + ".join(
+        f"(CASE WHEN ({_dot_sql(planes[p])}) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(num_planes)
+    )
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+sig AS (SELECT vec_id, e, {bucket} AS bucket FROM emb),
+q AS (SELECT vec_id AS query_id, e AS q_emb, bucket AS q_bucket
+      FROM sig WHERE vec_id < 3),
+v AS (SELECT * FROM sig WHERE vec_id >= 3),
+cand AS (
+  SELECT q.query_id, v.vec_id,
+         ROUND(list_cosine_similarity(v.e, q.q_emb), 6) AS cosine
+  FROM v JOIN q ON v.bucket = q.q_bucket),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM cand)
+SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
+@register("ann_lsh_topk", _lsh_oracle(6))
 def ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN top-5 (12 hyperplanes) for 3 query vectors."""
+    """LSH-bucketed ANN top-5 (6 hyperplanes / 64 buckets) for 3 queries.
+
+    6 planes keeps the candidate sets non-empty on the 500-vector test
+    corpus (12 planes over-prunes to zero rows — a vacuous check) while
+    still exercising the bucket join; production tuning trades planes
+    against corpus density.
+
+    The oracle reproduces the hyperplane bucketing itself (exact-fold dot
+    products, see ``_dot_sql``), so the candidate pruning — not just the
+    refined ranking — is value-hash checked.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
     vectors = emb.filter(F.col("vec_id") >= 3)
-    return lsh_topk(vectors, queries, k=5, num_planes=12)
+    return lsh_topk(vectors, queries, k=5, num_planes=6).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
 
 
-@register(
-    "ivf_cell_counts",
-    None,  # centroid arithmetic chain diverges in the last ulp across engines
-)
+def _ivf_oracle(num_cells: int = 16, dim: int = 64) -> str:
+    cents = ivf_centroids(num_cells, dim)
+    blocks = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {c} AS cent_id, ({_dot_sql(cents[c])}) AS dot FROM v"
+        for c in range(num_cells)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+dots AS ({blocks}),
+best AS (
+  SELECT vec_id, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cent_id) AS rn
+  FROM dots)
+SELECT CAST(cent_id AS INTEGER) AS ivf_cell, CAST(COUNT(*) AS BIGINT) AS n
+FROM best WHERE rn = 1 GROUP BY cent_id"""
+
+
+@register("ivf_cell_counts", _ivf_oracle(16))
 def ivf_cell_counts(spark, sf_dir):
-    """IVF cell histogram: nearest-centroid assignment then count per cell."""
+    """IVF cell histogram: nearest-centroid assignment then count per cell.
+
+    Oracle-checked: the assignment argmax runs on exact-fold dot products
+    (``_dot_sql``), the previous last-ulp divergence of list_dot_product
+    does not apply.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_assign(emb, num_cells=16).groupBy("ivf_cell").agg(
         F.count("*").alias("n")

@@ -311,7 +311,64 @@ def pyramid_layout_meta(spark, sf_dir):
     )
 
 
-@register("store_root_bbox", None)  # A13: per-scene bbox -> 4326 -> union
+def _store_bbox_oracle(n_images: int = 48) -> str:
+    """Store-root bbox oracle: the Snyder inverse-TM series replayed in SQL.
+
+    The 48 deterministic scene-footprint corners (sources/images.py:
+    footprint_utm — pure functions of the image index) are inlined as VALUES
+    rows, and the UTM->WGS84 series of functions/crs.py:utm_to_lonlat is
+    written out term-by-term in chained CTEs with the same constants and the
+    same evaluation order.  sin/cos/pow may differ from NumPy by an ulp;
+    the 1e-9 output rounding absorbs ~1e-14-degree noise with margin.
+    """
+    from ..functions import crs as c
+    from ..sources import images as img
+
+    corners = []
+    for i in range(n_images):
+        iid = f"img_{i:012d}"
+        w, h = img.image_dims(i)
+        for x, y in img.footprint_utm(iid, w, h):
+            corners.append((i, float(x), float(y)))
+    vals = ", ".join(f"({i}, {x!r}, {y!r})" for i, x, y in corners)
+
+    e1 = (1 - (1 - c.E2) ** 0.5) / (1 + (1 - c.E2) ** 0.5)
+    co2 = 3 * e1 / 2 - 27 * e1**3 / 32
+    co4 = 21 * e1**2 / 16 - 55 * e1**4 / 32
+    co6 = 151 * e1**3 / 96
+    co8 = 1097 * e1**4 / 512
+    am1 = c.A * c._M1
+    ae = c.A * (1 - c.E2)
+    zone, _north = c.epsg_to_utm_zone(img.SCENE_EPSG)
+    cm = c.central_meridian(zone)
+
+    return f"""
+WITH corners(scene, x, y) AS (VALUES {vals}),
+s1 AS (SELECT scene, x, (y / {c.K0!r}) / {am1!r} AS mu FROM corners),
+s2 AS (SELECT *, mu + {co2!r} * sin(2 * mu) + {co4!r} * sin(4 * mu)
+                 + {co6!r} * sin(6 * mu) + {co8!r} * sin(8 * mu) AS phi1 FROM s1),
+s3 AS (SELECT *, sin(phi1) AS sp, cos(phi1) AS cp, tan(phi1) AS tp FROM s2),
+s4 AS (SELECT *, {c.EP2!r} * power(cp, 2) AS c1, power(tp, 2) AS t1,
+               {c.A!r} / sqrt(1 - {c.E2!r} * power(sp, 2)) AS n1,
+               {ae!r} / power(1 - {c.E2!r} * power(sp, 2), 1.5) AS r1 FROM s3),
+s5 AS (SELECT *, (x - {c.FALSE_EASTING!r}) / (n1 * {c.K0!r}) AS d FROM s4),
+s6 AS (SELECT scene,
+    degrees(phi1 - (n1 * tp / r1) * (power(d, 2) / 2
+        - (5 + 3 * t1 + 10 * c1 - 4 * power(c1, 2) - 9 * {c.EP2!r})
+          * power(d, 4) / 24
+        + (61 + 90 * t1 + 298 * c1 + 45 * power(t1, 2) - 252 * {c.EP2!r}
+           - 3 * power(c1, 2)) * power(d, 6) / 720)) AS lat,
+    {cm!r} + degrees((d - (1 + 2 * t1 + c1) * power(d, 3) / 6
+        + (5 - 2 * c1 + 28 * t1 - 3 * power(c1, 2) + 8 * {c.EP2!r}
+           + 24 * power(t1, 2)) * power(d, 5) / 120) / cp) AS lon
+  FROM s5)
+SELECT ROUND(MIN(lon), 9) AS xmin, ROUND(MIN(lat), 9) AS ymin,
+       ROUND(MAX(lon), 9) AS xmax, ROUND(MAX(lat), 9) AS ymax,
+       CAST(COUNT(DISTINCT scene) AS BIGINT) AS n_scenes
+FROM s6"""
+
+
+@register("store_root_bbox", _store_bbox_oracle(48))
 def store_root_bbox(spark, sf_dir):
     """Store-root bbox: every scene footprint reprojected to EPSG:4326 in a
     vectorized pandas UDF, then one global min/max union aggregation

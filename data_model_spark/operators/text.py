@@ -107,19 +107,35 @@ def lang_id(spark, sf_dir):
     return d.select("doc_id", "lang", pred.alias("lang_pred"))
 
 
-@register("doc_fingerprint", None)  # rows-only: xxhash64 is engine-native
-def doc_fingerprint(spark, sf_dir):
-    """Document fingerprint: rolling token-hash accumulator (Spark-native).
+_FP_ORACLE = """
+SELECT doc_id,
+       list_reduce(list_transform(string_split_regex(trim(text), ' +'),
+                   w -> CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 1000003),
+                   (a, x) -> (a * 131 + x) % 1000003) AS fp_roll,
+       md5(text) AS fp_md5
+FROM documents WHERE doc_id < 200"""
 
-    Uses ``xxhash64`` per token folded with ``aggregate`` — DuckDB's
-    ``hash()`` differs by design, so this entry is rows-only; the
-    byte-exact cross-engine twin is ``doc_fingerprint_md5``.
+
+@register("doc_fingerprint", _FP_ORACLE)
+def doc_fingerprint(spark, sf_dir):
+    """Document fingerprint: order-sensitive polynomial rolling token hash.
+
+    acc = (acc * 131 + md5_60(token) % P) % P folded over the token stream
+    (Rabin-Karp shape) — a transposition-sensitive fingerprint, unlike a
+    token-hash sum.  Spark folds with ``aggregate`` from acc0 = 0; DuckDB's
+    ``list_reduce`` seeds with the first element, which equals the same
+    recurrence because (0 * 131 + x1) % P = x1.  md5 keeps both engines
+    bit-identical (see dedup.md5_60).
     """
+    from .dedup import md5_60
+
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     tokens = F.split(F.trim("text"), " +")
-    tok_hash = F.transform(tokens, lambda w: F.xxhash64(w) % 1000003)
-    fp = F.aggregate(tok_hash, F.lit(0).cast("long"), lambda a, x: a + x) % 1000003
-    return d.select("doc_id", fp.alias("fp_sum"), F.md5("text").alias("fp_md5"))
+    tok_hash = F.transform(tokens, lambda w: md5_60(w) % 1000003)
+    fp = F.aggregate(
+        tok_hash, F.lit(0).cast("long"), lambda a, x: (a * 131 + x) % 1000003
+    )
+    return d.select("doc_id", fp.alias("fp_roll"), F.md5("text").alias("fp_md5"))
 
 
 @register(

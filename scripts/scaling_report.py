@@ -66,8 +66,10 @@ def main() -> None:
     A("identical input, interleaved rounds, plus 32-core context runs.")
     A(f"Job: synthesize {m2['n_images']} image+caption rows (encode), decode +")
     A("PSNR>=40dB validation, multiscale tile cut, tile merge (hash shuffle on")
-    A("(level, tile_x, tile_y)), explicit repartitionByRange(level, tile_y,")
-    A(f"tile_x) + partitioned parquet write; {m2['n_tile_fragments']} tile")
+    A("(level, tile_x, tile_y)), spatial_block_partition (deterministic")
+    A("(level, tile_y-band) hash + in-partition sort — replaced")
+    A("repartitionByRange after its sampling job measured as the write-phase")
+    A(f"non-scaler) + partitioned parquet write; {m2['n_tile_fragments']} tile")
     A(f"fragments -> {m2['n_merged_tiles']} merged tiles per run; fixed 128 input /")
     A("64 shuffle partitions; shuffle+output on tmpfs.\n")
 
@@ -80,8 +82,9 @@ def main() -> None:
             f" {r['rows_per_sec']} | {r['images_per_sec']} |"
         )
     A("")
-    A(f"- **Overall efficiency T_N/(4*T_4N)** = {e_overall} (median of "
-      f"{len(paired)} paired interleaved rounds: "
+    A(f"- **Overall efficiency T_N/(4*T_4N)** = {e_overall} "
+      + ("**(>= 0.8: PASS)**" if e_overall >= 0.8 else "(< 0.8: FAIL)")
+      + f" (median of {len(paired)} paired interleaved rounds: "
       + ", ".join(f"{x:.2f}" for x in overall_ratios) + ")")
     A(f"- **Compute-phase efficiency (generate+validate)** = {e_compute} "
       + ("**(>= 0.8: PASS)**" if e_compute >= 0.8 else "(FAIL)")

@@ -1,0 +1,85 @@
+"""Physical-plan regression gates: the optimizations stay IN the plan.
+
+Correctness tests prove the right rows come back; these prove the right
+PLAN produces them — filter/column pushdown reaching the parquet scan,
+small dims broadcast, rank-limit pushdown, whole-stage codegen on the hot
+relational paths, and partition-count invariants.  At 100 TB a silently
+regressed pushdown is a full-table scan; this file makes that a test
+failure instead of a production incident.
+"""
+
+import pytest
+
+from data_model_spark.operators.registry import all_queries
+
+QUERIES = all_queries()
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str, execute: bool = False) -> str:
+    """Physical plan string; ``execute=True`` materializes first so AQE's
+    final plan (with WholeStageCodegen spans) is what's inspected."""
+    df = QUERIES[name].spark_fn(spark, SF)
+    if execute:
+        df.collect()  # count() would execute a different (count-agg) plan
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestPushdown:
+    def test_prefix_filter_pushed_to_scan(self, spark):
+        plan = plan_of(spark, "filter_prefix")
+        assert "PushedFilters" in plan and "StartsWith" in plan
+
+    def test_column_pruning_reaches_scan(self, spark):
+        plan = plan_of(spark, "filter_prefix")
+        # 2-column projection of a 9-column table: ReadSchema must be pruned
+        read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert read and "p_partkey" in read[0] and "p_retailprice" not in read[0]
+
+    def test_in_list_pushed(self, spark):
+        plan = plan_of(spark, "filter_in_list")
+        assert "PushedFilters: [" in plan and "In(" in plan
+
+
+class TestJoinStrategy:
+    def test_dim_join_broadcasts(self, spark):
+        plan = plan_of(spark, "broadcast_dim")
+        assert "BroadcastHashJoin" in plan
+
+    def test_knn_candidates_broadcast(self, spark):
+        # query-ring side is tiny; the point corpus must NOT shuffle for it
+        plan = plan_of(spark, "knn_cells")
+        assert "BroadcastHashJoin" in plan
+
+    def test_semi_anti_planned_as_joins(self, spark):
+        plan = plan_of(spark, "semi_anti")
+        assert "LeftSemi" in plan or "LeftAnti" in plan
+
+
+class TestAggAndWindow:
+    def test_block_avg_has_partial_agg(self, spark):
+        # partial_avg before the exchange = map-side combine
+        plan = plan_of(spark, "block_avg")
+        assert "partial_avg" in plan or "partial_" in plan
+
+    def test_topk_rank_limit_pushdown(self, spark):
+        plan = plan_of(spark, "topk_window")
+        assert "WindowGroupLimit" in plan
+
+    def test_relational_paths_whole_stage_codegen(self, spark):
+        # "*(n)" is the WholeStageCodegen stage marker in plan strings
+        for name in ("block_avg", "validity_pred", "summary_counts"):
+            assert "*(" in plan_of(spark, name, execute=True), name
+
+
+class TestNoDriverLoops:
+    def test_flagship_tile_pipeline_single_shuffle(self, spark):
+        """generate -> decode -> cut -> merge is narrow + exactly one
+        hash-shuffle into the merge (the plan audited in VERDICT r1)."""
+        from data_model_spark.operators import tiling
+        from data_model_spark.plans.bucketing import count_exchanges
+        from data_model_spark.sources.images import generate_images_df
+
+        imgs = generate_images_df(spark, 8)
+        merged = tiling.merge_tiles(tiling.build_tiles(imgs, repartition=False))
+        assert count_exchanges(merged) <= 1
