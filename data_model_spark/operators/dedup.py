@@ -193,23 +193,24 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 64, seed: int = 42) -> D
     hash aggregation — no Python in the loop.
     """
     params = minhash_params(num_hashes, seed)
-    spark = sh.sparkSession
-    pdf = local_df(
-        spark, [(i, a, b) for i, (a, b) in enumerate(params)], "hash_id INT, a LONG, b LONG"
-    )
     x = F.pmod(md5_60("shingle"), F.lit(P_MERSENNE))
-    return (
-        sh.withColumn("x", x)
-        .crossJoin(F.broadcast(pdf))
-        .withColumn(
-            "hv",
-            F.pmod(
-                F.col("a") * F.col("x") + F.col("b"), F.lit(P_MERSENNE)
-            ),
-        )
-        .groupBy("doc_id", "hash_id")
-        .agg(F.min("hv").alias("minhash"))
+    # ONE pass, k min-aggregates wide, then unpivot — no k-way row blowup:
+    # the k-param cross join multiplies the shingle stream k times through
+    # the shuffle; k parallel partial-min columns reduce map-side to one row
+    # per doc per task.  Same values, 10^12-row-friendly plan.
+    mins = [
+        F.min(
+            F.pmod(F.lit(a) * F.col("x") + F.lit(b), F.lit(P_MERSENNE))
+        ).alias(f"m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    wide = sh.withColumn("x", x).groupBy("doc_id").agg(*mins)
+    stack = (
+        f"stack({num_hashes}, "
+        + ", ".join(f"{i}, m{i}" for i in range(num_hashes))
+        + ") as (hash_id, minhash)"
     )
+    return wide.select("doc_id", F.expr(stack))
 
 
 def lsh_candidates(
