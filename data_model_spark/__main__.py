@@ -45,7 +45,11 @@ def cmd_convert(args) -> int:
         tiling.build_tiles(images, min_dimension=args.min_dimension, repartition=False)
     ).persist()
     levels = sorted(r.level for r in merged.select("level").distinct().collect())
-    sink = ResumableTileWrite(args.output, args.checkpoint or args.output + "_ckpt")
+    sink = ResumableTileWrite(
+        args.output,
+        args.checkpoint or args.output + "_ckpt",
+        layout=args.layout,
+    )
     results = sink.run(spark, merged, levels, max_retries=args.max_retries)
     print(
         json.dumps(
@@ -126,6 +130,13 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--min-dimension", type=int, default=64)
     c.add_argument("--min-psnr-db", type=float, default=40.0)
     c.add_argument("--max-retries", type=int, default=3)
+    c.add_argument(
+        "--layout",
+        choices=["bands", "zorder"],
+        default="bands",
+        help="physical clustering of each level partition: y-band hash "
+        "(scaling default) or Morton Z-order (tight 2-D row-group stats)",
+    )
     c.add_argument("--checkpoint", help="checkpoint table path (default: OUTPUT_ckpt)")
     c.set_defaults(fn=cmd_convert)
 

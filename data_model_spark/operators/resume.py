@@ -92,12 +92,44 @@ class ResumableTileWrite:
     Per-partition lineage buckets are keyed by tile content
     (``xxhash64(tile_x, tile_y) % lineage_buckets``) so rows are stable
     across reruns with different parallelism.
+
+    ``layout`` clusters each level partition before the write: "bands"
+    (spatial_block_partition — the scaling-proven y-band hash) or "zorder"
+    (Morton clustering, tight 2-D row-group stats for bbox pruning); None
+    writes with the upstream partitioning unchanged.
     """
 
-    def __init__(self, table_path: str, checkpoint_path: str, lineage_buckets: int = 16):
+    def __init__(
+        self,
+        table_path: str,
+        checkpoint_path: str,
+        lineage_buckets: int = 16,
+        layout: str | None = None,
+        layout_partitions: int = 32,
+    ):
         self.table = PartitionedTable(table_path, ["level"])
         self.log = CheckpointLog(checkpoint_path)
         self.lineage_buckets = lineage_buckets
+        if layout not in (None, "bands", "zorder"):
+            raise ValueError(f"unknown layout: {layout!r}")
+        self.layout = layout
+        self.layout_partitions = layout_partitions
+
+    def _cluster(self, level_df: DataFrame) -> DataFrame:
+        """Apply the configured physical layout to one level partition."""
+        from ..plans.partitioning import spatial_block_partition, zorder_partition
+
+        if self.layout == "bands":
+            return spatial_block_partition(level_df, self.layout_partitions)
+        if self.layout == "zorder":
+            # grid_bits from the EXACT key extent of this level (one cheap
+            # agg over already-persisted keys — deterministic, not sampled)
+            mx = level_df.agg(
+                F.greatest(F.max("tile_x"), F.max("tile_y")).alias("m")
+            ).collect()[0][0]
+            grid_bits = max(1, int(mx).bit_length())
+            return zorder_partition(level_df, self.layout_partitions, grid_bits)
+        return level_df
 
     def _probe(self, spark: SparkSession, lv: int) -> list:
         """Per-bucket (n, checksum) lineage of the committed level partition."""
@@ -174,8 +206,9 @@ class ResumableTileWrite:
                 .collect()[0][:2]
             )
             parts = []
+            clustered = self._cluster(level_df)
             for attempt in range(max_retries + 1):
-                self.table.overwrite_partitions(level_df)
+                self.table.overwrite_partitions(clustered)
                 # validation probe: re-read the committed partition,
                 # collecting PER-PARTITION lineage (north rule) in the same
                 # pass, bucketed by stable content key

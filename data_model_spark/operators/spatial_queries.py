@@ -268,10 +268,42 @@ def tile_point_query(spark, sf_dir):
     return hits.select("level", "tile_x", "tile_y", "n_sources", "filled_px")
 
 
-@register("pyramid_layout_meta", None)  # R3 geometry, golden-tested in test_gridlib
+_LAYOUT_ORACLE = """
+WITH RECURSIVE lv(level) AS (
+  SELECT 0
+  UNION ALL
+  SELECT level + 1 FROM lv WHERE 5490 // (1 << (level + 1)) >= 256
+),
+dims AS (
+  SELECT level, CAST(5490 // (1 << level) AS INTEGER) AS w,
+         CAST(5490 // (1 << level) AS INTEGER) AS h
+  FROM lv)
+SELECT 'r' || CAST(10 * (1 << level) AS VARCHAR) || 'm' AS asset,
+       CASE WHEN level = 0 THEN NULL
+            ELSE 'r' || CAST(10 * (1 << (level - 1)) AS VARCHAR) || 'm'
+       END AS derived_from,
+       CAST(GREATEST(0, CEIL(LOG2(w / 256.0))) AS INTEGER) AS zoom,
+       CASE WHEN level = 0 THEN 1.0
+            ELSE (5490 // (1 << (level - 1))) / CAST(w AS DOUBLE)
+       END AS rel_scale,
+       0.0 AS rel_translation,
+       h AS shape_h, w AS shape_w,
+       (654900.0 - 600000.0) / w AS pixel_dx,
+       -(5144900.0 - 5090000.0) / h AS pixel_dy
+FROM dims"""
+
+
+@register("pyramid_layout_meta", _LAYOUT_ORACLE)
 def pyramid_layout_meta(spark, sf_dir):
     """Multiscale layout metadata table (minispec `layout` fields): level
-    dims, relative scale/translation, absolute affine — R3 as a query."""
+    dims, relative scale/translation, absolute affine — R3 as a query.
+
+    The oracle is an independent re-derivation, NOT an echo: a recursive CTE
+    replays the COG /2 halving enumeration (gridlib.overview_levels), the
+    web-map zoom formula, the parent/child rel-scale ratio and the
+    from-bounds affine from the same (5490, min_dim=256, bounds) inputs —
+    so the Python gridlib geometry is cross-checked by SQL arithmetic.
+    """
     from ..functions import gridlib
     from ..sources.tables import local_df
 

@@ -161,3 +161,35 @@ def test_corrupted_partition_detected_and_rewritten(spark, tiles, tmp_path):
     # with revalidation off, nothing is touched (pure anti-join skip)
     r2 = sink.run(spark, tiles, levels, revalidate=False)
     assert sorted(r2["skipped"]) == levels and not r2["written"]
+
+
+class TestWriteLayouts:
+    """ResumableTileWrite ``layout`` option: clustering changes file layout,
+    never content, and the checksum/lineage resume contract still holds."""
+
+    def _rows(self, spark, sink):
+        return {
+            (r.level, r.tile_x, r.tile_y, r.px_sum)
+            for r in sink.table.read(spark)
+            .select("level", "tile_x", "tile_y", "px_sum")
+            .collect()
+        }
+
+    @pytest.mark.parametrize("layout", ["bands", "zorder"])
+    def test_layout_preserves_content_and_resume(self, spark, tiles, tmp_path, layout):
+        levels = sorted(r.level for r in tiles.select("level").distinct().collect())
+        plain = ResumableTileWrite(str(tmp_path / "p"), str(tmp_path / "pc"))
+        clustered = ResumableTileWrite(
+            str(tmp_path / "c"), str(tmp_path / "cc"), layout=layout
+        )
+        plain.run(spark, tiles, levels)
+        r1 = clustered.run(spark, tiles, levels)
+        assert sorted(r1["written"]) == levels
+        assert self._rows(spark, plain) == self._rows(spark, clustered)
+        # resume over the clustered table: checksums validate, all skipped
+        r2 = clustered.run(spark, tiles, levels)
+        assert sorted(r2["skipped"]) == levels and not r2["written"]
+
+    def test_unknown_layout_rejected(self, tmp_path):
+        with pytest.raises(ValueError):
+            ResumableTileWrite(str(tmp_path / "x"), str(tmp_path / "xc"), layout="hilbert")
