@@ -96,3 +96,29 @@ def streaming_tiles(spark, sf_dir):
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+_EVT_WINDOW_ORACLE = """
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY 1, 2"""
+
+
+@register("streaming_event_windows", _EVT_WINDOW_ORACLE)
+def streaming_event_windows(spark, sf_dir):
+    """Watermarked tumbling-window aggregation as a REAL streaming query.
+
+    readStream over the events parquet -> 30-min event-time watermark ->
+    10-min windows -> memory sink under Trigger.AvailableNow.  Draining the
+    full input in one trigger makes the result equal the batch window
+    aggregation, so the streaming operator itself is oracle-checked
+    (DuckDB time_bucket twin); a continuous deployment runs the same query
+    in update/append mode where the watermark bounds the state store.
+    """
+    import os
+
+    from ..streaming.windowed import windowed_event_counts
+
+    return windowed_event_counts(spark, os.path.join(sf_dir, "events.parquet"))

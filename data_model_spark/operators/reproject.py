@@ -179,7 +179,26 @@ def overview_gcps(g: DataFrame, factor: float) -> DataFrame:
     )
 
 
-@register("gcp_overview_gcps", None)  # golden-tested vs NumPy in tests/test_warp.py
+def _gcp_overview_oracle() -> str:
+    """The scale+round-half-even+group-mean replayed in SQL over the inlined
+    deterministic GCP grid (DuckDB round_even == Spark bround == np.round)."""
+    pdf = synth_s1_gcps()
+    vals = ", ".join(
+        f"({int(r.line)}, {int(r.pixel)}, {float(r.latitude)!r},"
+        f" {float(r.longitude)!r}, {float(r.height)!r})"
+        for r in pdf.itertuples()
+    )
+    return f"""
+WITH g(line, pixel, latitude, longitude, height) AS (VALUES {vals})
+SELECT CAST(round_even(line / 2.0, 0) AS BIGINT) AS line,
+       CAST(round_even(pixel / 2.0, 0) AS BIGINT) AS pixel,
+       ROUND(AVG(latitude), 9) AS latitude,
+       ROUND(AVG(longitude), 9) AS longitude,
+       ROUND(AVG(height), 9) AS height
+FROM g GROUP BY 1, 2"""
+
+
+@register("gcp_overview_gcps", _gcp_overview_oracle)
 def gcp_overview_gcps(spark, sf_dir):
     """Registered /2-overview GCP grid for the synthetic S1 scene."""
     g = local_df(

@@ -209,6 +209,36 @@ def emb_neardup_pairs(spark, sf_dir):
     )
 
 
+def emb_neardup_lsh(
+    vectors, threshold: float = 0.35, num_planes: int = 6, dim: int = 64
+):
+    """Scale-path twin of the all-pairs near-dup scan: hyperplane-bucket
+    self-join generates candidates (same-bucket pairs), exact cosine refines.
+
+    At 10^12 vectors the all-pairs crossJoin is a non-starter; this is an
+    equi-join on the bucket key whose per-bucket pair work is bounded by the
+    bucket occupancy — the standard recall/cost dial is num_planes.
+    """
+    sig = hyperplane_signatures(vectors, num_planes, dim)
+    a = sig.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("bucket"),
+    )
+    b = sig.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("bucket"),
+    )
+    cand = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    cos = cosine_expr("ea", "eb")
+    return (
+        cand.withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
 def _dot_sql(consts, col: str = "e") -> str:
     """Explicit per-element dot product: ``e[1]*c1 + e[2]*c2 + ...``.
 
@@ -296,3 +326,27 @@ def ivf_cell_counts(spark, sf_dir):
     return ivf_assign(emb, num_cells=16).groupBy("ivf_cell").agg(
         F.count("*").alias("n")
     )
+
+
+def _emb_lsh_oracle(num_planes: int = 6, dim: int = 64, threshold: float = 0.35) -> str:
+    planes = lsh_planes(num_planes, dim)
+    bucket = " + ".join(
+        f"(CASE WHEN ({_dot_sql(planes[p])}) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(num_planes)
+    )
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+             WHERE vec_id < 200),
+sig AS (SELECT vec_id, e, {bucket} AS bucket FROM emb)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine
+FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= {threshold!r}"""
+
+
+@register("emb_neardup_lsh_pairs", _emb_lsh_oracle(6))
+def emb_neardup_lsh_pairs(spark, sf_dir):
+    """Bucketed embedding near-dup pairs — the 10^12-scale path; candidate
+    generation AND refinement oracle-checked (exact-fold bucket signs)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return emb_neardup_lsh(emb, threshold=0.35, num_planes=6)
