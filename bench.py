@@ -102,6 +102,8 @@ def main() -> None:
         "phash_neardup_pairs",
         "grouping_rollup",
         "pyramid_cascade",
+        "emb_neardup_lsh_pairs",
+        "streaming_event_windows",
     ]
     registry = all_queries()
     join_rows = 0
