@@ -83,3 +83,28 @@ class TestNoDriverLoops:
         imgs = generate_images_df(spark, 8)
         merged = tiling.merge_tiles(tiling.build_tiles(imgs, repartition=False))
         assert count_exchanges(merged) <= 1
+
+
+class TestPartitionPruning:
+    def test_level_filter_prunes_partitions(self, spark, tmp_path):
+        """The tile table is partitioned by level; a level filter must reach
+        the scan as a PartitionFilter (directory pruning), not a row filter
+        — at 100 TB this is the difference between reading one pyramid
+        level and reading all of them."""
+        from pyspark.sql import functions as F
+
+        out = str(tmp_path / "tiles")
+        df = spark.range(0, 3000).select(
+            (F.col("id") % 3).alias("level"),
+            F.col("id").alias("tile_x"),
+            (F.col("id") * 2).alias("tile_y"),
+        )
+        df.write.mode("overwrite").partitionBy("level").parquet(out)
+        q = spark.read.parquet(out).filter(F.col("level") == 1)
+        q.collect()
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "level" in plan.split(
+            "PartitionFilters"
+        )[1].split("]")[0]
+        # the pruned scan reads 1 of 3 level directories
+        assert q.count() == 1000
