@@ -38,11 +38,16 @@ def cmd_convert(args) -> int:
         images = img_src.generate_images_df(spark, args.n_images)
     images = images.cache()
     n = images.count()
-    n_valid = tiling.validate_images(images).filter(
-        F.col("psnr_db") >= args.min_psnr_db
-    ).count()
+    # the PSNR gate actually gates: only validated images are tiled
+    valid_ids = (
+        tiling.validate_images(images)
+        .filter(F.col("psnr_db") >= args.min_psnr_db)
+        .select("image_id")
+    )
+    gated = images.join(valid_ids, "image_id", "left_semi").cache()
+    n_valid = gated.count()
     merged = tiling.merge_tiles(
-        tiling.build_tiles(images, min_dimension=args.min_dimension, repartition=False)
+        tiling.build_tiles(gated, min_dimension=args.min_dimension, repartition=False)
     ).persist()
     levels = sorted(r.level for r in merged.select("level").distinct().collect())
     sink = ResumableTileWrite(

@@ -340,7 +340,12 @@ def read_app4(data: bytes) -> bytes | None:
 
 def decode_jpeg_gray8(data: bytes) -> np.ndarray:
     """Decode a baseline JFIF grayscale stream produced by any encoder
-    (single component, tables as declared in the stream)."""
+    (single component, tables as declared in the stream).
+
+    Honest boundaries: progressive/extended SOFs, multi-component scans and
+    restart intervals (DRI/RSTn) raise NotImplementedError rather than
+    mis-decoding; 0xFF fill padding before markers is accepted.
+    """
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (missing SOI)")
     i = 2
@@ -350,11 +355,22 @@ def decode_jpeg_gray8(data: bytes) -> np.ndarray:
     dc_tid = ac_tid = 0
     scan = None
     while i < len(data):
-        assert data[i] == 0xFF, f"marker expected at {i}"
+        if data[i] != 0xFF:
+            raise ValueError(f"marker expected at offset {i}")
+        while i + 1 < len(data) and data[i + 1] == 0xFF:
+            i += 1  # 0xFF fill bytes before a marker are legal padding
         marker = data[i + 1]
         i += 2
         if marker == 0xD9:  # EOI
             break
+        if marker == 0xDD:  # DRI: restart intervals
+            raise NotImplementedError(
+                "restart intervals (DRI/RSTn) not supported by this decoder"
+            )
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # standalone markers carry no length field; none are expected
+            # outside entropy data in the streams we accept
+            raise NotImplementedError(f"standalone marker 0x{marker:02x}")
         ln = struct.unpack(">H", data[i : i + 2])[0]
         seg = data[i + 2 : i + ln]
         if marker == 0xDB:  # DQT (possibly multiple tables)
@@ -393,6 +409,10 @@ def decode_jpeg_gray8(data: bytes) -> np.ndarray:
             k = j
             while k < len(data) - 1:
                 if data[k] == 0xFF and data[k + 1] not in (0x00,):
+                    if 0xD0 <= data[k + 1] <= 0xD7:  # RSTn inside the scan
+                        raise NotImplementedError(
+                            "restart markers in entropy data not supported"
+                        )
                     break
                 k += 1
             scan = data[j:k].replace(b"\xff\x00", b"\xff")

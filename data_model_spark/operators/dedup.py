@@ -38,6 +38,28 @@ from .registry import register
 # ~2^-31 — negligible for signature lengths in the tens
 P_MERSENNE = (1 << 31) - 1
 
+# intermediates persisted by self_pairs/jaccard_pairs: the returned
+# DataFrames are lazy, so the functions themselves can't unpersist (the
+# caches back the result plan and are reused across its actions).  Long-
+# lived sessions that loop dedup queries call ``unpersist_intermediates()``
+# between iterations to release them.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def unpersist_intermediates() -> int:
+    """Release every shingle/chunk cache persisted by this module."""
+    n = 0
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+        n += 1
+    return n
+
 
 def md5_60(col) -> "F.Column":
     """First 60 bits of md5 as a non-negative int64.
@@ -112,9 +134,10 @@ def self_pairs(
     if not salt:
         return plain(df)
     # the hot/cold split reads df three times (freq agg, anti, semi);
-    # persist so the upstream explosion/aggregation runs once
+    # persist so the upstream explosion/aggregation runs once (released via
+    # unpersist_intermediates)
     if not df.is_cached:
-        df = df.persist()
+        df = _persist(df)
     freq = df.groupBy(*keys).agg(F.count("*").alias("f"))
     hot = freq.filter(F.col("f") >= hot_min).select(*keys)
     cold_pairs = plain(df.join(F.broadcast(hot), keys, "left_anti"))
@@ -149,7 +172,7 @@ def jaccard_pairs(
     """
     sh = shingles_df(docs, n)
     if salt and not sh.is_cached:
-        sh = sh.persist()  # reused by sizes + the salted split
+        sh = _persist(sh)  # reused by sizes + the salted split
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         self_pairs(sh, ["shingle"], salt=salt, hot_min=hot_min)

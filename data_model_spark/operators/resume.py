@@ -127,6 +127,8 @@ class ResumableTileWrite:
             mx = level_df.agg(
                 F.greatest(F.max("tile_x"), F.max("tile_y")).alias("m")
             ).collect()[0][0]
+            if mx is None:  # empty level partition: nothing to cluster
+                return level_df
             grid_bits = max(1, int(mx).bit_length())
             return zorder_partition(level_df, self.layout_partitions, grid_bits)
         return level_df

@@ -192,20 +192,25 @@ def ann_bruteforce_topk(spark, sf_dir):
                                            b.embedding::DOUBLE[]), 6) AS cosine
        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
        WHERE a.vec_id < 200 AND b.vec_id < 200
-         AND list_cosine_similarity(a.embedding::DOUBLE[],
-                                    b.embedding::DOUBLE[]) >= 0.35""",
+         AND ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 6) >= 0.35""",
 )
 def emb_neardup_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (threshold 0.35), exact all-pairs."""
+    """Embedding-cosine near-dup pairs (threshold 0.35), exact all-pairs.
+
+    Both engines threshold the ROUNDED cosine: the raw doubles can differ
+    by an ulp across engines (fold order), so filtering on the raw value
+    would make a boundary pair flip between the two sides.
+    """
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
     cos = cosine_expr("ea", "eb")
     return (
-        pairs.withColumn("cos_raw", cos)
-        .filter(F.col("cos_raw") >= 0.35)
-        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
+        pairs.withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= 0.35)
+        .select("vec_a", "vec_b", "cosine")
     )
 
 
@@ -232,10 +237,12 @@ def emb_neardup_lsh(
     )
     cand = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
     cos = cosine_expr("ea", "eb")
+    # threshold the ROUNDED cosine (cross-engine ulp safety, see
+    # emb_neardup_pairs)
     return (
-        cand.withColumn("cos_raw", cos)
-        .filter(F.col("cos_raw") >= threshold)
-        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
+        cand.withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
     )
 
 
@@ -341,7 +348,7 @@ sig AS (SELECT vec_id, e, {bucket} AS bucket FROM emb)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine
 FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.e, b.e) >= {threshold!r}"""
+WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= {threshold!r}"""
 
 
 @register("emb_neardup_lsh_pairs", _emb_lsh_oracle(6))

@@ -167,6 +167,10 @@ def pip_join_cells(
     pts = with_point_cell(points, res, lon, lat)
     if salt is None:
         if broadcast_covers is None:
+            # the auto-gate's bounded count would otherwise re-run the
+            # pandas-UDF cover explosion a second time for the join itself —
+            # persist so the most expensive stage executes once
+            covers = covers.persist()
             broadcast_covers = (
                 covers.limit(broadcast_limit + 1).count() <= broadcast_limit
             )

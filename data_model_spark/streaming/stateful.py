@@ -8,9 +8,12 @@ express for our compose semantics — the custom-stateful-operator case:
 ``applyInPandasWithState`` (GroupState, GroupStateTimeout) keyed by
 ``(level, tile_x, tile_y)``.
 
-State per key = running (n_sources, filled_px, px_sum, px_cnt) — the same
-associative carry the batch merge uses (partial+final exactness, SURVEY §2
-A15), so the streamed totals equal the batch job's.  Keys idle past the
+State per key = running (n_sources, px_sum, px_cnt) plus a PACKED FOOTPRINT
+BITMASK (8 KB per live key) so ``filled_px`` is the union of fragment
+rectangles — the same quantity the batch merge derives from its canvas, NOT
+the sum of per-fragment pixel counts (which double-counts overlaps).  The
+(sum, count) carry keeps partial+final exactness (SURVEY §2 A15); streamed
+totals equal the batch job's for every output column.  Keys idle past the
 processing-time timeout emit their final row and drop their state — the
 watermark-style eviction that bounds state size at 10^12 tiles.
 """
@@ -19,11 +22,14 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-MERGE_STATE_SCHEMA = "n_sources INT, filled_px LONG, px_sum DOUBLE, px_cnt LONG"
+from ..operators.tiling import TILE_PX
+
+MERGE_STATE_SCHEMA = "n_sources INT, px_sum DOUBLE, px_cnt LONG, mask BINARY"
 MERGED_SCHEMA = (
     "level INT, tile_x LONG, tile_y LONG, n_sources INT, filled_px LONG,"
     " px_sum DOUBLE, px_cnt LONG, final BOOLEAN"
@@ -33,18 +39,29 @@ MERGED_SCHEMA = (
 def _merge_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState, timeout_ms: int | None
 ) -> Iterator[pd.DataFrame]:
-    ns, fp, ps, pc = state.get if state.exists else (0, 0, 0.0, 0)
+    if state.exists:
+        ns, ps, pc, packed = state.get
+        filled = np.unpackbits(np.frombuffer(packed, dtype=np.uint8)).astype(
+            bool
+        ).reshape(TILE_PX, TILE_PX)
+    else:
+        ns, ps, pc = 0, 0.0, 0
+        filled = np.zeros((TILE_PX, TILE_PX), dtype=bool)
     n_new = 0
     for pdf in pdfs:  # a timed-out invocation yields one EMPTY frame
         n_new += int(len(pdf))
         if len(pdf):
             ns += int(len(pdf))
-            fp += int(pdf["px_cnt"].sum())
             ps += float(pdf["px_sum"].sum())
             pc += int(pdf["px_cnt"].sum())
+            for ox, oy, w, h in zip(
+                pdf["off_x"], pdf["off_y"], pdf["tile_w"], pdf["tile_h"]
+            ):
+                filled[int(oy) : int(oy) + int(h), int(ox) : int(ox) + int(w)] = True
+    fp = int(filled.sum())
     level, tx, ty = key
     if not state.hasTimedOut and n_new:
-        state.update((ns, fp, ps, pc))
+        state.update((ns, ps, pc, bytes(np.packbits(filled))))
         if timeout_ms is not None:
             state.setTimeoutDuration(timeout_ms)  # evict when idle
         final = False
@@ -88,7 +105,10 @@ def merge_tiles_stateful(
         return _merge_fn(key, pdfs, state, timeout_ms)
 
     return (
-        fragments.select("level", "tile_x", "tile_y", "px_sum", "px_cnt")
+        fragments.select(
+            "level", "tile_x", "tile_y", "off_x", "off_y", "tile_w", "tile_h",
+            "px_sum", "px_cnt",
+        )
         .groupBy("level", "tile_x", "tile_y")
         .applyInPandasWithState(
             fn,

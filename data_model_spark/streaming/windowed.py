@@ -75,4 +75,8 @@ def windowed_event_counts(
     finally:
         if staged:
             shutil.rmtree(staged, ignore_errors=True)
-    return spark.table(name)
+    # detach the result from the memory sink, then drop the sink's temp view
+    # so repeated calls don't accumulate materialized sinks in the driver
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out

@@ -148,3 +148,10 @@ class TestSimilarity:
         )
         assert sum(counts.values()) == emb.count()
         assert all(0 <= c < 8 for c in counts)
+
+
+class TestCacheHygiene:
+    def test_unpersist_intermediates_releases_caches(self, spark, docs):
+        dedup.jaccard_pairs(docs, 0.5).count()
+        assert dedup.unpersist_intermediates() > 0
+        assert dedup.unpersist_intermediates() == 0  # idempotent

@@ -118,3 +118,23 @@ class TestRegistryU16:
         )
         d = decode_image(legacy, "jpeg", 32, 32)
         assert psnr_db(a, d) >= 40.0
+
+
+class TestDecoderBoundaries:
+    """Honest-boundary behavior: mis-decodable streams refuse, legal padding
+    is accepted (T.81 B.1.1.2 allows 0xFF fill bytes before any marker)."""
+
+    def test_dri_rejected_not_misdecoded(self):
+        enc = bytearray(J.encode_jpeg_gray8(smooth_noise((16, 16))))
+        # splice a DRI segment (FF DD 00 04 + 2-byte interval) after SOI
+        dri = bytes([0xFF, 0xDD, 0x00, 0x04, 0x00, 0x08])
+        spliced = bytes(enc[:2]) + dri + bytes(enc[2:])
+        with pytest.raises(NotImplementedError, match="restart"):
+            J.decode_jpeg_gray8(spliced)
+
+    def test_fill_bytes_before_marker_accepted(self):
+        px = smooth_noise((16, 16))
+        enc = bytearray(J.encode_jpeg_gray8(px))
+        spliced = bytes(enc[:2]) + b"\xff\xff\xff" + bytes(enc[2:])
+        out = J.decode_jpeg_gray8(spliced)
+        np.testing.assert_array_equal(out, J.decode_jpeg_gray8(bytes(enc)))

@@ -48,14 +48,16 @@ def test_stateful_merge_matches_batch(spark, split_images, tmp_path):
 
     # last update per key = the accumulated state across micro-batches
     updates = spark.sql(
-        """SELECT level, tile_x, tile_y, n_sources, px_sum, px_cnt FROM (
+        """SELECT level, tile_x, tile_y, n_sources, filled_px, px_sum, px_cnt FROM (
              SELECT *, row_number() OVER (
                PARTITION BY level, tile_x, tile_y
                ORDER BY n_sources DESC) AS rn
              FROM merged_state) WHERE rn = 1"""
     )
     got = {
-        (r.level, r.tile_x, r.tile_y): (r.n_sources, round(r.px_sum, 3), r.px_cnt)
+        (r.level, r.tile_x, r.tile_y): (
+            r.n_sources, r.filled_px, round(r.px_sum, 3), r.px_cnt
+        )
         for r in updates.collect()
     }
 
@@ -65,9 +67,12 @@ def test_stateful_merge_matches_batch(spark, split_images, tmp_path):
         )
     )
     exp = {
-        (r.level, r.tile_x, r.tile_y): (r.n_sources, round(r.px_sum, 3), r.px_cnt)
+        (r.level, r.tile_x, r.tile_y): (
+            r.n_sources, r.filled_px, round(r.px_sum, 3), r.px_cnt
+        )
         for r in batch.collect()
     }
+    # filled_px is the footprint UNION (overlaps counted once), matching batch
     assert got == exp
     # at least one tile key must have accumulated across both micro-batches
     assert any(v[0] > 1 for v in got.values())
