@@ -402,8 +402,8 @@ def decode_jpeg_gray8(data: bytes) -> np.ndarray:
                 vals = list(seg[p + 17 : p + 17 + nv])
                 (dc_peek if cls == 0 else ac_peek)[tid] = _peek_table(bits, vals)
                 p += 17 + nv
-        elif marker == 0xDA:  # SOS
-            dc_tid, ac_tid = seg[3] >> 4, seg[3] & 0x0F
+        elif marker == 0xDA:  # SOS: [Ns, Cs1, Td<<4|Ta, Ss, Se, AhAl]
+            dc_tid, ac_tid = seg[2] >> 4, seg[2] & 0x0F
             j = i + ln
             # entropy data runs to the next real marker (skip stuffed FF00)
             k = j

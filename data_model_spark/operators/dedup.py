@@ -40,25 +40,11 @@ P_MERSENNE = (1 << 31) - 1
 
 # intermediates persisted by self_pairs/jaccard_pairs: the returned
 # DataFrames are lazy, so the functions themselves can't unpersist (the
-# caches back the result plan and are reused across its actions).  Long-
-# lived sessions that loop dedup queries call ``unpersist_intermediates()``
-# between iterations to release them.
-_PERSISTED: list[DataFrame] = []
-
-
-def _persist(df: DataFrame) -> DataFrame:
-    df = df.persist()
-    _PERSISTED.append(df)
-    return df
-
-
-def unpersist_intermediates() -> int:
-    """Release every shingle/chunk cache persisted by this module."""
-    n = 0
-    while _PERSISTED:
-        _PERSISTED.pop().unpersist()
-        n += 1
-    return n
+# caches back the result plan and are reused across its actions).  They
+# route through the shared session cache registry; long-lived sessions
+# call ``unpersist_intermediates()`` between iterations to release them.
+from ..cache import track as _persist  # noqa: E402
+from ..cache import unpersist_tracked as unpersist_intermediates  # noqa: F401, E402
 
 
 def md5_60(col) -> "F.Column":

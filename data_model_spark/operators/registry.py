@@ -26,6 +26,11 @@ class QuerySpec:
             self._oracle = self._oracle()
         return self._oracle
 
+    @property
+    def has_oracle(self) -> bool:
+        """Oracle-backed? — without forcing a lazy builder to resolve."""
+        return self._oracle is not None
+
 
 QUERIES: dict[str, QuerySpec] = {}
 

@@ -57,7 +57,9 @@ class CheckpointLog:
 
     def record_many(self, spark: SparkSession, rows: list[tuple]):
         """Append (unit, n_rows, checksum, wall_s) lineage rows in one commit."""
-        ts = int(time.time())
+        # nanosecond resolution: 'latest row wins' stays deterministic even
+        # when a rewrite lands in the same wall-clock second as the original
+        ts = time.time_ns()
         local_df(
             spark,
             [(u, n, float(c), float(w), ts) for u, n, c, w in rows],

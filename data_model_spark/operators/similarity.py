@@ -258,12 +258,19 @@ def _dot_sql(consts, col: str = "e") -> str:
     return " + ".join(f"{col}[{i + 1}]*{float(c)!r}" for i, c in enumerate(consts))
 
 
+def _bucket_sql(planes) -> str:
+    """Hyperplane sign-bit bucket as SQL — the single source of truth that
+    must stay bit-identical to hyperplane_signatures' ``proj > 0`` rule;
+    both LSH oracles build from it."""
+    return " + ".join(
+        f"(CASE WHEN ({_dot_sql(planes[p])}) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(len(planes))
+    )
+
+
 def _lsh_oracle(num_planes: int = 12, dim: int = 64, k: int = 5) -> str:
     planes = lsh_planes(num_planes, dim)
-    bucket = " + ".join(
-        f"(CASE WHEN ({_dot_sql(planes[p])}) > 0 THEN {1 << p} ELSE 0 END)"
-        for p in range(num_planes)
-    )
+    bucket = _bucket_sql(planes)
     return f"""
 WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 sig AS (SELECT vec_id, e, {bucket} AS bucket FROM emb),
@@ -337,10 +344,7 @@ def ivf_cell_counts(spark, sf_dir):
 
 def _emb_lsh_oracle(num_planes: int = 6, dim: int = 64, threshold: float = 0.35) -> str:
     planes = lsh_planes(num_planes, dim)
-    bucket = " + ".join(
-        f"(CASE WHEN ({_dot_sql(planes[p])}) > 0 THEN {1 << p} ELSE 0 END)"
-        for p in range(num_planes)
-    )
+    bucket = _bucket_sql(planes)
     return f"""
 WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
              WHERE vec_id < 200),

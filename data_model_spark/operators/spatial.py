@@ -169,8 +169,11 @@ def pip_join_cells(
         if broadcast_covers is None:
             # the auto-gate's bounded count would otherwise re-run the
             # pandas-UDF cover explosion a second time for the join itself —
-            # persist so the most expensive stage executes once
-            covers = covers.persist()
+            # persist (session cache registry: cache.unpersist_tracked
+            # releases it) so the most expensive stage executes once
+            from ..cache import track
+
+            covers = track(covers)
             broadcast_covers = (
                 covers.limit(broadcast_limit + 1).count() <= broadcast_limit
             )

@@ -66,11 +66,11 @@ def main() -> None:
         if name == "sortwp":
             return merged.sortWithinPartitions("level", "tile_y", "tile_x")
         if name == "block2c":
-            # deterministic spatial blocks: no sampling job, adjacent tiles
-            # co-located -> tight file-level min/max stats for pruning
-            return merged.repartition(
-                2 * cores, "level", (F.col("tile_y") / 8).cast("long")
-            ).sortWithinPartitions("level", "tile_y", "tile_x")
+            # the SHIPPED write layout — call the helper so the probe always
+            # measures exactly what the pipeline writes
+            from data_model_spark.plans.partitioning import spatial_block_partition
+
+            return spatial_block_partition(merged, 2 * cores)
         raise ValueError(name)
 
     results = {}

@@ -138,3 +138,30 @@ class TestDecoderBoundaries:
         spliced = bytes(enc[:2]) + b"\xff\xff\xff" + bytes(enc[2:])
         out = J.decode_jpeg_gray8(spliced)
         np.testing.assert_array_equal(out, J.decode_jpeg_gray8(bytes(enc)))
+
+    def test_declared_scan_tables_respected(self):
+        """A foreign-encoder stream may declare Huffman table 1 in DHT+SOS
+        (T.81: Td/Ta live in SOS byte 2, not byte 3=Ss).  Rewriting our
+        stream's table ids 0 -> 1 must decode identically."""
+        px = smooth_noise((24, 24))
+        enc = bytearray(J.encode_jpeg_gray8(px))
+        i = 2
+        while i < len(enc) - 1:
+            assert enc[i] == 0xFF
+            marker = enc[i + 1]
+            i += 2
+            if marker == 0xD9:
+                break
+            ln = struct.unpack(">H", bytes(enc[i : i + 2]))[0]
+            if marker == 0xC4:  # DHT: set table id -> 1 (keep class nibble)
+                p = i + 2
+                while p < i + ln:
+                    enc[p] = (enc[p] & 0xF0) | 0x01
+                    nv = sum(enc[p + 1 : p + 17])
+                    p += 17 + nv
+            elif marker == 0xDA:  # SOS: Td/Ta byte is seg[2] -> 0x11
+                enc[i + 2 + 2] = 0x11
+                break
+            i += ln
+        out = J.decode_jpeg_gray8(bytes(enc))
+        np.testing.assert_array_equal(out, J.decode_jpeg_gray8(J.encode_jpeg_gray8(px)))
