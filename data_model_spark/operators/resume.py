@@ -119,20 +119,15 @@ class ResumableTileWrite:
 
     def _cluster(self, level_df: DataFrame) -> DataFrame:
         """Apply the configured physical layout to one level partition."""
-        from ..plans.partitioning import spatial_block_partition, zorder_partition
+        from ..plans.partitioning import spatial_block_partition, zorder_partition_auto
 
         if self.layout == "bands":
             return spatial_block_partition(level_df, self.layout_partitions)
         if self.layout == "zorder":
-            # grid_bits from the EXACT key extent of this level (one cheap
-            # agg over already-persisted keys — deterministic, not sampled)
-            mx = level_df.agg(
-                F.greatest(F.max("tile_x"), F.max("tile_y")).alias("m")
-            ).collect()[0][0]
-            if mx is None:  # empty level partition: nothing to cluster
-                return level_df
-            grid_bits = max(1, int(mx).bit_length())
-            return zorder_partition(level_df, self.layout_partitions, grid_bits)
+            # origin + grid_bits from the EXACT key extent of this level
+            # (one cheap agg over already-persisted keys — deterministic,
+            # not sampled); empty levels pass through unchanged
+            return zorder_partition_auto(level_df, self.layout_partitions)
         return level_df
 
     def _probe(self, spark: SparkSession, lv: int) -> list:

@@ -118,26 +118,97 @@ def zorder_partition(
     level_col: str = "level",
     y_col: str = "tile_y",
     x_col: str = "tile_x",
+    x0: int = 0,
+    y0: int = 0,
 ) -> DataFrame:
     """Z-order-clustered repartition: the 2-D twin of spatial_block_partition.
 
-    ``grid_bits`` = bits per axis of the tile grid at the finest level
-    (known from the layout metadata — ``gridlib.multiscale_layout`` — NOT
-    sampled from data, so there is no sampling job).  The Morton space is
-    cut into ~``n_partitions`` CONTIGUOUS z-regions (partition key =
-    ``z >> (2*grid_bits - log2(n))``); rows sort by z inside each partition,
-    so every parquet row group covers one contiguous Morton run and its
-    min/max stats are tight on BOTH axes (verified against footer stats in
-    tests/test_zorder.py).  Same single-exchange cost as the y-band path.
+    ``grid_bits`` = bits per axis of the tile EXTENT (known from the layout
+    metadata or one exact key aggregation — NOT sampled, so there is no
+    sampling job).  ``(x0, y0)`` translate indices to the data's own origin
+    before interleaving: scene tile grids usually occupy an offset subgrid
+    of the global index space, and ABSOLUTE Morton codes of an offset
+    region collapse into a handful of coarse z-blocks (measured: 4
+    non-empty partitions from a 64-scene layout -> no write parallelism);
+    with the origin removed the region is dense at the bottom of the curve
+    and the z-region split spreads evenly.
+
+    The Morton space is cut into ~``n_partitions`` CONTIGUOUS z-regions
+    (partition key = ``z >> (2*grid_bits - log2(n))``); rows sort by z
+    inside each partition, so every parquet row group covers one contiguous
+    Morton run and its min/max stats are tight on BOTH axes (verified
+    against footer stats in tests/test_zorder.py).  Same single-exchange
+    cost as the y-band path.
     """
     import math
 
     from pyspark.sql import functions as F
 
     shift = max(0, 2 * grid_bits - max(1, math.ceil(math.log2(n_partitions))))
-    z = zorder_key(x_col, y_col, bits=grid_bits)
+    df = df.withColumn("_zx", F.col(x_col) - F.lit(x0)).withColumn(
+        "_zy", F.col(y_col) - F.lit(y0)
+    )
+    z = zorder_key("_zx", "_zy", bits=grid_bits)
     return (
         df.withColumn("_z", z)
+        .drop("_zx", "_zy")
+        .repartition(n_partitions, F.col(level_col), F.shiftright(F.col("_z"), shift))
+        .sortWithinPartitions(level_col, "_z")
+        .drop("_z")
+    )
+
+
+def zorder_partition_auto(
+    df: DataFrame,
+    n_partitions: int,
+    level_col: str = "level",
+    y_col: str = "tile_y",
+    x_col: str = "tile_x",
+) -> DataFrame:
+    """Z-order partition with PER-LEVEL origins + a shared grid_bits, all
+    derived from the EXACT key extents (one tiny aggregation per call —
+    deterministic, not sampled); empty inputs pass through unchanged.
+
+    Per-level normalization matters when one call covers a whole pyramid:
+    each level's tile indices nest inside the finer level's range, so a
+    single global origin leaves every level but one offset — and offset
+    regions collapse into few Morton blocks (see zorder_partition).  The
+    per-level origin table is tiny (O(levels)) and broadcast-joined.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    stats = (
+        df.groupBy(level_col)
+        .agg(
+            F.min(x_col).alias("_x0"),
+            F.min(y_col).alias("_y0"),
+            F.max(x_col).alias("_x1"),
+            F.max(y_col).alias("_y1"),
+        )
+        .collect()
+    )
+    if not stats:
+        return df
+    extent = max(
+        max(int(r._x1) - int(r._x0), int(r._y1) - int(r._y0), 1) for r in stats
+    )
+    grid_bits = max(1, extent.bit_length())
+    spark = df.sparkSession
+    origins = spark.createDataFrame(
+        [(r[0], int(r._x0), int(r._y0)) for r in stats],
+        f"{level_col} int, _ox long, _oy long",
+    )
+    shift = max(0, 2 * grid_bits - max(1, math.ceil(math.log2(n_partitions))))
+    joined = df.join(F.broadcast(origins), level_col)
+    joined = joined.withColumn("_zx", F.col(x_col) - F.col("_ox")).withColumn(
+        "_zy", F.col(y_col) - F.col("_oy")
+    )
+    z = zorder_key("_zx", "_zy", bits=grid_bits)
+    return (
+        joined.withColumn("_z", z)
+        .drop("_zx", "_zy", "_ox", "_oy")
         .repartition(n_partitions, F.col(level_col), F.shiftright(F.col("_z"), shift))
         .sortWithinPartitions(level_col, "_z")
         .drop("_z")

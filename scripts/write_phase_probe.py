@@ -66,15 +66,20 @@ def main() -> None:
         if name == "sortwp":
             return merged.sortWithinPartitions("level", "tile_y", "tile_x")
         if name == "block2c":
-            # the SHIPPED write layout — call the helper so the probe always
-            # measures exactly what the pipeline writes
+            # the SHIPPED default write layout — call the helper so the
+            # probe always measures exactly what the pipeline writes
             from data_model_spark.plans.partitioning import spatial_block_partition
 
             return spatial_block_partition(merged, 2 * cores)
+        if name == "zorder2c":
+            # the opt-in Morton layout (ResumableTileWrite layout="zorder")
+            from data_model_spark.plans.partitioning import zorder_partition_auto
+
+            return zorder_partition_auto(merged, 2 * cores)
         raise ValueError(name)
 
     results = {}
-    for name in ("range32", "direct", "hash2c", "sortwp", "block2c"):
+    for name in ("range32", "direct", "hash2c", "sortwp", "block2c", "zorder2c"):
         times = []
         for _ in range(reps):
             out = tempfile.mkdtemp(prefix=f"probe_{name}_", dir="/dev/shm")
