@@ -193,14 +193,11 @@ def warp_gcp(
 
 
 def default_nodata(dtype) -> float:
-    """Reference nodata defaults by dtype (`sentinel1_reprojection.py:181-214`)."""
-    dt = np.dtype(dtype)
-    if dt == np.uint8:
-        return 255.0
-    if dt == np.uint16:
-        return 65535.0
-    if dt == np.int16:
-        return -32768.0
-    if dt.kind in "iu":
-        return 0.0
-    return float("nan")
+    """Reference nodata defaults by dtype (`sentinel1_reprojection.py:181-214`).
+
+    Single source of truth lives in gridlib (same policy governs grid
+    metadata and warp fill); re-exported here for the warp API surface.
+    """
+    from .gridlib import default_nodata as _gd
+
+    return float(_gd(dtype))

@@ -99,8 +99,6 @@ def block_sum_count(
 
 def classification_pick(arr: np.ndarray, th: int, tw: int) -> np.ndarray:
     """Center-pixel nearest-neighbor downsample for classification data (A6)."""
-    h, w = arr.shape[-2:]
-    bh, bw = h // th, w // tw
     cropped, bh, bw = _crop_divisible(arr, th, tw)
     cy, cx = bh // 2, bw // 2
     out = cropped[..., cy::bh, cx::bw]

@@ -204,6 +204,17 @@ class ResumableTileWrite:
                 )
                 .collect()[0][:2]
             )
+            if exp_n == 0:
+                # dynamic overwrite of an empty DataFrame is a no-op, so an
+                # empty unit must explicitly DELETE any stale committed
+                # partition, checkpoint n=0, and skip the write/probe loop
+                # (which would otherwise keep "failing validation" forever)
+                self.table.delete_partition(level=lv)
+                self.log.record_many(
+                    spark, [(unit, 0, 0.0, time.time() - t0)]
+                )
+                results["written"].append(lv)
+                continue
             parts = []
             clustered = self._cluster(level_df)
             for attempt in range(max_retries + 1):

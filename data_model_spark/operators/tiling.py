@@ -87,10 +87,38 @@ def tiles_for_image(
     h, w = decoded.shape
     top = anchor_y + h * pixel_m
     records: list[dict] = []
+    # /2 CASCADE for mean-reduced bands on cleanly-halving dims: integer
+    # sums of u16 pixels are exact in int64 at any accumulation order, so
+    # sum-quads level-to-level then divide by 4^level is BIT-IDENTICAL to
+    # the direct native->level block mean — at ~1.33*H*W total reduction
+    # cost instead of L*H*W in this hot path (asserted equal in
+    # tests/test_tiling_e2e.py).  Non-halving dims or non-mean kernels fall
+    # back to the direct reduction.
+    from .downsample import variable_type
+
+    cascade_ok = variable_type(var_name) == "reflectance"
+    acc = None  # int64 pixel-sum accumulator at the previous level
+    prev_lw = prev_lh = None
     for lv in gridlib.overview_levels(w, h, min_dimension=min_dimension):
         level = lv["level"]
         lw, lh = lv["width"], lv["height"]
-        arr = downsample(decoded, lh, lw, var_name) if level > 0 else decoded
+        if level == 0:
+            arr = decoded
+            acc = decoded.astype(np.int64)
+        elif (
+            cascade_ok
+            and acc is not None
+            and prev_lw == 2 * lw
+            and prev_lh == 2 * lh
+        ):
+            acc = (
+                acc.reshape(lh, 2, lw, 2).sum(axis=(1, 3), dtype=np.int64)
+            )
+            arr = (acc / 4.0**level).astype(decoded.dtype)
+        else:
+            acc = None  # chain broken: direct reduction from native
+            arr = downsample(decoded, lh, lw, var_name)
+        prev_lw, prev_lh = lw, lh
         px = pixel_m * (2**level)
         tile_m = TILE_PX * px
         # level image extent (cropping in downsample keeps the same origin)
@@ -240,7 +268,10 @@ def merge_tiles(tiles: DataFrame) -> DataFrame:
     n_shuffle = int(tiles.sparkSession.conf.get("spark.sql.shuffle.partitions", "64"))
     return (
         tiles.repartition(n_shuffle, "level", "tile_x", "tile_y")
-        .sortWithinPartitions("level", "tile_x", "tile_y")
+        # image_id in the sort pins the compositing order: overlapping scene
+        # fragments overwrite last-write-wins, so without it the merged
+        # pixel bytes depend on shuffle fetch order and differ across runs
+        .sortWithinPartitions("level", "tile_x", "tile_y", "image_id")
         .mapInPandas(compose_stream, out_schema)
     )
 

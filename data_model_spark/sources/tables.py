@@ -113,5 +113,17 @@ class PartitionedTable:
             .parquet(self.path)
         )
 
+    def delete_partition(self, **values) -> None:
+        """Drop a partition directory (Iceberg: delete-by-filter).
+
+        Dynamic partition overwrite of an EMPTY DataFrame is a no-op (only
+        partitions present in the data are replaced), so emptying a
+        partition needs an explicit delete.
+        """
+        import shutil
+
+        sub = "/".join(f"{k}={v}" for k, v in values.items())
+        shutil.rmtree(os.path.join(self.path, sub), ignore_errors=True)
+
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path)

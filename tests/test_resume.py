@@ -193,3 +193,35 @@ class TestWriteLayouts:
     def test_unknown_layout_rejected(self, tmp_path):
         with pytest.raises(ValueError):
             ResumableTileWrite(str(tmp_path / "x"), str(tmp_path / "xc"), layout="hilbert")
+
+
+class TestEmptyLevels:
+    """Empty units must not wedge resume: dynamic overwrite of an empty
+    DataFrame is a no-op, so the sink explicitly deletes stale partitions
+    and checkpoints n=0."""
+
+    def test_first_run_with_empty_level(self, spark, tiles, tmp_path):
+        sink = ResumableTileWrite(str(tmp_path / "t"), str(tmp_path / "c"))
+        levels = sorted(r.level for r in tiles.select("level").distinct().collect())
+        ghost = max(levels) + 7  # no rows exist for this level
+        r = sink.run(spark, tiles, levels + [ghost])
+        assert ghost in r["written"]
+        got = {r_.level for r_ in sink.table.read(spark).select("level").distinct().collect()}
+        assert ghost not in got
+
+    def test_stale_partition_deleted_when_level_becomes_empty(self, spark, tiles, tmp_path):
+        sink = ResumableTileWrite(str(tmp_path / "t"), str(tmp_path / "c"))
+        levels = sorted(r.level for r in tiles.select("level").distinct().collect())
+        sink.run(spark, tiles, levels)
+        drop = levels[-1]
+        shrunk = tiles.filter(F.col("level") != drop)
+        # new checkpoint log (fresh sink) over the same table: the level now
+        # has NO input rows; the stale committed partition must be removed,
+        # not spin the retry loop to failure
+        sink2 = ResumableTileWrite(str(tmp_path / "t"), str(tmp_path / "c2"))
+        r = sink2.run(spark, shrunk, levels)
+        assert drop in r["written"]
+        remaining = {
+            r_.level for r_ in sink2.table.read(spark).select("level").distinct().collect()
+        }
+        assert drop not in remaining and set(levels[:-1]) <= remaining

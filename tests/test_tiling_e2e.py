@@ -185,3 +185,52 @@ class TestBboxQuery:
         )
         assert len(got) > 0
         merged.unpersist()
+
+
+
+class TestMergeDeterminism:
+    def test_overlapping_fragments_compose_deterministically(self, spark):
+        """Scenes overlap by construction (GRID_STEP_M < max scene extent);
+        the merged tile BYTES must be identical across runs — the sort pins
+        the last-write-wins order by image_id."""
+        from data_model_spark.operators import tiling
+        from data_model_spark.sources.images import generate_images_df
+
+        imgs = generate_images_df(spark, 12, num_partitions=6)
+
+        def digest():
+            rows = (
+                tiling.merge_tiles(
+                    tiling.build_tiles(imgs, min_dimension=64, repartition=False)
+                )
+                .select("level", "tile_x", "tile_y", F.md5(F.col("data")).alias("d"))
+                .collect()
+            )
+            return {(r.level, r.tile_x, r.tile_y): r.d for r in rows}
+
+        a, b = digest(), digest()
+        assert a == b and len(a) > 0
+
+
+class TestCascadeExactness:
+    def test_cascaded_levels_equal_direct_reduction(self):
+        """The /2 sum-quad cascade must be BIT-identical to the direct
+        native->level block mean (integer sums are exact in int64)."""
+        from data_model_spark.functions import gridlib
+        from data_model_spark.operators.downsample import downsample
+        from data_model_spark.sources.images import synth_pixels
+
+        decoded = synth_pixels("img_000000000042", 512, 512)
+        recs = tiling.tiles_for_image("img_000000000042", decoded, 0.0, 5120.0)
+        by_level = {}
+        for r in recs:
+            lv = by_level.setdefault(r["level"], [0.0, 0])
+            lv[0] += r["px_sum"]
+            lv[1] += r["px_cnt"]
+        for lv in gridlib.overview_levels(512, 512, min_dimension=64):
+            level, lw, lh = lv["level"], lv["width"], lv["height"]
+            direct = (
+                decoded if level == 0 else downsample(decoded, lh, lw, "b02")
+            ).astype(np.float64)
+            assert by_level[level][1] == lh * lw
+            assert by_level[level][0] == direct.sum(), level
