@@ -75,6 +75,10 @@ def parent(cell, steps: int = 1):
 def children(cell_scalar: int) -> np.ndarray:
     """The four child cells one resolution down (scalar in, 4 ids out)."""
     res = int(cell_res(cell_scalar))
+    if res >= MAX_RES:
+        # child x/y would need res+1 bits and bleed across the packed
+        # 28-bit fields, silently producing colliding ids
+        raise ValueError(f"cannot subdivide below res {MAX_RES}")
     x, y = (int(v) for v in cell_xy(cell_scalar))
     xs = np.array([2 * x, 2 * x + 1, 2 * x, 2 * x + 1], dtype=np.int64)
     ys = np.array([2 * y, 2 * y, 2 * y + 1, 2 * y + 1], dtype=np.int64)
@@ -148,7 +152,8 @@ def polygon_cover(poly_lonlat: np.ndarray, res: int, exact: bool = True) -> np.n
 
 
 def cover_resolution_for_extent(extent_deg: float, target_cells: int = 16) -> int:
-    """Pick a resolution where the extent spans ~target_cells cells per axis."""
+    """Pick a resolution where the extent covers ~``target_cells`` cells in
+    TOTAL (~sqrt(target_cells) per axis)."""
     if extent_deg <= 0:
         return MAX_RES
     import math

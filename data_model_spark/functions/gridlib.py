@@ -48,19 +48,13 @@ def aligned_chunk_size(dimension_size: int, target_chunk_size: int) -> int:
 def shard_dimension(data_dim: int, chunk_dim: int) -> int:
     """Shard size: a multiple of ``chunk_dim`` that fits in ``data_dim``.
 
-    Matches the reference's preference order: full data dim when the chunk
-    covers it; else the largest multiple of chunk_dim that is > 2 chunks and
-    <= data_dim; else the largest multiple that fits.
+    Full data dim when one chunk covers it; else the largest multiple of
+    ``chunk_dim`` that fits (the reference's descending-multiplier search
+    always lands on exactly this value — the loop formulation reduced to it).
     """
     if chunk_dim >= data_dim:
         return data_dim
-    num_complete = data_dim // chunk_dim
-    if num_complete >= 2:
-        for multiplier in range(num_complete + 1, 2, -1):
-            shard = multiplier * chunk_dim
-            if shard <= data_dim:
-                return shard
-    return num_complete * chunk_dim if num_complete > 0 else data_dim
+    return (data_dim // chunk_dim) * chunk_dim
 
 
 # ---------------------------------------------------------------------------
@@ -120,7 +114,14 @@ def affine_from_bounds(
 
 
 def transform_from_coordinates(x_coords, y_coords) -> Affine | None:
-    """Affine from 1-D pixel-center coordinate arrays (None if <2 points)."""
+    """Affine from 1-D coordinate arrays (None if <2 points).
+
+    Anchors the origin at the FIRST coordinate values (x.min(), y.max()) —
+    the reference's own convention (`geozarr.py:1358-1370` builds the
+    GeoTransform from ``x_coords[0]``/``y_coords[0]`` directly, no
+    half-pixel shift), so metadata comparisons via ``transforms_close``
+    agree with reference-produced documents.
+    """
     x = np.asarray(x_coords, dtype=np.float64)
     y = np.asarray(y_coords, dtype=np.float64)
     if x.size < 2 or y.size < 2:

@@ -83,7 +83,7 @@ def map_ops(spark, sf_dir):
 @register(
     "nan_canon",
     """SELECT event_id,
-              CASE WHEN value != value THEN 'NaN'
+              CASE WHEN isnan(value) THEN 'NaN'
                    ELSE printf('%.4f', value) END AS canon_value
        FROM events WHERE event_id < 100""",
 )
@@ -639,7 +639,7 @@ def pyramid_cascade(spark, sf_dir):
     "cf_scale_offset",
     """WITH packed AS (
          SELECT l_orderkey, l_linenumber,
-                CAST(l_quantity AS BIGINT) AS p
+                CAST(trunc(l_quantity) AS BIGINT) AS p
          FROM lineitem WHERE l_orderkey < 200),
        dec AS (
          SELECT l_orderkey, l_linenumber, p,

@@ -15,7 +15,9 @@ Join strategies (BASELINE.json ``north_star``):
   a point-hash; output identical to the unsalted join by construction.
 * **kNN** — candidate generation by k-ring expansion around the query cell,
   exact distance refinement, per-query top-k window with deterministic
-  tiebreaks.  Falls back to ring growth until enough candidates exist.
+  tiebreaks.  ``grow`` re-runs under-filled queries with doubled rings
+  until k candidates exist (sparse-region safety net); the brute-force
+  twin validates recall in tests.
 """
 
 from __future__ import annotations
@@ -125,19 +127,23 @@ def _pip_refine(joined: DataFrame, lon: str, lat: str) -> DataFrame:
     """Exact PIP filter over (point, candidate polygon) rows, batched."""
 
     @F.pandas_udf(T.BooleanType())
-    def inside(lo: pd.Series, la: pd.Series, ring: pd.Series) -> pd.Series:
+    def inside(
+        lo: pd.Series, la: pd.Series, ring: pd.Series, pid: pd.Series
+    ) -> pd.Series:
         px = lo.to_numpy()
         py = la.to_numpy()
         out = np.zeros(len(px), dtype=bool)
-        # group rows by polygon so each ring's PIP runs once, vectorized
-        key = ring.map(lambda r: np.asarray(r, dtype=np.float64).tobytes())
-        for _, idx in pd.Series(range(len(px))).groupby(key.values):
+        # group rows by the compact poly_id key (serializing each row's
+        # ring array to group would re-materialize every polygon per row)
+        for _, idx in pd.Series(range(len(px))).groupby(pid.values):
             ii = idx.to_numpy()
             poly = _ring_to_np(ring.iloc[ii[0]])
             out[ii] = geometry.points_in_polygon(px[ii], py[ii], poly)
         return pd.Series(out)
 
-    return joined.filter(inside(F.col(lon), F.col(lat), F.col("ring")))
+    return joined.filter(
+        inside(F.col(lon), F.col(lat), F.col("ring"), F.col("poly_id"))
+    )
 
 
 def pip_join_cells(
@@ -201,6 +207,34 @@ def pip_join_cells(
 # ---------------------------------------------------------------------------
 
 
+@F.pandas_udf(T.DoubleType())
+def _dist_udf(
+    lo1: pd.Series, la1: pd.Series, lo2: pd.Series, la2: pd.Series
+) -> pd.Series:
+    """Haversine meters — ONE definition shared by the ringed path and its
+    brute-force twin, so the equality the twin exists to prove can't drift
+    through copy-paste edits (rounding, formula)."""
+    return pd.Series(
+        crs.haversine_m(
+            lo1.to_numpy(), la1.to_numpy(), lo2.to_numpy(), la2.to_numpy()
+        )
+    )
+
+
+def _rank_topk(cand: DataFrame, k, lon, lat, point_id, query_id) -> DataFrame:
+    """Exact-distance scoring + deterministic per-query top-k (shared tail)."""
+    scored = cand.withColumn(
+        "dist_m",
+        F.round(_dist_udf(F.col(lon), F.col(lat), F.col("q_lon"), F.col("q_lat")), 3),
+    )
+    w = Window.partitionBy(query_id).orderBy("dist_m", point_id)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, point_id, "dist_m", "rank")
+    )
+
+
 def knn_join(
     points: DataFrame,
     queries: DataFrame,
@@ -211,13 +245,16 @@ def knn_join(
     lat="lat",
     point_id="point_id",
     query_id="query_id",
+    grow: int = 0,
 ) -> DataFrame:
     """kNN via k-ring candidate generation + exact haversine refinement.
 
     Queries explode to their k-ring cells (broadcast — query sets are small
     relative to the point corpus), join points on cell, rank by exact
     distance.  ``ring`` must be sized so every query finds >= k candidates;
-    callers can grow it (the brute-force twin validates recall in tests).
+    ``grow`` > 0 re-runs only the under-filled queries with a doubled ring,
+    up to ``grow`` times (sparse-region safety net; adds one small driver
+    round-trip per growth step, never touches already-satisfied queries).
     """
     q_cells = with_point_cell(queries, res, lon, lat)
 
@@ -236,26 +273,18 @@ def knn_join(
     )
     pts = with_point_cell(points, res, lon, lat)
     cand = pts.join(F.broadcast(q_ring), "cell")
-
-    @F.pandas_udf(T.DoubleType())
-    def dist_udf(
-        lo1: pd.Series, la1: pd.Series, lo2: pd.Series, la2: pd.Series
-    ) -> pd.Series:
-        return pd.Series(
-            crs.haversine_m(
-                lo1.to_numpy(), la1.to_numpy(), lo2.to_numpy(), la2.to_numpy()
+    out = _rank_topk(cand, k, lon, lat, point_id, query_id)
+    if grow > 0:
+        counts = out.groupBy(query_id).count().collect()
+        full = {r[0] for r in counts if r["count"] >= k}
+        short = queries.filter(~F.col(query_id).isin(full)) if full else queries
+        if short.limit(1).count():
+            grown = knn_join(
+                points, short, k, res, ring * 2, lon, lat, point_id, query_id,
+                grow=grow - 1,
             )
-        )
-
-    scored = cand.withColumn(
-        "dist_m", F.round(dist_udf(F.col(lon), F.col(lat), F.col("q_lon"), F.col("q_lat")), 3)
-    )
-    w = Window.partitionBy(query_id).orderBy("dist_m", point_id)
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, point_id, "dist_m", "rank")
-    )
+            out = out.filter(F.col(query_id).isin(full)).unionByName(grown)
+    return out
 
 
 def knn_bruteforce(
@@ -272,23 +301,4 @@ def knn_bruteforce(
         F.col(query_id), F.col(lon).alias("q_lon"), F.col(lat).alias("q_lat")
     )
     cand = points.crossJoin(F.broadcast(q))
-
-    @F.pandas_udf(T.DoubleType())
-    def dist_udf(
-        lo1: pd.Series, la1: pd.Series, lo2: pd.Series, la2: pd.Series
-    ) -> pd.Series:
-        return pd.Series(
-            crs.haversine_m(
-                lo1.to_numpy(), la1.to_numpy(), lo2.to_numpy(), la2.to_numpy()
-            )
-        )
-
-    scored = cand.withColumn(
-        "dist_m", F.round(dist_udf(F.col(lon), F.col(lat), F.col("q_lon"), F.col("q_lat")), 3)
-    )
-    w = Window.partitionBy(query_id).orderBy("dist_m", point_id)
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, point_id, "dist_m", "rank")
-    )
+    return _rank_topk(cand, k, lon, lat, point_id, query_id)

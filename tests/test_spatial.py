@@ -130,3 +130,35 @@ class TestKnn:
         a = spatial.knn_join(pts, qs, k=3, res=7, ring=2).collect()
         b = spatial.knn_join(pts, qs, k=3, res=7, ring=2).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestKnnRingGrowth:
+    def test_grow_recovers_sparse_queries(self, spark):
+        """A query in a sparse region finds < k candidates at ring=1; with
+        grow, under-filled queries re-run with doubled rings and the result
+        equals brute force; satisfied queries are untouched."""
+        import numpy as np
+
+        rng = np.random.default_rng(9)
+        # dense cluster near (10, 46) + a lone far point near (14, 48)
+        pts = [(i, 10.0 + rng.uniform(0, 0.05), 46.0 + rng.uniform(0, 0.05))
+               for i in range(40)] + [(99, 14.0, 48.0)]
+        points = spark.createDataFrame(pts, "point_id long, lon double, lat double")
+        queries = spark.createDataFrame(
+            [(0, 10.02, 46.02), (1, 13.9, 47.9)],
+            "query_id long, lon double, lat double",
+        )
+        exact = {
+            (r.query_id, r.rank): r.point_id
+            for r in spatial.knn_bruteforce(points, queries, k=3).collect()
+        }
+        # ring=1 at res 9 cannot reach the dense cluster from query 1
+        no_grow = spatial.knn_join(points, queries, k=3, res=9, ring=1)
+        assert no_grow.filter("query_id = 1").count() < 3
+        grown = {
+            (r.query_id, r.rank): r.point_id
+            for r in spatial.knn_join(
+                points, queries, k=3, res=9, ring=1, grow=8
+            ).collect()
+        }
+        assert grown == exact
