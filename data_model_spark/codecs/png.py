@@ -92,29 +92,30 @@ def decode_png(data: bytes) -> np.ndarray:
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
     filters = rows[:, 0]
     out = np.empty((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
     for r in range(height):
-        cur = rows[r, 1:].copy()
+        cur = rows[r, 1:].astype(np.int32)
         f = filters[r]
         if f == 0:
             pass
-        elif f == 1:  # Sub
-            for i in range(bpp, stride):
-                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif f == 1:  # Sub: per-lane prefix sum mod 256 (vectorized — the
+            # recurrence cur[i] = raw[i] + cur[i-bpp] mod 256 IS a cumsum)
+            for lane in range(bpp):
+                cur[lane::bpp] = np.cumsum(cur[lane::bpp], dtype=np.int64) & 0xFF
         elif f == 2:  # Up
-            cur = (cur.astype(np.int32) + prev).astype(np.uint8)
-        elif f == 3:  # Average
+            cur = (cur + prev) & 0xFF
+        elif f == 3:  # Average (sequential left-dependency; int32 math)
             for i in range(stride):
                 left = cur[i - bpp] if i >= bpp else 0
-                cur[i] = (cur[i] + ((int(left) + int(prev[i])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth (sequential left-dependency; int32 math)
             for i in range(stride):
-                left = cur[i - bpp] if i >= bpp else np.uint8(0)
-                ul = prev[i - bpp] if i >= bpp else np.uint8(0)
-                cur[i] = (int(cur[i]) + int(_paeth(left, prev[i], ul))) & 0xFF
+                left = cur[i - bpp] if i >= bpp else np.int32(0)
+                ul = prev[i - bpp] if i >= bpp else np.int32(0)
+                cur[i] = (cur[i] + int(_paeth(left, prev[i], ul))) & 0xFF
         else:
             raise ValueError(f"bad filter type {f}")
-        out[r] = cur
+        out[r] = cur.astype(np.uint8)
         prev = cur
     if depth == 8:
         return out.reshape(height, width)

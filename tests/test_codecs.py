@@ -66,3 +66,70 @@ class TestRegistry:
     def test_unknown_fmt(self):
         with pytest.raises(ValueError):
             encode_image(_field(4, 4), "webp")
+
+
+class TestPngForeignFilters:
+    def test_all_filter_types_decode_exactly(self):
+        """Foreign encoders may use filters 1/3/4 (ours emits 0/2): a stream
+        cycling every filter type must reconstruct exactly, with no numpy
+        overflow warnings (int32 math + vectorized Sub cumsum)."""
+        import struct
+        import warnings
+        import zlib
+
+        import numpy as np
+
+        from data_model_spark.codecs import png as P
+
+        rng = np.random.default_rng(4)
+        for depth in (8, 16):
+            img = rng.integers(0, 2**depth, (23, 17)).astype(
+                np.uint16 if depth == 16 else np.uint8
+            )
+            raw = img.astype(">u2").tobytes() if depth == 16 else img.tobytes()
+            bpp = depth // 8
+            stride = 17 * bpp
+            rows = np.frombuffer(raw, np.uint8).reshape(23, stride)
+
+            def paeth(a, b, c):
+                p = int(a) + int(b) - int(c)
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+            out = bytearray()
+            prev = np.zeros(stride, np.int32)
+            for r in range(23):
+                f = r % 5
+                cur = rows[r].astype(np.int32)
+                enc = np.empty(stride, np.int32)
+                for i in range(stride):
+                    left = cur[i - bpp] if i >= bpp else 0
+                    ul = prev[i - bpp] if i >= bpp else 0
+                    if f == 0:
+                        enc[i] = cur[i]
+                    elif f == 1:
+                        enc[i] = (cur[i] - left) & 0xFF
+                    elif f == 2:
+                        enc[i] = (cur[i] - prev[i]) & 0xFF
+                    elif f == 3:
+                        enc[i] = (cur[i] - ((left + prev[i]) >> 1)) & 0xFF
+                    else:
+                        enc[i] = (cur[i] - paeth(int(left), int(prev[i]), int(ul))) & 0xFF
+                out.append(f)
+                out.extend(enc.astype(np.uint8).tobytes())
+                prev = cur
+
+            def chunk(tag, payload):
+                c = struct.pack(">I", len(payload)) + tag + payload
+                return c + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+
+            stream = (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 17, 23, depth, 0, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(bytes(out)))
+                + chunk(b"IEND", b"")
+            )
+            with warnings.catch_warnings():
+                warnings.simplefilter("error")
+                dec = P.decode_png(stream)
+            np.testing.assert_array_equal(dec, img)
