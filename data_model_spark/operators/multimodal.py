@@ -292,11 +292,9 @@ def _fixture_pdf():
     the 48 encode/decode round-trips cost ~4 s — paid only when an oracle is
     actually requested, not at import.
     """
-    import numpy as np
-
     from ..sources import images as img
 
-    return img._rows_for_indices(np.arange(_N_IMG_QUERY), img.DIM_CYCLE)
+    return img.generate_images_pandas(_N_IMG_QUERY)
 
 
 def _caption_oracle() -> str:
@@ -353,7 +351,9 @@ def phash_neardup_pairs(spark, sf_dir):
     then exact ``bit_count`` refinement. Scales as an equi-join on the chunk
     key instead of an all-pairs scan.
     """
-    imgs = generate_images_df(spark, _N_IMG_QUERY).select("image_id", "phash")
+    # cache the 2-column projection: the self-join would otherwise run the
+    # synth+encode+decode generation once per join side
+    imgs = generate_images_df(spark, _N_IMG_QUERY).select("image_id", "phash").cache()
     chunks = imgs.select(
         "image_id",
         "phash",

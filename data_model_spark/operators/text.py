@@ -22,17 +22,25 @@ FR_STOPWORDS = ("le", "la", "les", "et", "est", "pour", "dans", "une")
 
 
 def _stopword_hits_sql(words: tuple[str, ...]) -> str:
-    pattern = "|".join(words)
+    in_list = ", ".join(f"'{w}'" for w in words)
     return (
-        "length(string_split_regex(' ' || lower(text) || ' ', "
-        f"' ({pattern}) ')) - 1"
+        "len(list_filter(string_split_regex(trim(lower(text)), ' +'), "
+        f"w -> w IN ({in_list})))"
     )
 
 
 def _stopword_hits_spark(words: tuple[str, ...]):
-    pattern = "|".join(words)
-    padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
-    return F.size(F.split(padded, f" ({pattern}) ")) - 1
+    """Token-set stopword count — identical tokenization in both engines.
+
+    The earlier split-on-' (word) ' counter undercounted CONSECUTIVE
+    stopwords (each match consumed the trailing space the next stopword
+    needed as its leading space) — identically in both engines, so parity
+    could never catch it.  Counting tokens that are members of the set is
+    exact.
+    """
+    toks = F.split(F.trim(F.lower("text")), " +")
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda w: F.array_contains(arr, w)))
 
 
 @register(
@@ -75,7 +83,10 @@ def quality_score(spark, sf_dir):
         F.round(n_tokens.cast("double") / (F.length("text") + 1), 6).alias(
             "token_density"
         ),
-        F.col("text").rlike("^.{64,4096}$").cast("int").alias("length_ok"),
+        # plain length compare: Java regex '.' skips newlines, so the old
+        # rlike('^.{64,4096}$') diverged from the oracle's length BETWEEN
+        # on any text containing a newline
+        F.length("text").between(64, 4096).cast("int").alias("length_ok"),
     )
 
 

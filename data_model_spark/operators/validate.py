@@ -54,7 +54,9 @@ def validate_docs(docs: DataFrame) -> DataFrame:
     """
     g = lambda p: F.get_json_object("doc", p)  # noqa: E731
     bbox = g("$['spatial:bbox']")
-    bb = [g(f"$['spatial:bbox'][{i}]").cast("double") for i in range(4)]
+    # try_cast: a non-numeric bbox element must surface as a rule miss,
+    # not abort the whole scan (ANSI cast throws; DuckDB twin uses TRY_CAST)
+    bb = [g(f"$['spatial:bbox'][{i}]").try_cast("double") for i in range(4)]
     n_crs = (
         g("$['proj:code']").isNotNull().cast("int")
         + g("$['proj:wkt2']").isNotNull().cast("int")
@@ -62,6 +64,13 @@ def validate_docs(docs: DataFrame) -> DataFrame:
     )
     shape = g("$['spatial:shape']")
     transform = g("$['spatial:transform']")
+
+    def _arr_len(col):
+        # mirror DuckDB: json_array_length(non-array) = 0 (Spark returns
+        # NULL, which made every length rule silently pass for scalar or
+        # string values in the field); missing field stays NULL
+        return F.when(col.isNotNull(), F.coalesce(F.json_array_length(col), F.lit(0)))
+
     std_name = g("$['standard_name']")
     is_store = F.col("doc_type") == "store"
     is_level = F.col("doc_type") == "level"
@@ -69,15 +78,15 @@ def validate_docs(docs: DataFrame) -> DataFrame:
     checks = [
         _issue(is_store & bbox.isNull(), "BBOX_MISSING"),
         _issue(
-            is_store & bbox.isNotNull() & (F.json_array_length(bbox) != 4),
+            is_store & bbox.isNotNull() & (_arr_len(bbox) != 4),
             "BBOX_LEN",
         ),
         _issue(
-            is_store & (F.json_array_length(bbox) == 4) & (bb[0] > bb[2]),
+            is_store & (_arr_len(bbox) == 4) & (bb[0] > bb[2]),
             "BBOX_ORDER_X",
         ),
         _issue(
-            is_store & (F.json_array_length(bbox) == 4) & (bb[1] > bb[3]),
+            is_store & (_arr_len(bbox) == 4) & (bb[1] > bb[3]),
             "BBOX_ORDER_Y",
         ),
         _issue(is_store & (n_crs == 0), "CRS_MISSING"),
@@ -89,12 +98,12 @@ def validate_docs(docs: DataFrame) -> DataFrame:
             "CRS_CODE_FORMAT",
         ),
         _issue(
-            is_level & (shape.isNull() | (F.json_array_length(shape) != 2)),
+            is_level & (shape.isNull() | (_arr_len(shape) != 2)),
             "SHAPE_LEN",
         ),
         _issue(
             is_level
-            & (transform.isNull() | (F.json_array_length(transform) != 6)),
+            & (transform.isNull() | (_arr_len(transform) != 6)),
             "TRANSFORM_LEN",
         ),
         _issue(
@@ -173,10 +182,10 @@ WITH docs(store_id, doc_type, doc) AS (
   SELECT store_id, doc_type,
     json_extract(doc, '$."spatial:bbox"') IS NOT NULL AS has_bbox,
     json_array_length(doc, '$."spatial:bbox"') AS bbox_n,
-    CAST(doc->>'$."spatial:bbox"[0]' AS DOUBLE) AS x0,
-    CAST(doc->>'$."spatial:bbox"[1]' AS DOUBLE) AS y0,
-    CAST(doc->>'$."spatial:bbox"[2]' AS DOUBLE) AS x1,
-    CAST(doc->>'$."spatial:bbox"[3]' AS DOUBLE) AS y1,
+    TRY_CAST(doc->>'$."spatial:bbox"[0]' AS DOUBLE) AS x0,
+    TRY_CAST(doc->>'$."spatial:bbox"[1]' AS DOUBLE) AS y0,
+    TRY_CAST(doc->>'$."spatial:bbox"[2]' AS DOUBLE) AS x1,
+    TRY_CAST(doc->>'$."spatial:bbox"[3]' AS DOUBLE) AS y1,
     (CASE WHEN json_extract(doc, '$."proj:code"') IS NOT NULL THEN 1 ELSE 0 END
      + CASE WHEN json_extract(doc, '$."proj:wkt2"') IS NOT NULL THEN 1 ELSE 0 END
      + CASE WHEN json_extract(doc, '$."proj:projjson"') IS NOT NULL THEN 1 ELSE 0 END) AS n_crs,

@@ -70,3 +70,26 @@ def test_engine_layout_docs_validate_clean(spark):
         for d in layout.levels
     ]
     assert V.validate_docs(local_df(spark, rows, DDL)).count() == 0
+
+
+class TestMalformedFieldTypes:
+    """Non-array / non-numeric field VALUES (not just wrong lengths) must be
+    flagged, mirroring DuckDB's json_array_length(non-array)=0 and TRY_CAST
+    semantics on both engines."""
+
+    def test_scalar_shape_and_string_bbox_flagged(self, spark):
+        from data_model_spark.operators import validate as V
+        from data_model_spark.sources.tables import local_df
+
+        bad = [
+            ("x1", "level", '{"spatial:shape": 5, "spatial:transform": [1,2,3,4,5,6]}'),
+            ("x2", "store", '{"spatial:bbox": "oops", "proj:code": "EPSG:32632"}'),
+            ("x3", "store", '{"spatial:bbox": ["a","b","c","d"], "proj:code": "EPSG:1"}'),
+        ]
+        docs = local_df(spark, bad, "store_id string, doc_type string, doc string")
+        got = sorted((r.store_id, r.code) for r in V.validate_docs(docs).collect())
+        assert ("x1", "SHAPE_LEN") in got
+        assert ("x2", "BBOX_LEN") in got
+        # x3: 4-element bbox of non-numeric strings -> order checks are NULL
+        # (TRY_CAST both sides), no crash, no spurious ORDER issue
+        assert not any(c.startswith("BBOX_ORDER") for _, c in got)
