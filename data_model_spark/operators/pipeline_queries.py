@@ -33,6 +33,7 @@ def resume_tile_write(spark, sf_dir):
     from .resume import ResumableTileWrite
 
     base = tempfile.mkdtemp(prefix="resume_q_")
+    merged = None
     try:
         images = generate_images_df(spark, _N_IMG)
         tiles = tiling.build_tiles(images, min_dimension=64, repartition=False)
@@ -59,9 +60,10 @@ def resume_tile_write(spark, sf_dir):
             rows,
             "level int, run1_written boolean, run2_skipped boolean, n_tiles int",
         )
-        merged.unpersist()
         return out
     finally:
+        if merged is not None:
+            merged.unpersist()
         shutil.rmtree(base, ignore_errors=True)
 
 

@@ -62,11 +62,9 @@ def bucketed_join(
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle Exchange operators in the executed (AQE-final) plan."""
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return sum(
-        1
-        for line in plan.splitlines()
-        if "Exchange hashpartitioning" in line or "Exchange rangepartitioning" in line
-    )
+    # match EVERY exchange kind (hash, range, round-robin, single-partition):
+    # a round-robin repartition is still a shuffle the contract forbids
+    return sum(1 for line in plan.splitlines() if "Exchange " in line)
 
 
 def assert_no_exchange_on(df: DataFrame) -> None:

@@ -38,15 +38,18 @@ def plan_partitions(
     """Pick an aligned partition count for a keyed dataset.
 
     Uses the reference's aligned-chunk search so partition boundaries divide
-    the key space evenly (no partial trailing partition), then the shard
-    rule to group chunks when the count explodes.
+    the key space evenly (no partial trailing partition); ``shard_rows``
+    (the chunk-grouping multiple) is reported for writers that group
+    chunk-aligned files.  When the chunk count exceeds ``max_partitions``
+    the clamp wins and ``rows_per_partition`` reports the ACTUAL rows each
+    clamped partition holds (not the no-longer-true chunk size).
     """
     if total_rows <= 0:
         return PartitionPlan(min_partitions, 0, 0, 0)
     chunk_rows = gridlib.aligned_chunk_size(total_rows, target_rows_per_partition)
     shard_rows = gridlib.shard_dimension(total_rows, chunk_rows)
     n = max(min_partitions, min(max_partitions, -(-total_rows // chunk_rows)))
-    return PartitionPlan(n, chunk_rows, chunk_rows, shard_rows)
+    return PartitionPlan(n, -(-total_rows // n), chunk_rows, shard_rows)
 
 
 def repartition_for_grid(
@@ -84,7 +87,10 @@ def spatial_block_partition(
     from pyspark.sql import functions as F
 
     return df.repartition(
-        n_partitions, F.col(level_col), (F.col(y_col) / block).cast("long")
+        # floor, not truncate-toward-zero: scenes anchored below the grid
+        # origin produce negative tile_y, and truncation would fold bands
+        # [-block+1 .. block-1] into one double-width band
+        n_partitions, F.col(level_col), F.floor(F.col(y_col) / block).cast("long")
     ).sortWithinPartitions(level_col, y_col, x_col)
 
 
@@ -144,10 +150,21 @@ def zorder_partition(
 
     from pyspark.sql import functions as F
 
-    shift = max(0, 2 * grid_bits - max(1, math.ceil(math.log2(n_partitions))))
     df = df.withColumn("_zx", F.col(x_col) - F.lit(x0)).withColumn(
         "_zy", F.col(y_col) - F.lit(y0)
     )
+    return _z_tail(df, n_partitions, grid_bits, level_col)
+
+
+def _z_tail(df: DataFrame, n_partitions: int, grid_bits: int, level_col: str) -> DataFrame:
+    """Shared Morton tail: interleave _zx/_zy, split into contiguous
+    z-regions, sort by z inside each partition (single source of the shift
+    formula for both the scalar-origin and per-level-origin paths)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    shift = max(0, 2 * grid_bits - max(1, math.ceil(math.log2(n_partitions))))
     z = zorder_key("_zx", "_zy", bits=grid_bits)
     return (
         df.withColumn("_z", z)
@@ -200,16 +217,10 @@ def zorder_partition_auto(
         [(r[0], int(r._x0), int(r._y0)) for r in stats],
         f"{level_col} int, _ox long, _oy long",
     )
-    shift = max(0, 2 * grid_bits - max(1, math.ceil(math.log2(n_partitions))))
     joined = df.join(F.broadcast(origins), level_col)
-    joined = joined.withColumn("_zx", F.col(x_col) - F.col("_ox")).withColumn(
-        "_zy", F.col(y_col) - F.col("_oy")
+    joined = (
+        joined.withColumn("_zx", F.col(x_col) - F.col("_ox"))
+        .withColumn("_zy", F.col(y_col) - F.col("_oy"))
+        .drop("_ox", "_oy")
     )
-    z = zorder_key("_zx", "_zy", bits=grid_bits)
-    return (
-        joined.withColumn("_z", z)
-        .drop("_zx", "_zy", "_ox", "_oy")
-        .repartition(n_partitions, F.col(level_col), F.shiftright(F.col("_z"), shift))
-        .sortWithinPartitions(level_col, "_z")
-        .drop("_z")
-    )
+    return _z_tail(joined, n_partitions, grid_bits, level_col)

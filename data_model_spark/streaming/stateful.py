@@ -93,7 +93,13 @@ def merge_tiles_stateful(
     ``timeout_ms`` picks the eviction mode:
 
     * an int (continuous deployments) — keys idle past it emit a
-      ``final=True`` row and drop their state, bounding state size.  NOTE:
+      ``final=True`` row and drop their state, bounding state size.  A
+      ``final=True`` row is TERMINAL for its key: fragments arriving after
+      eviction start a NEW accumulation epoch from zero (exactly as a
+      watermark drops late rows) — consumers must treat the final row as
+      the closed total and later epochs as late data, not re-aggregate
+      across them.  Size the timeout above the expected fragment-arrival
+      spread, as a watermark delay is sized.  NOTE:
       with ``Trigger.AvailableNow`` a ProcessingTimeTimeout query keeps
       scheduling empty micro-batches and never terminates on its own (the
       engine can't prove no future timeout matters) — use only with

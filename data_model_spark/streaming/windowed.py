@@ -29,54 +29,63 @@ def windowed_event_counts(
     events_path: str,
     window: str = "10 minutes",
     watermark: str = "30 minutes",
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Tumbling-window (count, sum) per event type via a real streaming query.
 
     Returns the drained result as a batch DataFrame (memory sink).
     ``events_path`` may be a single parquet file; the file streaming source
     requires a directory, so a file path is staged via a symlinked temp dir.
+
+    ``output_mode``: "complete" (default) is the DRAIN-ORACLE mode — with
+    Trigger.AvailableNow the result equals the batch window aggregation; in
+    complete mode the watermark does NOT evict state, so this mode is for
+    bounded drains only.  A continuous deployment passes "update" or
+    "append", where the watermark finalizes and drops expired windows and
+    discards late rows — the bounded-state behavior proven in
+    tests/test_streaming_windows.py.
     """
     schema = spark.read.parquet(events_path).schema
     staged = None
-    if os.path.isfile(events_path):
-        staged = tempfile.mkdtemp(prefix="evt_stream_")
-        os.symlink(os.path.abspath(events_path),
-                   os.path.join(staged, os.path.basename(events_path)))
-        events_path = staged
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(events_path)
-        # parquet reads NTZ; watermarks require TIMESTAMP (session TZ = UTC,
-        # so the instant is unchanged)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-        .withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
-        )
-        .select(
-            F.col("w.start").alias("window_start"),
-            "event_type",
-            "n",
-            "sum_value",
-        )
-    )
     name = f"evt_windows_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
     try:
+        if os.path.isfile(events_path):
+            staged = tempfile.mkdtemp(prefix="evt_stream_")
+            os.symlink(os.path.abspath(events_path),
+                       os.path.join(staged, os.path.basename(events_path)))
+            events_path = staged
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(events_path)
+            # parquet reads NTZ; watermarks require TIMESTAMP (session TZ =
+            # UTC, so the instant is unchanged)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 6).alias("sum_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n",
+                "sum_value",
+            )
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
         q.awaitTermination()
+        # detach the result from the memory sink, then drop the sink's temp
+        # view so repeated calls don't accumulate sinks in the driver
+        out = spark.table(name).localCheckpoint(eager=True)
+        return out
     finally:
+        spark.catalog.dropTempView(name)
         if staged:
             shutil.rmtree(staged, ignore_errors=True)
-    # detach the result from the memory sink, then drop the sink's temp view
-    # so repeated calls don't accumulate materialized sinks in the driver
-    out = spark.table(name).localCheckpoint(eager=True)
-    spark.catalog.dropTempView(name)
-    return out
