@@ -43,8 +43,84 @@ def register(name: str, oracle: str | Callable[[], str] | None):
     return deco
 
 
+# Explicit presentation order for ``all_queries()``.  External harnesses may
+# sample a PREFIX of the registry (e.g. the first 50 entries), so the order is
+# a coverage decision, not cosmetics: queries whose correctness evidence is
+# thinnest (spatial / ANN / text suites, warp, validation) go first, then new
+# queries, then the most load-bearing already-verified queries.  Names absent
+# from this list keep registration order after the listed ones; names listed
+# but not registered are ignored (keeps the list robust to refactors).
+PRIORITY_ORDER: list[str] = [
+    # -- spatial suite (R5) --
+    "pip_rect_join",
+    "pip_cell_join",
+    "knn_bruteforce",
+    "knn_cells",
+    "cell_cover_counts",
+    # -- ANN / embedding suite --
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "ivf_cell_counts",
+    "emb_neardup_pairs",
+    "emb_neardup_lsh_pairs",
+    # -- text suite --
+    "token_count",
+    "quality_score",
+    "lang_id",
+    "doc_fingerprint",
+    "doc_fingerprint_md5",
+    # -- warp / reprojection (R1-R2) --
+    "gcp_warp",
+    "gcp_overview_gcps",
+    # -- path / validation / layout (F8, P7, S7, F5) --
+    "path_parse",
+    "image_validation",
+    "layout_validate",
+    "pyramid_layout_meta",
+    "store_root_bbox",
+    "tile_point_query",
+    "tile_bbox_query",
+    # -- new queries (round 3+) --
+    "product_detect",
+    "projjson_validate",
+    "flagship_multiband",
+    "wav_audio_features",
+    # -- load-bearing verified backfill --
+    "consolidate_s2",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "phash_neardup_pairs",
+    "caption_token_stats",
+    "streaming_event_windows",
+    "resume_tile_write",
+    "streaming_tiles",
+    "image_features",
+    "audio_features",
+    "video_frame_sample",
+    "block_avg",
+    "cond_avg",
+    "two_phase_avg",
+    "pyramid_cascade",
+    "grouping_rollup",
+    "asof_range",
+    "broadcast_dim",
+    "topk_window",
+    "compliance_counts",
+    "cf_scale_offset",
+    "union_bbox",
+    "nan_canon",
+    "gcp_dedup",
+]
+
+
 def all_queries() -> dict[str, QuerySpec]:
-    """Import every operator module (triggering registration) and return all."""
+    """Import every operator module (triggering registration) and return all.
+
+    Ordered by ``PRIORITY_ORDER`` first (coverage-critical queries up front),
+    then remaining registrations in import order.
+    """
     from . import (  # noqa: F401
         consolidate,
         dedup,
@@ -58,4 +134,11 @@ def all_queries() -> dict[str, QuerySpec]:
         validate,
     )
 
-    return QUERIES
+    ordered: dict[str, QuerySpec] = {}
+    for name in PRIORITY_ORDER:
+        if name in QUERIES:
+            ordered[name] = QUERIES[name]
+    for name, spec in QUERIES.items():
+        if name not in ordered:
+            ordered[name] = spec
+    return ordered
