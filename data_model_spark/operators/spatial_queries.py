@@ -192,7 +192,10 @@ def knn_cells(spark, sf_dir):
     qs = _points(spark, sf_dir, "supplier", "s_suppkey").filter(
         F.col("point_id") < 4
     ).withColumnRenamed("point_id", "query_id")
-    return spatial.knn_join(pts, qs, k=5, res=7, ring=2).withColumn(
+    # grow=2: if the (res=7, ring=2) window ever under-fills a query (point
+    # density shifts, k changes), the ring self-heals by doubling instead of
+    # surfacing as a spurious oracle mismatch vs the brute-force ranking
+    return spatial.knn_join(pts, qs, k=5, res=7, ring=2, grow=2).withColumn(
         "rank", F.col("rank").cast("long")
     )
 

@@ -62,9 +62,15 @@ def bucketed_join(
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle Exchange operators in the executed (AQE-final) plan."""
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # match EVERY exchange kind (hash, range, round-robin, single-partition):
-    # a round-robin repartition is still a shuffle the contract forbids
-    return sum(1 for line in plan.splitlines() if "Exchange " in line)
+    # match every SHUFFLE exchange kind (hash, range, round-robin,
+    # single-partition) but not BroadcastExchange — a broadcast-hash join is
+    # exactly what the shuffle-free contract wants (and AQE may turn a small
+    # bucketed SMJ into one at runtime)
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange " in line and "BroadcastExchange" not in line
+    )
 
 
 def assert_no_exchange_on(df: DataFrame) -> None:

@@ -82,15 +82,21 @@ def s3a_options(
         conf["aws.credentials.provider"] = (
             "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider"
         )
+    user_keys: set[str] = set()
     for name, value in opts.items():
         suffix = _OPTION_MAP.get(name)
         if suffix is None:
             # passthrough: already an fs.s3a suffix ("endpoint", "paging.maximum", ...)
             suffix = name.replace("_", ".")
         conf[suffix] = str(value).lower() if isinstance(value, bool) else str(value)
+        user_keys.add(suffix)
     if executor_cores:
-        conf["connection.maximum"] = str(max(32, executor_cores * 3))
-        conf["threads.max"] = str(max(16, executor_cores * 2))
+        # sizing is a default — an explicitly passed connection.maximum /
+        # threads.max in storage_options always wins
+        if "connection.maximum" not in user_keys:
+            conf["connection.maximum"] = str(max(32, executor_cores * 3))
+        if "threads.max" not in user_keys:
+            conf["threads.max"] = str(max(16, executor_cores * 2))
     if conf.get("endpoint", "").startswith("http://"):
         conf.setdefault("connection.ssl.enabled", "false")
         conf.setdefault("path.style.access", "true")  # MinIO-style endpoints

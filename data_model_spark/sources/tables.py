@@ -84,6 +84,25 @@ def register_views(spark: SparkSession, sf_dir: str, names=TESTDATA_TABLES) -> N
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
 
 
+def _is_local_path(path: str) -> bool:
+    from urllib.parse import urlparse
+
+    return urlparse(path).scheme in ("", "file")
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the JVM Hadoop API.
+
+    Works for every scheme the session's Hadoop conf supports (file://,
+    s3a://, hdfs://, ...) — the only safe way to mutate table storage that
+    might not be a local directory.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
 class PartitionedTable:
     """Minimal Iceberg-like table: parquet + dynamic partition overwrite.
 
@@ -91,13 +110,34 @@ class PartitionedTable:
     the resume layer relies on (the parquet stand-in overwrites whole
     partition directories atomically enough for local semantics; on Iceberg
     this is a true atomic overwrite-by-filter).
+
+    Storage mutations (``exists``/``delete_partition``) route through the
+    Hadoop FileSystem API when a SparkSession is available, so s3a:// and
+    hdfs:// table paths behave identically to local ones; the local-only
+    fallback raises on non-local schemes instead of silently no-opping.
     """
 
     def __init__(self, path: str, partition_cols: list[str]):
         self.path = path
         self.partition_cols = list(partition_cols)
 
+    def _spark(self) -> SparkSession | None:
+        return SparkSession.getActiveSession()
+
     def exists(self) -> bool:
+        spark = self._spark()
+        if spark is not None:
+            fs, hpath = _hadoop_fs(spark, self.path)
+            if not fs.exists(hpath):
+                return False
+            return any(
+                not st.getPath().getName().startswith("_")
+                for st in fs.listStatus(hpath)
+            )
+        if not _is_local_path(self.path):
+            raise RuntimeError(
+                f"no active SparkSession to probe non-local table path {self.path!r}"
+            )
         return os.path.isdir(self.path) and any(
             not e.startswith("_") for e in os.listdir(self.path)
         )
@@ -118,12 +158,25 @@ class PartitionedTable:
 
         Dynamic partition overwrite of an EMPTY DataFrame is a no-op (only
         partitions present in the data are replaced), so emptying a
-        partition needs an explicit delete.
+        partition needs an explicit delete.  The resume layer's empty-unit
+        checkpoint depends on this actually removing committed rows, so the
+        delete must work — or fail loudly — for ANY storage scheme.
         """
+        sub = "/".join(f"{k}={v}" for k, v in values.items())
+        full = self.path.rstrip("/") + "/" + sub
+        spark = self._spark()
+        if spark is not None:
+            fs, hpath = _hadoop_fs(spark, full)
+            if fs.exists(hpath):
+                fs.delete(hpath, True)
+            return
+        if not _is_local_path(full):
+            raise RuntimeError(
+                f"no active SparkSession to delete non-local partition {full!r}"
+            )
         import shutil
 
-        sub = "/".join(f"{k}={v}" for k, v in values.items())
-        shutil.rmtree(os.path.join(self.path, sub), ignore_errors=True)
+        shutil.rmtree(full, ignore_errors=True)
 
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path)
