@@ -25,9 +25,9 @@ _N_IMG = 32
 def resume_tile_write(spark, sf_dir):
     """Run the checkpointed tile sink twice; prove run 2 skips every unit.
 
-    Returns one row per pyramid level with the write/skip outcome of both
-    runs — the reference's skip-existing-valid-band resume semantics
-    (geozarr.py:1044-1056) as a queryable result.
+    Units are per-(band, level) — the reference's band-by-band write loop
+    (geozarr.py:974-1183) with skip-existing-valid-band resume semantics
+    (geozarr.py:1044-1056) — returned as one queryable row per unit.
     """
     from . import tiling
     from .resume import ResumableTileWrite
@@ -38,27 +38,35 @@ def resume_tile_write(spark, sf_dir):
         images = generate_images_df(spark, _N_IMG)
         tiles = tiling.build_tiles(images, min_dimension=64, repartition=False)
         merged = tiling.merge_tiles(tiles).persist()
-        levels = sorted(r.level for r in merged.select("level").distinct().collect())
-        sink = ResumableTileWrite(f"{base}/tiles", f"{base}/ckpt")
-        r1 = sink.run(spark, merged, levels)
-        r2 = sink.run(spark, merged, levels)
+        units = sorted(
+            tuple(r) for r in merged.select("var", "level").distinct().collect()
+        )
+        sink = ResumableTileWrite(
+            f"{base}/tiles", f"{base}/ckpt", unit_cols=("var", "level")
+        )
+        r1 = sink.run(spark, merged, units)
+        r2 = sink.run(spark, merged, units)
         n_rows = {
-            r.level: r.n
-            for r in sink.table.read(spark).groupBy("level").agg(F.count("*").alias("n")).collect()
+            (r.var, r.level): r.n
+            for r in sink.table.read(spark)
+            .groupBy("var", "level")
+            .agg(F.count("*").alias("n"))
+            .collect()
         }
         rows = [
             (
-                int(lv),
-                lv in r1["written"],
-                lv in r2["skipped"],
-                int(n_rows.get(lv, 0)),
+                u[0],
+                int(u[1]),
+                u in r1["written"],
+                u in r2["skipped"],
+                int(n_rows.get(u, 0)),
             )
-            for lv in levels
+            for u in units
         ]
         out = local_df(
             spark,
             rows,
-            "level int, run1_written boolean, run2_skipped boolean, n_tiles int",
+            "var string, level int, run1_written boolean, run2_skipped boolean, n_tiles int",
         )
         return out
     finally:
@@ -98,6 +106,84 @@ def streaming_tiles(spark, sf_dir):
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+_N_IMG_MB = 26  # two full band cycles — every band kernel twice
+
+
+def _multiband_oracle() -> str:
+    """Per-(band, level) pyramid metrics re-derived WITHOUT the tile cut.
+
+    For each generated image the builder regenerates the decoded pixels and
+    computes each level array by DIRECT downsample dispatch (no /2 cascade,
+    no tile grid), inlining per-(image, level) totals as VALUES; the SQL
+    then re-derives the intersecting-tile COUNT from scene geometry with
+    floor arithmetic and aggregates.  Equality therefore proves: cascade ==
+    direct kernels, the tile cut conserves pixels/sums/extrema, and the
+    distributed per-band aggregation — none of which the oracle replays.
+    """
+    from ..codecs import decode_image, encode_image
+    from ..functions import gridlib
+    from ..sources import images as img_src
+    from .downsample import downsample
+
+    vals = []
+    for i in range(_N_IMG_MB):
+        image_id = f"img_{i:012d}"
+        w, h = img_src.image_dims(i)
+        var = img_src.band_for(i)
+        fmt = img_src.image_fmt(i)
+        pixels = img_src.synth_pixels(image_id, w, h)
+        decoded = (
+            decode_image(encode_image(pixels, fmt), fmt, w, h)
+            if fmt == "jpeg"
+            else pixels
+        )
+        ax, ay = img_src.scene_anchor(i)
+        top = ay + h * img_src.PIXEL_SIZE_M
+        for lv in gridlib.overview_levels(w, h, min_dimension=64):
+            level, lw, lh = lv["level"], lv["width"], lv["height"]
+            arr = (
+                decoded
+                if level == 0
+                else downsample(decoded, lh, lw, var)
+            ).astype("float64")
+            vals.append(
+                f"('{var}', {level}, {ax!r}, {top!r}, {lw}, {lh}, "
+                f"{10.0 * 2 ** level!r}, {float(arr.sum())!r}, "
+                f"{float(arr.min())!r}, {float(arr.max())!r})"
+            )
+    return f"""
+WITH v(var, level, ax, top, lw, lh, px, sumv, minv, maxv) AS (VALUES
+  {", ".join(vals)}),
+g AS (
+  SELECT *, 256.0 * px AS tm FROM v)
+SELECT var, level,
+       CAST(SUM((FLOOR((ax + lw * px - 1e-9) / tm) - FLOOR(ax / tm) + 1)
+              * (FLOOR((top - 1e-9) / tm) - FLOOR((top - lh * px + 1e-9) / tm) + 1))
+            AS BIGINT) AS n_tiles,
+       CAST(SUM(lw * lh) AS BIGINT) AS n_pixels,
+       ROUND(SUM(sumv), 3) AS sum_value,
+       MIN(minv) AS min_value,
+       MAX(maxv) AS max_value
+FROM g GROUP BY var, level"""
+
+
+@register("flagship_multiband", _multiband_oracle)
+def flagship_multiband(spark, sf_dir):
+    """Flagship pyramid over the full band cycle: per-(band, level) metrics
+    of the tile fragments — band-by-band dispatch (A10) inside the cut."""
+    from . import tiling
+
+    images = generate_images_df(spark, _N_IMG_MB)
+    frags = tiling.build_tiles(images, min_dimension=64, repartition=False)
+    return frags.groupBy("var", "level").agg(
+        F.count("*").alias("n_tiles"),
+        F.sum("px_cnt").alias("n_pixels"),
+        F.round(F.sum("px_sum"), 3).alias("sum_value"),
+        F.min("px_min").alias("min_value"),
+        F.max("px_max").alias("max_value"),
+    )
 
 
 _EVT_WINDOW_ORACLE = """

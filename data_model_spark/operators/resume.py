@@ -108,14 +108,30 @@ class ResumableTileWrite:
         lineage_buckets: int = 16,
         layout: str | None = None,
         layout_partitions: int = 32,
+        unit_cols: tuple[str, ...] = ("level",),
     ):
-        self.table = PartitionedTable(table_path, ["level"])
+        """``unit_cols``: the resume-unit key — ``("level",)`` for a
+        single-band pyramid, ``("var", "level")`` for band-by-band units
+        (one unit per (band, level), the reference's band loop)."""
+        self.unit_cols = tuple(unit_cols)
+        self.table = PartitionedTable(table_path, list(self.unit_cols))
         self.log = CheckpointLog(checkpoint_path)
         self.lineage_buckets = lineage_buckets
         if layout not in (None, "bands", "zorder"):
             raise ValueError(f"unknown layout: {layout!r}")
         self.layout = layout
         self.layout_partitions = layout_partitions
+
+    def _unit_dict(self, unit) -> dict:
+        vals = unit if isinstance(unit, (tuple, list)) else (unit,)
+        if len(vals) != len(self.unit_cols):
+            raise ValueError(f"unit {unit!r} does not match cols {self.unit_cols}")
+        return dict(zip(self.unit_cols, vals))
+
+    def _unit_str(self, unit) -> str:
+        # matches the partition directory layout ("var=b02/level=0");
+        # per-bucket lineage rows append "/bucket=N"
+        return "/".join(f"{k}={v}" for k, v in self._unit_dict(unit).items())
 
     def _cluster(self, level_df: DataFrame) -> DataFrame:
         """Apply the configured physical layout to one level partition."""
@@ -130,11 +146,15 @@ class ResumableTileWrite:
             return zorder_partition_auto(level_df, self.layout_partitions)
         return level_df
 
-    def _probe(self, spark: SparkSession, lv: int) -> list:
-        """Per-bucket (n, checksum) lineage of the committed level partition."""
+    def _probe(self, spark: SparkSession, unit) -> list:
+        """Per-bucket (n, checksum) lineage of the committed unit partition."""
+        cond = None
+        for k, v in self._unit_dict(unit).items():
+            c = F.col(k) == v
+            cond = c if cond is None else (cond & c)
         return (
             self.table.read(spark)
-            .filter(F.col("level") == lv)
+            .filter(cond)
             .groupBy(
                 F.pmod(F.xxhash64("tile_x", "tile_y"), F.lit(self.lineage_buckets))
                 .cast("int")
@@ -158,47 +178,62 @@ class ResumableTileWrite:
         self,
         spark: SparkSession,
         tiles: DataFrame,
-        levels: list[int],
+        units: list | None = None,
         max_retries: int = 2,
         revalidate: bool = True,
     ) -> dict:
-        # guard against re-executing the upstream tile-cut DAG once per level
+        """``units``: one entry per resume unit — a bare value for a single
+        unit column (``[0, 1, 2]`` levels) or a tuple matching ``unit_cols``
+        (``[("b02", 0), ("scl", 0), ...]``).  ``None`` derives the unit list
+        from the data (one distinct scan)."""
+        # guard against re-executing the upstream tile-cut DAG once per unit
         was_cached = tiles.is_cached
         if not was_cached:
             tiles.persist()
         try:
-            return self._run(spark, tiles, levels, max_retries, revalidate)
+            if units is None:
+                units = sorted(
+                    tuple(r) for r in
+                    tiles.select(*self.unit_cols).distinct().collect()
+                )
+            return self._run(spark, tiles, units, max_retries, revalidate)
         finally:
             if not was_cached:
                 tiles.unpersist()
 
-    def _run(self, spark, tiles, levels, max_retries, revalidate) -> dict:
+    def _run(self, spark, tiles, units, max_retries, revalidate) -> dict:
         ckpt = [
             r
             for r in self.log.read(spark).collect()
-            if "/" not in r.unit  # unit-level rows only (O(levels) driver-side)
+            # unit-level rows only (O(units) driver-side); "/bucket=" marks
+            # the per-partition lineage sub-rows
+            if "/bucket=" not in r.unit
         ]
         done_units = {r.unit for r in ckpt}
         results = {"written": [], "skipped": [], "revalidated": [], "retried": []}
-        for lv in levels:
-            unit = f"level={lv}"
+        for u in units:
+            unit = self._unit_str(u)
             if unit in done_units:
                 if not revalidate:
-                    results["skipped"].append(lv)
+                    results["skipped"].append(u)
                     continue
                 exp = self._expected(unit, ckpt)
-                parts = self._probe(spark, lv) if self.table.exists() else []
+                parts = self._probe(spark, u) if self.table.exists() else []
                 n = sum(p.n for p in parts)
                 chk = float(sum(p.chk for p in parts))
                 if exp and n == exp[0] and _chk_matches(chk, exp[1]):
-                    results["skipped"].append(lv)
+                    results["skipped"].append(u)
                     continue
                 # committed data no longer matches its checkpoint: rewrite
-                results["revalidated"].append(lv)
+                results["revalidated"].append(u)
             t0 = time.time()
-            level_df = tiles.filter(F.col("level") == lv)
+            cond = None
+            for k, v in self._unit_dict(u).items():
+                c = F.col(k) == v
+                cond = c if cond is None else (cond & c)
+            unit_df = tiles.filter(cond)
             exp_n, exp_chk = (
-                level_df.agg(
+                unit_df.agg(
                     F.count("*").alias("n"),
                     F.coalesce(F.sum("px_sum"), F.lit(0.0)).alias("chk"),
                 )
@@ -209,20 +244,20 @@ class ResumableTileWrite:
                 # empty unit must explicitly DELETE any stale committed
                 # partition, checkpoint n=0, and skip the write/probe loop
                 # (which would otherwise keep "failing validation" forever)
-                self.table.delete_partition(level=lv)
+                self.table.delete_partition(**self._unit_dict(u))
                 self.log.record_many(
                     spark, [(unit, 0, 0.0, time.time() - t0)]
                 )
-                results["written"].append(lv)
+                results["written"].append(u)
                 continue
             parts = []
-            clustered = self._cluster(level_df)
+            clustered = self._cluster(unit_df)
             for attempt in range(max_retries + 1):
                 self.table.overwrite_partitions(clustered)
                 # validation probe: re-read the committed partition,
                 # collecting PER-PARTITION lineage (north rule) in the same
                 # pass, bucketed by stable content key
-                parts = self._probe(spark, lv)
+                parts = self._probe(spark, u)
                 n_total = sum(p.n for p in parts)
                 chk_total = float(sum(p.chk for p in parts))
                 if n_total == exp_n and _chk_matches(chk_total, float(exp_chk)):
@@ -233,7 +268,7 @@ class ResumableTileWrite:
                         f"{max_retries + 1} attempts "
                         f"(rows {n_total}!={exp_n} or checksum mismatch)"
                     )
-                results["retried"].append(lv)
+                results["retried"].append(u)
             wall = time.time() - t0
             n_total = sum(p.n for p in parts)
             chk_total = float(sum(p.chk for p in parts))
@@ -245,5 +280,5 @@ class ResumableTileWrite:
                     for p in parts
                 ],
             )
-            results["written"].append(lv)
+            results["written"].append(u)
         return results

@@ -44,6 +44,7 @@ TILE_PX = 256
 TILE_SCHEMA = T.StructType(
     [
         T.StructField("image_id", T.StringType(), False),
+        T.StructField("var", T.StringType(), False),
         T.StructField("level", T.IntegerType(), False),
         T.StructField("tile_x", T.LongType(), False),
         T.StructField("tile_y", T.LongType(), False),
@@ -143,6 +144,7 @@ def tiles_for_image(
                 records.append(
                     {
                         "image_id": image_id,
+                        "var": var_name,
                         "level": level,
                         "tile_x": tx,
                         "tile_y": ty,
@@ -174,7 +176,16 @@ def build_tiles(
                 i = img_src.image_index(row.image_id)
                 ax, ay = img_src.scene_anchor(i)
                 recs.extend(
-                    tiles_for_image(row.image_id, decoded, ax, ay, min_dimension=min_dimension)
+                    tiles_for_image(
+                        row.image_id,
+                        decoded,
+                        ax,
+                        ay,
+                        min_dimension=min_dimension,
+                        # band-by-band pyramid (reference geozarr.py:974-1183):
+                        # the band name drives the A10 kernel dispatch
+                        var_name=img_src.band_for(i),
+                    )
                 )
             yield pd.DataFrame.from_records(recs) if recs else pd.DataFrame(
                 {f.name: pd.Series(dtype="object") for f in TILE_SCHEMA.fields}
@@ -182,7 +193,7 @@ def build_tiles(
 
     tiles = images.mapInPandas(cut, TILE_SCHEMA)
     if repartition:
-        tiles = tiles.repartitionByRange("level", "tile_y", "tile_x")
+        tiles = tiles.repartitionByRange("var", "level", "tile_y", "tile_x")
     return tiles
 
 
@@ -199,6 +210,7 @@ def merge_tiles(tiles: DataFrame) -> DataFrame:
     """
     out_schema = T.StructType(
         [
+            T.StructField("var", T.StringType(), False),
             T.StructField("level", T.IntegerType(), False),
             T.StructField("tile_x", T.LongType(), False),
             T.StructField("tile_y", T.LongType(), False),
@@ -221,7 +233,7 @@ def merge_tiles(tiles: DataFrame) -> DataFrame:
         frags: list = []
 
         def emit() -> dict:
-            level, tx, ty = cur_key
+            var, level, tx, ty = cur_key
             canvas = np.zeros((TILE_PX, TILE_PX), dtype=np.uint16)
             filled = np.zeros((TILE_PX, TILE_PX), dtype=bool)
             ps, pc = 0.0, 0
@@ -233,6 +245,7 @@ def merge_tiles(tiles: DataFrame) -> DataFrame:
                 ps += f[5]
                 pc += f[6]
             return {
+                "var": str(var),
                 "level": int(level),
                 "tile_x": int(tx),
                 "tile_y": int(ty),
@@ -246,7 +259,7 @@ def merge_tiles(tiles: DataFrame) -> DataFrame:
         out: list[dict] = []
         for pdf in batches:
             for row in pdf.itertuples(index=False):
-                key = (row.level, row.tile_x, row.tile_y)
+                key = (row.var, row.level, row.tile_x, row.tile_y)
                 if key != cur_key:
                     if cur_key is not None:
                         out.append(emit())
@@ -267,18 +280,22 @@ def merge_tiles(tiles: DataFrame) -> DataFrame:
 
     n_shuffle = int(tiles.sparkSession.conf.get("spark.sql.shuffle.partitions", "64"))
     return (
-        tiles.repartition(n_shuffle, "level", "tile_x", "tile_y")
+        tiles.repartition(n_shuffle, "var", "level", "tile_x", "tile_y")
         # image_id in the sort pins the compositing order: overlapping scene
         # fragments overwrite last-write-wins, so without it the merged
         # pixel bytes depend on shuffle fetch order and differ across runs
-        .sortWithinPartitions("level", "tile_x", "tile_y", "image_id")
+        .sortWithinPartitions("var", "level", "tile_x", "tile_y", "image_id")
         .mapInPandas(compose_stream, out_schema)
     )
 
 
-def tile_metrics(tiles: DataFrame) -> DataFrame:
-    """Per-(level) lineage metrics for the checkpoint table — no pixel reads."""
-    return tiles.groupBy("level").agg(
+def tile_metrics(tiles: DataFrame, keys: tuple[str, ...] = ("level",)) -> DataFrame:
+    """Per-(keys) lineage metrics for the checkpoint table — no pixel reads.
+
+    Default keys=(level,) for pyramid totals; pass ("var", "level") for the
+    band-by-band view of a multi-band tile table.
+    """
+    return tiles.groupBy(*keys).agg(
         F.count("*").alias("n_tiles"),
         F.sum("px_cnt").alias("n_pixels"),
         F.sum("px_sum").alias("sum_value"),

@@ -28,17 +28,138 @@ from pyspark.sql import functions as F
 from ..sources.tables import local_df
 from .registry import register
 
-# static subset of the CF standard-name table the reference fetches at
-# import time (common.py:122-139) — the names this engine's products use
+# Static embedding of the CF standard-name table the reference fetches from
+# the published CF conventions URL at import time (common.py:122-139 — no
+# network in this engine, so the table ships inline).  Names below are from
+# the public CF standard name table (cfconventions.org), curated to the
+# vocabulary EO / atmosphere / ocean products actually use; extend freely —
+# the rule only REJECTS names absent from the table.
 CF_NAMES = (
-    "toa_bidirectional_reflectance",
-    "surface_bidirectional_reflectance",
+    # geometry / coordinates
     "latitude",
     "longitude",
     "projection_x_coordinate",
     "projection_y_coordinate",
+    "projection_x_angular_coordinate",
+    "projection_y_angular_coordinate",
     "altitude",
+    "height",
+    "depth",
+    "air_pressure",
+    "model_level_number",
+    "time",
+    "forecast_reference_time",
+    "sensor_zenith_angle",
+    "sensor_azimuth_angle",
+    "solar_zenith_angle",
+    "solar_azimuth_angle",
+    "platform_azimuth_angle",
+    "platform_course",
+    "platform_orientation",
+    "platform_pitch",
+    "platform_roll",
+    "platform_yaw",
+    "angle_of_incidence",
+    # radiation / reflectance
+    "toa_bidirectional_reflectance",
+    "surface_bidirectional_reflectance",
+    "toa_outgoing_radiance_per_unit_wavelength",
+    "toa_outgoing_radiance_per_unit_wavenumber",
+    "surface_upwelling_radiance_per_unit_wavelength",
+    "upwelling_radiance_per_unit_wavelength_in_air",
+    "downwelling_radiance_per_unit_wavelength_in_air",
+    "surface_downwelling_shortwave_flux_in_air",
+    "surface_downwelling_longwave_flux_in_air",
+    "surface_upwelling_shortwave_flux_in_air",
+    "surface_upwelling_longwave_flux_in_air",
+    "toa_incoming_shortwave_flux",
+    "toa_outgoing_shortwave_flux",
+    "toa_outgoing_longwave_flux",
+    "surface_albedo",
+    "planetary_albedo",
+    # atmosphere
+    "air_temperature",
+    "air_potential_temperature",
+    "surface_air_pressure",
+    "air_pressure_at_mean_sea_level",
+    "relative_humidity",
+    "specific_humidity",
+    "dew_point_temperature",
+    "wind_speed",
+    "wind_from_direction",
+    "eastward_wind",
+    "northward_wind",
+    "upward_air_velocity",
+    "atmosphere_mass_content_of_water_vapor",
+    "atmosphere_optical_thickness_due_to_aerosol",
+    "atmosphere_optical_thickness_due_to_cloud",
     "cloud_area_fraction",
+    "cloud_top_pressure",
+    "cloud_top_temperature",
+    "cloud_base_altitude",
+    "convective_cloud_area_fraction",
+    "mass_fraction_of_ozone_in_air",
+    "mole_fraction_of_ozone_in_air",
+    "mole_fraction_of_carbon_dioxide_in_air",
+    "mole_fraction_of_methane_in_air",
+    "mole_fraction_of_nitrogen_dioxide_in_air",
+    "equivalent_thickness_at_stp_of_atmosphere_ozone_content",
+    # land / surface
+    "surface_temperature",
+    "land_area_fraction",
+    "land_binary_mask",
+    "land_ice_area_fraction",
+    "sea_ice_area_fraction",
+    "snow_area_fraction",
+    "surface_snow_thickness",
+    "soil_moisture_content",
+    "volumetric_soil_moisture_content",
+    "leaf_area_index",
+    "normalized_difference_vegetation_index",
+    "vegetation_area_fraction",
+    "surface_roughness_length",
+    "digital_elevation_model_height_above_geoid",
+    # ocean
+    "sea_surface_temperature",
+    "sea_surface_height_above_geoid",
+    "sea_surface_height_above_sea_level",
+    "sea_water_salinity",
+    "sea_water_temperature",
+    "sea_water_ph_reported_on_total_scale",
+    "mass_concentration_of_chlorophyll_a_in_sea_water",
+    "sea_surface_wave_significant_height",
+    "sea_surface_wind_wave_period",
+    "eastward_sea_water_velocity",
+    "northward_sea_water_velocity",
+    # radar / backscatter
+    "surface_backwards_scattering_coefficient_of_radar_wave",
+    "radar_cross_section",
+    # quality / counts
+    "number_of_observations",
+    "quality_flag",
+    "status_flag",
+    "region",
+    "area_type",
+)
+
+# PROJJSON CRS document structure (reference data_api/geozarr/projjson.py —
+# pydantic models of the OGC PROJJSON schema).  The structural rules below
+# cover the load-bearing subset: a known CRS `type`, a `name`, a coordinate
+# system whose `axis` list has 1..3 entries, and ProjectedCRS completeness
+# (`base_crs` + `conversion` are required fields, projjson.py:369-374).
+PROJJSON_CRS_TYPES = (
+    "GeodeticCRS",
+    "GeographicCRS",
+    "ProjectedCRS",
+    "VerticalCRS",
+    "TemporalCRS",
+    "ParametricCRS",
+    "EngineeringCRS",
+    "CompoundCRS",
+    "BoundCRS",
+    "DerivedGeodeticCRS",
+    "DerivedGeographicCRS",
+    "DerivedProjectedCRS",
 )
 
 
@@ -75,6 +196,16 @@ def validate_docs(docs: DataFrame) -> DataFrame:
     is_store = F.col("doc_type") == "store"
     is_level = F.col("doc_type") == "level"
 
+    # PROJJSON structural rules (reference projjson.py pydantic models);
+    # all nested JSON access stays a JVM expression
+    pj = g("$['proj:projjson']")
+    pj_type = g("$['proj:projjson'].type")
+    pj_name = g("$['proj:projjson'].name")
+    pj_cs = g("$['proj:projjson'].coordinate_system")
+    pj_axis = g("$['proj:projjson'].coordinate_system.axis")
+    pj_axis_n = _arr_len(pj_axis)
+    has_pj = is_store & pj.isNotNull()
+
     checks = [
         _issue(is_store & bbox.isNull(), "BBOX_MISSING"),
         _issue(
@@ -109,6 +240,26 @@ def validate_docs(docs: DataFrame) -> DataFrame:
         _issue(
             is_level & std_name.isNotNull() & ~std_name.isin(*CF_NAMES),
             "CF_NAME_UNKNOWN",
+        ),
+        _issue(has_pj & pj_type.isNull(), "PJ_TYPE_MISSING"),
+        _issue(
+            has_pj & pj_type.isNotNull() & ~pj_type.isin(*PROJJSON_CRS_TYPES),
+            "PJ_TYPE_UNKNOWN",
+        ),
+        _issue(has_pj & pj_name.isNull(), "PJ_NAME_MISSING"),
+        _issue(has_pj & pj_cs.isNotNull() & pj_axis.isNull(), "PJ_AXIS_MISSING"),
+        _issue(
+            has_pj & pj_axis.isNotNull() & ~pj_axis_n.between(1, 3),
+            "PJ_AXIS_COUNT",
+        ),
+        _issue(
+            has_pj
+            & (pj_type == "ProjectedCRS")
+            & (
+                g("$['proj:projjson'].base_crs").isNull()
+                | g("$['proj:projjson'].conversion").isNull()
+            ),
+            "PJ_PROJECTED_INCOMPLETE",
         ),
     ]
     return (
@@ -149,6 +300,37 @@ def _level(shape=(549, 549), transform=(100.0, 0.0, 600000.0, 0.0, -100.0, 51449
     return json.dumps(d, sort_keys=True)
 
 
+def _pj(
+    type_="ProjectedCRS",
+    name="WGS 84 / UTM zone 33N",
+    axes: int | None = 2,
+    cs=True,
+    base=True,
+    conv=True,
+) -> dict:
+    """Minimal PROJJSON CRS document (valid by default)."""
+    d: dict = {}
+    if type_ is not None:
+        d["type"] = type_
+    if name is not None:
+        d["name"] = name
+    if base:
+        d["base_crs"] = {"type": "GeographicCRS", "name": "WGS 84"}
+    if conv:
+        d["conversion"] = {"type": "Conversion", "name": "UTM zone 33N"}
+    if cs:
+        csd: dict = {"type": "CoordinateSystem", "subtype": "Cartesian"}
+        if axes is not None:
+            axis = [
+                {"name": "Easting", "abbreviation": "E", "direction": "east"},
+                {"name": "Northing", "abbreviation": "N", "direction": "north"},
+                {"name": "Up", "abbreviation": "U", "direction": "up"},
+            ]
+            csd["axis"] = (axis * ((axes + 2) // 3))[:axes]
+        d["coordinate_system"] = csd
+    return d
+
+
 FIXTURE_DOCS = [
     ("s_ok_code", "store", _store(code="EPSG:32633")),
     ("s_ok_wkt", "store", _store(wkt2="PROJCRS[...]")),
@@ -158,6 +340,13 @@ FIXTURE_DOCS = [
     ("s_crs_missing", "store", _store()),
     ("s_crs_multi", "store", _store(code="EPSG:4326", wkt2="PROJCRS[...]")),
     ("s_code_fmt", "store", _store(code="epsg32633")),
+    ("s_pj_ok", "store", _store(projjson=_pj())),
+    ("s_pj_no_type", "store", _store(projjson=_pj(type_=None))),
+    ("s_pj_bad_type", "store", _store(projjson=_pj(type_="FancyCRS"))),
+    ("s_pj_no_name", "store", _store(projjson=_pj(name=None))),
+    ("s_pj_axis_missing", "store", _store(projjson=_pj(axes=None))),
+    ("s_pj_axis_count", "store", _store(projjson=_pj(axes=5))),
+    ("s_pj_incomplete", "store", _store(projjson=_pj(base=False, conv=False))),
     ("l_ok", "level", _level(std="toa_bidirectional_reflectance")),
     ("l_ok_nostd", "level", _level()),
     ("l_shape_len", "level", _level(shape=(549, 549, 3))),
@@ -175,6 +364,7 @@ def _oracle_sql() -> str:
         for sid, dt, doc in FIXTURE_DOCS
     )
     names = ", ".join(f"'{n}'" for n in CF_NAMES)
+    pj_types = ", ".join(f"'{t}'" for t in PROJJSON_CRS_TYPES)
     return f"""
 WITH docs(store_id, doc_type, doc) AS (
   VALUES {vals}
@@ -194,7 +384,15 @@ WITH docs(store_id, doc_type, doc) AS (
     json_array_length(doc, '$."spatial:shape"') AS shape_n,
     json_extract(doc, '$."spatial:transform"') IS NOT NULL AS has_tr,
     json_array_length(doc, '$."spatial:transform"') AS tr_n,
-    doc->>'$."standard_name"' AS std
+    doc->>'$."standard_name"' AS std,
+    json_extract(doc, '$."proj:projjson"') IS NOT NULL AS has_pj,
+    doc->>'$."proj:projjson".type' AS pj_type,
+    doc->>'$."proj:projjson".name' AS pj_name,
+    json_extract(doc, '$."proj:projjson".coordinate_system') IS NOT NULL AS pj_has_cs,
+    json_extract(doc, '$."proj:projjson".coordinate_system.axis') IS NOT NULL AS pj_has_axis,
+    json_array_length(doc, '$."proj:projjson".coordinate_system.axis') AS pj_axis_n,
+    json_extract(doc, '$."proj:projjson".base_crs') IS NOT NULL AS pj_has_base,
+    json_extract(doc, '$."proj:projjson".conversion') IS NOT NULL AS pj_has_conv
   FROM docs
 ), issues AS (
   SELECT store_id, doc_type, 'BBOX_MISSING' AS code FROM c
@@ -218,6 +416,21 @@ WITH docs(store_id, doc_type, doc) AS (
     WHERE doc_type='level' AND (NOT has_tr OR tr_n != 2*3)
   UNION ALL SELECT store_id, doc_type, 'CF_NAME_UNKNOWN' FROM c
     WHERE doc_type='level' AND std IS NOT NULL AND std NOT IN ({names})
+  UNION ALL SELECT store_id, doc_type, 'PJ_TYPE_MISSING' FROM c
+    WHERE doc_type='store' AND has_pj AND pj_type IS NULL
+  UNION ALL SELECT store_id, doc_type, 'PJ_TYPE_UNKNOWN' FROM c
+    WHERE doc_type='store' AND has_pj AND pj_type IS NOT NULL
+      AND pj_type NOT IN ({pj_types})
+  UNION ALL SELECT store_id, doc_type, 'PJ_NAME_MISSING' FROM c
+    WHERE doc_type='store' AND has_pj AND pj_name IS NULL
+  UNION ALL SELECT store_id, doc_type, 'PJ_AXIS_MISSING' FROM c
+    WHERE doc_type='store' AND has_pj AND pj_has_cs AND NOT pj_has_axis
+  UNION ALL SELECT store_id, doc_type, 'PJ_AXIS_COUNT' FROM c
+    WHERE doc_type='store' AND has_pj AND pj_has_axis
+      AND pj_axis_n NOT BETWEEN 1 AND 3
+  UNION ALL SELECT store_id, doc_type, 'PJ_PROJECTED_INCOMPLETE' FROM c
+    WHERE doc_type='store' AND has_pj AND pj_type = 'ProjectedCRS'
+      AND NOT (pj_has_base AND pj_has_conv)
 )
 SELECT store_id, doc_type, code FROM issues
 ORDER BY store_id, doc_type, code"""
@@ -230,3 +443,134 @@ def layout_validate(spark, sf_dir):
         spark, FIXTURE_DOCS, "store_id string, doc_type string, doc string"
     )
     return validate_docs(docs)
+
+
+# ---------------------------------------------------------------------------
+# product detection from store group-path sets (reference: the S1/S2
+# TypedDict hierarchies — data_api/s2.py:650-696, s1.py:894-922 — and
+# `is_sentinel2_dataset`, s2_optimization/s2_converter.py:408-418)
+# ---------------------------------------------------------------------------
+
+#: second-level member names every S1 polarization group must carry
+#: (s1.py:894-899: conditions / measurements / quality)
+_S1_POL_MEMBERS = ("conditions", "measurements", "quality")
+
+
+def product_detect_df(paths: DataFrame) -> DataFrame:
+    """Classify each store as S2 / S1 / generic from its group paths.
+
+    ``paths``: tall table (store_id, path) — one row per zarr group path,
+    the relational shape of ``GroupSpec.from_zarr`` at 10^12 groups.  Rules
+    re-express the pydantic structural unions as aggregations:
+
+    * **S2**: root members measurements+quality+conditions AND a
+      ``measurements/reflectance/r{N}m`` resolution dataset
+      (s2.py:650-696).
+    * **S1**: at least one top-level polarization group with all of
+      conditions/measurements/quality beneath it (s1.py:894-922).
+    * S2 wins over S1 (a hierarchy satisfying both is resolved like the
+      reference's ``TypeAdapter(Sentinel1Root | Sentinel2Root)`` + isinstance
+      check in s2_converter.py:417).
+    """
+    p = F.col("path")
+    parts = F.split(p, "/")
+    flags = paths.groupBy("store_id").agg(
+        F.max((p == "measurements").cast("int")).alias("has_m"),
+        F.max((p == "quality").cast("int")).alias("has_q"),
+        F.max((p == "conditions").cast("int")).alias("has_c"),
+        F.max(p.rlike("^measurements/reflectance/r[0-9]+m$").cast("int")).alias(
+            "has_res"
+        ),
+    )
+    pol = (
+        paths.filter(
+            (F.size(parts) == 2) & F.element_at(parts, 2).isin(*_S1_POL_MEMBERS)
+        )
+        .groupBy("store_id", F.element_at(parts, 1).alias("grp"))
+        .agg(F.countDistinct(F.element_at(parts, 2)).alias("n_members"))
+        .filter(F.col("n_members") == len(_S1_POL_MEMBERS))
+        .groupBy("store_id")
+        .agg(F.count("*").alias("n_pol_groups"))
+    )
+    is_s2 = (
+        (F.col("has_m") == 1)
+        & (F.col("has_q") == 1)
+        & (F.col("has_c") == 1)
+        & (F.col("has_res") == 1)
+    )
+    return (
+        flags.join(pol, "store_id", "left")
+        .select(
+            "store_id",
+            F.when(is_s2, F.lit("S2"))
+            .when(F.coalesce(F.col("n_pol_groups"), F.lit(0)) >= 1, F.lit("S1"))
+            .otherwise(F.lit("generic"))
+            .alias("product"),
+        )
+        .orderBy("store_id")
+    )
+
+
+PRODUCT_FIXTURE_PATHS = [
+    # a complete S2 hierarchy
+    *[("st_s2", p) for p in (
+        "measurements", "measurements/reflectance",
+        "measurements/reflectance/r10m", "measurements/reflectance/r20m",
+        "measurements/reflectance/r60m", "quality", "quality/mask",
+        "quality/atmosphere", "conditions", "conditions/geometry",
+        "conditions/mask",
+    )],
+    # a two-polarization S1 hierarchy
+    *[("st_s1", p) for p in (
+        "VH", "VH/conditions", "VH/measurements", "VH/quality",
+        "VV", "VV/conditions", "VV/measurements", "VV/quality",
+    )],
+    # single-polarization S1
+    *[("st_s1_hh", p) for p in ("HH", "HH/conditions", "HH/measurements", "HH/quality")],
+    # S2 minus the conditions root member -> generic
+    *[("st_almost_s2", p) for p in (
+        "measurements", "measurements/reflectance",
+        "measurements/reflectance/r10m", "quality",
+    )],
+    # polarization group missing quality -> generic
+    *[("st_almost_s1", p) for p in ("VH", "VH/conditions", "VH/measurements")],
+    ("st_generic", "data"),
+    ("st_generic", "logs/a"),
+]
+
+
+def _product_oracle() -> str:
+    vals = ", ".join(f"('{s}', '{p}')" for s, p in PRODUCT_FIXTURE_PATHS)
+    members = ", ".join(f"'{m}'" for m in _S1_POL_MEMBERS)
+    return f"""
+WITH paths(store_id, path) AS (VALUES {vals}),
+flags AS (
+  SELECT store_id,
+         MAX(CASE WHEN path = 'measurements' THEN 1 ELSE 0 END) AS has_m,
+         MAX(CASE WHEN path = 'quality' THEN 1 ELSE 0 END) AS has_q,
+         MAX(CASE WHEN path = 'conditions' THEN 1 ELSE 0 END) AS has_c,
+         MAX(CASE WHEN regexp_matches(path, '^measurements/reflectance/r[0-9]+m$')
+             THEN 1 ELSE 0 END) AS has_res
+  FROM paths GROUP BY store_id),
+pol AS (
+  SELECT store_id, COUNT(*) AS n_pol_groups FROM (
+    SELECT store_id, string_split(path, '/')[1] AS grp
+    FROM paths
+    WHERE len(string_split(path, '/')) = 2
+      AND string_split(path, '/')[2] IN ({members})
+    GROUP BY store_id, string_split(path, '/')[1]
+    HAVING COUNT(DISTINCT string_split(path, '/')[2]) = {len(_S1_POL_MEMBERS)}
+  ) GROUP BY store_id)
+SELECT f.store_id,
+       CASE WHEN has_m = 1 AND has_q = 1 AND has_c = 1 AND has_res = 1 THEN 'S2'
+            WHEN COALESCE(n_pol_groups, 0) >= 1 THEN 'S1'
+            ELSE 'generic' END AS product
+FROM flags f LEFT JOIN pol USING (store_id)
+ORDER BY store_id"""
+
+
+@register("product_detect", _product_oracle())
+def product_detect(spark, sf_dir):
+    """Classify the fixture stores as S1/S2/generic from group-path sets."""
+    paths = local_df(spark, PRODUCT_FIXTURE_PATHS, "store_id string, path string")
+    return product_detect_df(paths)

@@ -39,6 +39,19 @@ IMAGE_SCHEMA = T.StructType(
 FMTS = ("raw-u16", "png", "jpeg")
 DIM_CYCLE = (64, 256, 512)
 
+#: band cycle (reference: S2 band-by-band datasets, `conversion/geozarr.py:
+#: 974-1183`): reflectance bands + classification (scl) + probability
+#: (cld, snw) + aerosol/water-vapour (aot, wvp), so the pyramid pipeline
+#: exercises the full A10 kernel dispatch (mean / center-pick /
+#: clamped-mean) end-to-end.  Length 16 DIVIDES the 64-column scene grid:
+#: vertically adjacent scenes in a grid column (i, i+64) share a band, so
+#: same-band scene overlap — the merge-compositing case — exists by
+#: construction at any scale.
+BANDS = (
+    "b01", "b02", "b03", "b04", "b05", "b06", "b07", "b08", "b8a",
+    "b11", "b12", "aot", "wvp", "scl", "cld", "snw",
+)
+
 # scene grid anchoring (FIXTURES.md §1): UTM EPSG:32632 squares on a step grid
 SCENE_EPSG = 32632
 ANCHOR_X0 = 600000.0
@@ -64,13 +77,35 @@ def image_dims(i: int, dim_cycle=DIM_CYCLE) -> tuple[int, int]:
     return w, h
 
 
+def band_for(i: int) -> str:
+    """Band (variable) of image row i — the multi-band dimension."""
+    return BANDS[i % len(BANDS)]
+
+
+def _band_of_id(image_id: str) -> str:
+    try:
+        return band_for(image_index(image_id))
+    except (IndexError, ValueError):
+        return "b02"  # free-form test ids default to a reflectance band
+
+
 def image_fmt(i: int) -> str:
+    # classification / probability bands are never lossy-encoded (a JPEG'd
+    # class mask is semantically wrong and PSNR-meaningless)
+    if band_for(i) in ("scl", "cld", "snw"):
+        return "png" if i % 2 else "raw-u16"
     return FMTS[i % len(FMTS)]
 
 
 def synth_pixels(image_id: str, w: int, h: int) -> np.ndarray:
-    """Seeded uint16 reflectance-like field — the per-image ground truth."""
+    """Seeded uint16 ground-truth pixels, value range appropriate to the band:
+    reflectance 500..5000-ish, scl classes 0..11, cld probabilities 0..100."""
     rng = np.random.default_rng(image_seed(image_id))
+    band = _band_of_id(image_id)
+    if band == "scl":
+        return rng.integers(0, 12, size=(h, w), dtype=np.uint16)
+    if band in ("cld", "snw"):
+        return rng.integers(0, 101, size=(h, w), dtype=np.uint16)
     base = rng.integers(500, 3000, size=(h, w), dtype=np.uint16)
     # add smooth structure so lossy PSNR is meaningful (not pure noise)
     yy, xx = np.mgrid[0:h, 0:w]
@@ -100,7 +135,7 @@ def phash64(pixels: np.ndarray) -> int:
 
 
 def caption_for(image_id: str, i: int) -> str:
-    return f"scene {image_id} band b{i % 13 + 1:02d} utm{SCENE_EPSG}"
+    return f"scene {image_id} band {band_for(i)} utm{SCENE_EPSG}"
 
 
 def scene_anchor(i: int) -> tuple[float, float]:
@@ -158,6 +193,13 @@ def _rows_for_indices(indices: np.ndarray, dim_cycle) -> pd.DataFrame:
 def generate_images_pandas(n: int, dim_cycle=DIM_CYCLE) -> pd.DataFrame:
     """Driver-side generation (tests / tiny fixtures)."""
     return _rows_for_indices(np.arange(n), dim_cycle)
+
+
+def generate_images_pandas_for(indices, dim_cycle=DIM_CYCLE) -> pd.DataFrame:
+    """Driver-side generation of SPECIFIC scene indices — e.g. the
+    same-band vertically-overlapping pairs (i, i+64) for merge-composite
+    fixtures."""
+    return _rows_for_indices(np.asarray(list(indices)), dim_cycle)
 
 
 def generate_images_df(

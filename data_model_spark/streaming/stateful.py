@@ -6,7 +6,7 @@ arrive in DIFFERENT micro-batches (two scenes overlapping one tile can be
 read minutes apart), which Spark's built-in streaming aggregations can't
 express for our compose semantics — the custom-stateful-operator case:
 ``applyInPandasWithState`` (GroupState, GroupStateTimeout) keyed by
-``(level, tile_x, tile_y)``.
+``(var, level, tile_x, tile_y)`` — band-by-band, like the batch merge.
 
 State per key = running (n_sources, px_sum, px_cnt) plus a PACKED FOOTPRINT
 BITMASK (8 KB per live key) so ``filled_px`` is the union of fragment
@@ -31,7 +31,7 @@ from ..operators.tiling import TILE_PX
 
 MERGE_STATE_SCHEMA = "n_sources INT, px_sum DOUBLE, px_cnt LONG, mask BINARY"
 MERGED_SCHEMA = (
-    "level INT, tile_x LONG, tile_y LONG, n_sources INT, filled_px LONG,"
+    "var STRING, level INT, tile_x LONG, tile_y LONG, n_sources INT, filled_px LONG,"
     " px_sum DOUBLE, px_cnt LONG, final BOOLEAN"
 )
 
@@ -59,7 +59,7 @@ def _merge_fn(
             ):
                 filled[int(oy) : int(oy) + int(h), int(ox) : int(ox) + int(w)] = True
     fp = int(filled.sum())
-    level, tx, ty = key
+    var, level, tx, ty = key
     if not state.hasTimedOut and n_new:
         state.update((ns, ps, pc, bytes(np.packbits(filled))))
         if timeout_ms is not None:
@@ -70,6 +70,7 @@ def _merge_fn(
         final = True
     yield pd.DataFrame(
         {
+            "var": [str(var)],
             "level": [int(level)],
             "tile_x": [int(tx)],
             "tile_y": [int(ty)],
@@ -112,10 +113,10 @@ def merge_tiles_stateful(
 
     return (
         fragments.select(
-            "level", "tile_x", "tile_y", "off_x", "off_y", "tile_w", "tile_h",
-            "px_sum", "px_cnt",
+            "var", "level", "tile_x", "tile_y", "off_x", "off_y", "tile_w",
+            "tile_h", "px_sum", "px_cnt",
         )
-        .groupBy("level", "tile_x", "tile_y")
+        .groupBy("var", "level", "tile_x", "tile_y")
         .applyInPandasWithState(
             fn,
             outputStructType=MERGED_SCHEMA,

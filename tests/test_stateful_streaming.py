@@ -11,11 +11,16 @@ from data_model_spark.streaming.stateful import merge_tiles_stateful
 
 @pytest.fixture()
 def split_images(spark, tmp_path):
-    """Image table written as two parquet files -> two micro-batches."""
+    """Image table written as two parquet files -> two micro-batches.
+
+    Scene pairs (6, 70) / (7, 71) are vertically adjacent in the same grid
+    column and share a band (BANDS has period 16, the grid 64 columns), so
+    fragments of the SAME (var, tile) key arrive in DIFFERENT micro-batches
+    — the cross-batch accumulation the stateful operator exists for."""
     base = str(tmp_path / "imgs")
-    pdf = img_src.generate_images_pandas(8)
-    for i, half in enumerate((pdf.iloc[:4], pdf.iloc[4:])):
-        spark.createDataFrame(half, IMAGE_SCHEMA).coalesce(1).write.mode(
+    for idx in ([6, 7, 8], [70, 71, 72]):
+        pdf = img_src.generate_images_pandas_for(idx)
+        spark.createDataFrame(pdf, IMAGE_SCHEMA).coalesce(1).write.mode(
             "append"
         ).parquet(base)
     return base
@@ -48,14 +53,14 @@ def test_stateful_merge_matches_batch(spark, split_images, tmp_path):
 
     # last update per key = the accumulated state across micro-batches
     updates = spark.sql(
-        """SELECT level, tile_x, tile_y, n_sources, filled_px, px_sum, px_cnt FROM (
+        """SELECT var, level, tile_x, tile_y, n_sources, filled_px, px_sum, px_cnt FROM (
              SELECT *, row_number() OVER (
-               PARTITION BY level, tile_x, tile_y
+               PARTITION BY var, level, tile_x, tile_y
                ORDER BY n_sources DESC) AS rn
              FROM merged_state) WHERE rn = 1"""
     )
     got = {
-        (r.level, r.tile_x, r.tile_y): (
+        (r.var, r.level, r.tile_x, r.tile_y): (
             r.n_sources, r.filled_px, round(r.px_sum, 3), r.px_cnt
         )
         for r in updates.collect()
@@ -67,7 +72,7 @@ def test_stateful_merge_matches_batch(spark, split_images, tmp_path):
         )
     )
     exp = {
-        (r.level, r.tile_x, r.tile_y): (
+        (r.var, r.level, r.tile_x, r.tile_y): (
             r.n_sources, r.filled_px, round(r.px_sum, 3), r.px_cnt
         )
         for r in batch.collect()

@@ -190,23 +190,28 @@ class TestBboxQuery:
 
 class TestMergeDeterminism:
     def test_overlapping_fragments_compose_deterministically(self, spark):
-        """Scenes overlap by construction (GRID_STEP_M < max scene extent);
-        the merged tile BYTES must be identical across runs — the sort pins
-        the last-write-wins order by image_id."""
+        """Same-band scenes overlap (pairs (i, i+64) share a band and a grid
+        column); the merged tile BYTES must be identical across runs — the
+        sort pins the last-write-wins order by image_id."""
         from data_model_spark.operators import tiling
-        from data_model_spark.sources.images import generate_images_df
+        from data_model_spark.sources.images import (
+            IMAGE_SCHEMA,
+            generate_images_pandas_for,
+        )
 
-        imgs = generate_images_df(spark, 12, num_partitions=6)
+        imgs = spark.createDataFrame(
+            generate_images_pandas_for([6, 7, 8, 70, 71, 72]), IMAGE_SCHEMA
+        ).repartition(6)
 
         def digest():
             rows = (
                 tiling.merge_tiles(
                     tiling.build_tiles(imgs, min_dimension=64, repartition=False)
                 )
-                .select("level", "tile_x", "tile_y", F.md5(F.col("data")).alias("d"))
+                .select("var", "level", "tile_x", "tile_y", F.md5(F.col("data")).alias("d"))
                 .collect()
             )
-            return {(r.level, r.tile_x, r.tile_y): r.d for r in rows}
+            return {(r.var, r.level, r.tile_x, r.tile_y): r.d for r in rows}
 
         a, b = digest(), digest()
         assert a == b and len(a) > 0

@@ -9,7 +9,7 @@ DDL = "store_id string, doc_type string, doc string"
 def test_valid_docs_yield_no_issues(spark):
     docs = local_df(
         spark,
-        [r for r in V.FIXTURE_DOCS if r[0] in ("s_ok_code", "s_ok_wkt", "l_ok", "l_ok_nostd")],
+        [r for r in V.FIXTURE_DOCS if r[0] in ("s_ok_code", "s_ok_wkt", "s_pj_ok", "l_ok", "l_ok_nostd")],
         DDL,
     )
     assert V.validate_docs(docs).count() == 0
@@ -32,6 +32,12 @@ def test_each_failure_mode_detected_once(spark):
         ("l_shape_missing", "SHAPE_LEN"),
         ("l_transform_len", "TRANSFORM_LEN"),
         ("l_cf_unknown", "CF_NAME_UNKNOWN"),
+        ("s_pj_no_type", "PJ_TYPE_MISSING"),
+        ("s_pj_bad_type", "PJ_TYPE_UNKNOWN"),
+        ("s_pj_no_name", "PJ_NAME_MISSING"),
+        ("s_pj_axis_missing", "PJ_AXIS_MISSING"),
+        ("s_pj_axis_count", "PJ_AXIS_COUNT"),
+        ("s_pj_incomplete", "PJ_PROJECTED_INCOMPLETE"),
     }
 
 
