@@ -109,11 +109,20 @@ FRAME_SCHEMA = T.StructType(
 
 
 def decode_audio(payload: bytes, fmt: str) -> np.ndarray:
-    """Audio decode. Real codecs (``fmt`` in {wav, flac, mp3, ...}) need an
-    audio library absent from this container — clearly-marked stub; the
-    ``fake-pcm16`` format (deterministic test twin: raw little-endian int16
-    PCM) decodes for real so the Spark plumbing is exercised end-to-end.
+    """Audio decode to float64 mono in [-1, 1].
+
+    * ``wav`` — REAL RIFF/WAVE PCM container (``codecs/wav.py``, written
+      from the public spec; multichannel mixes down by mean).
+    * ``fake-pcm16`` — raw little-endian int16 PCM (deterministic twin).
+    * compressed codecs (mp3/flac/aac/...) need an audio library absent
+      from this container — clearly-marked stub; the Spark plumbing
+      (binary column, Arrow batches, UDF signature) is identical.
     """
+    if fmt == "wav":
+        from ..codecs.wav import decode_wav
+
+        x, _rate = decode_wav(payload)
+        return x[:, 0] if x.shape[1] == 1 else x.mean(axis=1)
     if fmt == "fake-pcm16":
         return np.frombuffer(payload, dtype="<i2").astype(np.float64) / 32768.0
     raise NotImplementedError(
@@ -208,6 +217,44 @@ def synth_audio_clips(spark, n: int = 16) -> DataFrame:
                         "payload": pcm.tobytes(),
                         "fmt": "fake-pcm16",
                         "sample_rate": 16000,
+                    }
+                )
+            yield pd.DataFrame.from_records(recs)
+
+    schema = "clip_id string, payload binary, fmt string, sample_rate int"
+    return spark.range(0, n, numPartitions=4).mapInPandas(gen, schema)
+
+
+def _wav_samples(i: int) -> tuple[np.ndarray, int, int]:
+    """Deterministic per-clip samples: (float samples, rate, channels)."""
+    rng = np.random.default_rng(2000 + i)
+    rate = 16000 if i % 2 == 0 else 8000
+    channels = 1 if i % 3 else 2
+    t = np.arange(2000 + 250 * (i % 4))
+    wave = 0.4 * np.sin(2 * np.pi * (110 + 30 * i) * t / rate)
+    wave = wave[:, None] if channels == 1 else np.stack(
+        [wave, 0.2 * np.cos(2 * np.pi * (55 + 10 * i) * t / rate)], axis=1
+    )
+    wave = wave + rng.normal(0, 0.01, wave.shape)
+    return np.clip(wave, -1, 1), rate, channels
+
+
+def synth_wav_clips(spark, n: int = 12) -> DataFrame:
+    """Deterministic REAL-WAV clip table (distributed generation)."""
+    from ..codecs.wav import encode_wav_pcm16
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for i in pdf["id"]:
+                i = int(i)
+                wave, rate, channels = _wav_samples(i)
+                recs.append(
+                    {
+                        "clip_id": f"wav_{i:06d}",
+                        "payload": encode_wav_pcm16(wave, rate, channels),
+                        "fmt": "wav",
+                        "sample_rate": rate,
                     }
                 )
             yield pd.DataFrame.from_records(recs)
@@ -402,6 +449,37 @@ def audio_features(spark, sf_dir):
     """Audio-column plumbing: binary payload + typed metadata -> per-clip
     RMS / zero-crossing / peak features via mapInPandas."""
     return extract_audio_features(synth_audio_clips(spark, 16)).orderBy("clip_id")
+
+
+def _wav_features_oracle() -> str:
+    """Reference features computed driver-side from the SAME deterministic
+    samples, quantized exactly as the encoder does — so equality proves the
+    RIFF/WAVE container roundtrip (encode on generation, decode in the UDF)
+    and the distributed feature pass, which the oracle does not replay."""
+    rows = []
+    for i in range(12):
+        wave, rate, _channels = _wav_samples(i)
+        q = np.clip(np.round(wave * 32768.0), -32768, 32767) / 32768.0
+        x = q[:, 0] if q.shape[1] == 1 else q.mean(axis=1)
+        rms = float(np.sqrt(np.mean(x**2))) if len(x) else 0.0
+        zc = int(np.sum(np.abs(np.diff(np.signbit(x)))))
+        peak = float(np.max(np.abs(x))) if len(x) else 0.0
+        rows.append(
+            f"('wav_{i:06d}', {rate}, {len(x)}, {rms!r}, {zc}, {peak!r})"
+        )
+    return (
+        "SELECT clip_id, sample_rate, n_samples, rms, zero_crossings, peak\n"
+        "FROM (VALUES " + ", ".join(rows)
+        + ") AS t(clip_id, sample_rate, n_samples, rms, zero_crossings, peak)\n"
+        "ORDER BY clip_id"
+    )
+
+
+@register("wav_audio_features", _wav_features_oracle)
+def wav_audio_features(spark, sf_dir):
+    """REAL audio container end-to-end: RIFF/WAVE PCM clips (mono+stereo,
+    8/16 kHz) decoded by the spec-written codec inside the Arrow UDF."""
+    return extract_audio_features(synth_wav_clips(spark, 12)).orderBy("clip_id")
 
 
 @register("video_frame_sample", None)  # deterministic fake-rawgray twin
