@@ -158,9 +158,19 @@ def extract_audio_features(clips: DataFrame) -> DataFrame:
 
 
 def decode_video_frames(payload: bytes, fmt: str, w: int, h: int) -> np.ndarray:
-    """Video decode to (n_frames, h, w) uint8. Real containers need ffmpeg
-    (absent) — stub; ``fake-rawgray`` (concatenated grayscale frames)
-    decodes for real."""
+    """Video decode to (n_frames, h, w) uint8.
+
+    * ``y4m`` — REAL YUV4MPEG2 container (``codecs/y4m.py``, from the
+      public yuv4mpeg spec; luma plane per frame).
+    * ``fake-rawgray`` — concatenated grayscale frames (deterministic twin).
+    * compressed codecs (h264/vp9/...) need ffmpeg-class libraries —
+      clearly-marked stub, identical Spark plumbing.
+    """
+    if fmt == "y4m":
+        from ..codecs.y4m import decode_y4m
+
+        frames, _fps = decode_y4m(payload)
+        return frames
     if fmt == "fake-rawgray":
         a = np.frombuffer(payload, dtype=np.uint8)
         n = len(a) // (w * h)
@@ -449,6 +459,71 @@ def audio_features(spark, sf_dir):
     """Audio-column plumbing: binary payload + typed metadata -> per-clip
     RMS / zero-crossing / peak features via mapInPandas."""
     return extract_audio_features(synth_audio_clips(spark, 16)).orderBy("clip_id")
+
+
+def synth_y4m_clips(spark, n: int = 8, w: int = 32, h: int = 24, frames: int = 12) -> DataFrame:
+    """Deterministic REAL-Y4M clip table (Cmono, distributed generation)."""
+    from ..codecs.y4m import encode_y4m_mono
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.default_rng(3000 + i)
+                stack = rng.integers(0, 256, size=(frames, h, w), dtype=np.uint8)
+                recs.append(
+                    {
+                        "clip_id": f"y4m_{i:06d}",
+                        "payload": encode_y4m_mono(stack),
+                        "fmt": "y4m",
+                        "w": w,
+                        "h": h,
+                    }
+                )
+            yield pd.DataFrame.from_records(recs)
+
+    schema = "clip_id string, payload binary, fmt string, w int, h int"
+    return spark.range(0, n, numPartitions=4).mapInPandas(gen, schema)
+
+
+def _y4m_frame_oracle() -> str:
+    """Driver-side NumPy reference over the same deterministic frame
+    stacks (no container involved): equality proves the Y4M roundtrip and
+    the distributed every-Nth sampling + per-clip aggregation."""
+    rows = []
+    for i in range(8):
+        rng = np.random.default_rng(3000 + i)
+        stack = rng.integers(0, 256, size=(12, 24, 32), dtype=np.uint8)
+        sampled = stack[::2]
+        means = [float(f.mean()) for f in sampled]
+        rows.append(
+            f"('y4m_{i:06d}', {len(sampled)}, {float(np.mean(means))!r}, "
+            f"{len(sampled) * 24 * 32})"
+        )
+    return (
+        "SELECT clip_id, n_sampled, ROUND(avg_frame_mean, 6) AS avg_frame_mean,"
+        " total_bytes\n"
+        "FROM (VALUES " + ", ".join(rows)
+        + ") AS t(clip_id, n_sampled, avg_frame_mean, total_bytes)\n"
+        "ORDER BY clip_id"
+    )
+
+
+@register("y4m_frame_sample", _y4m_frame_oracle)
+def y4m_frame_sample(spark, sf_dir):
+    """REAL video container end-to-end: YUV4MPEG2 clips frame-sampled
+    (every 2nd) through the UDTF fan-out, aggregated per clip."""
+    frames = sample_video_frames(synth_y4m_clips(spark, 8), every_n=2)
+    return (
+        frames.groupBy("clip_id")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.round(F.avg("frame_mean"), 6).alias("avg_frame_mean"),
+            F.sum(F.length("frame_bytes")).alias("total_bytes"),
+        )
+        .orderBy("clip_id")
+    )
 
 
 def _wav_features_oracle() -> str:

@@ -82,9 +82,9 @@ PRIORITY_ORDER: list[str] = [
     "tile_bbox_query",
     # -- new queries (round 3+) --
     "product_detect",
-    "projjson_validate",
     "flagship_multiband",
     "wav_audio_features",
+    "y4m_frame_sample",
     # -- load-bearing verified backfill --
     "consolidate_s2",
     "dedup_exact",
