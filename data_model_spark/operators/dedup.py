@@ -156,13 +156,16 @@ def jaccard_pairs(
     candidates: DataFrame | None = None,
     salt: int = 8,
     hot_min: int = 1024,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs via (skew-salted) shingle self-join.
 
     ``candidates`` (doc_a, doc_b) optionally restricts the pair space (the
     LSH refinement path); otherwise all co-shingled pairs are scored.
+    ``shingles`` lets a caller that already exploded (and cached) the
+    shingle table reuse it instead of recomputing the explosion.
     """
-    sh = shingles_df(docs, n)
+    sh = shingles_df(docs, n) if shingles is None else shingles
     if salt and not sh.is_cached:
         sh = _persist(sh)  # reused by sizes + the salted split
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -267,11 +270,18 @@ def minhash_lsh_dedup(
     bands: int = 16,
     n: int = 3,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: candidates then exact refinement."""
+    """Full MinHash-LSH near-dup pipeline: candidates then exact refinement.
+
+    The shingle explosion is computed ONCE and cached — it feeds both the
+    signature aggregation and the exact-Jaccard refinement (without the
+    reuse, the most expensive stage of the pipeline ran twice).
+    """
     sh = shingles_df(docs, n)
+    if not sh.is_cached:
+        sh = _persist(sh)
     sig = minhash_signatures(sh, num_hashes)
     cand = lsh_candidates(sig, bands)
-    return jaccard_pairs(docs, threshold, n, candidates=cand)
+    return jaccard_pairs(docs, threshold, n, candidates=cand, shingles=sh)
 
 
 SIMHASH_BITS = 60  # md5_60 token hash width; simhash stays a positive int64
