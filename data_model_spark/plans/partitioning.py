@@ -86,12 +86,18 @@ def spatial_block_partition(
     """
     from pyspark.sql import functions as F
 
+    # multi-band tile tables co-locate by band too, so a band-partitioned
+    # write (partitionBy("var", "level")) emits few files per directory
+    var_cols = ["var"] if "var" in df.columns else []
     return df.repartition(
         # floor, not truncate-toward-zero: scenes anchored below the grid
         # origin produce negative tile_y, and truncation would fold bands
         # [-block+1 .. block-1] into one double-width band
-        n_partitions, F.col(level_col), F.floor(F.col(y_col) / block).cast("long")
-    ).sortWithinPartitions(level_col, y_col, x_col)
+        n_partitions,
+        *var_cols,
+        F.col(level_col),
+        F.floor(F.col(y_col) / block).cast("long"),
+    ).sortWithinPartitions(*var_cols, level_col, y_col, x_col)
 
 
 def zorder_key(

@@ -116,7 +116,7 @@ def main() -> None:
             # job was the write phase's non-scaler (see write_phase_probe)
             spatial_block_partition(merged, 2 * cores)
             .write.mode("overwrite")
-            .partitionBy("level")
+            .partitionBy("var", "level")  # band-by-band layout (multi-band)
             .parquet(out_dir)
         )
         t_write = time.perf_counter() - t0

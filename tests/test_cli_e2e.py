@@ -51,8 +51,9 @@ def test_validate_fixture_exit_code():
     p = run_cli("validate", "--fixture", check=False)
     assert p.returncode == 1  # fixture contains invalid docs
     tail = last_json(p)
-    assert tail["n_issues"] == 11
+    assert tail["n_issues"] == 17  # incl. the 6 PROJJSON structural rules
     assert "CRS_MISSING" in p.stdout
+    assert "PJ_TYPE_UNKNOWN" in p.stdout
 
 
 def test_validate_requires_source():

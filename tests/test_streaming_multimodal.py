@@ -56,8 +56,9 @@ class TestMultimodal:
         np.testing.assert_allclose(np.array(row.thumb), exp)
 
     def test_stubs_marked(self):
+        # wav/y4m decode for REAL now; compressed codecs stay honest stubs
         with pytest.raises(NotImplementedError):
-            multimodal.decode_audio(b"xx", "wav")
+            multimodal.decode_audio(b"xx", "mp3")
         with pytest.raises(NotImplementedError):
             multimodal.decode_video_frames(b"xx", "mp4", 32, 24)
 
@@ -101,7 +102,23 @@ class TestAudioVideoPlumbing:
         from data_model_spark.operators.multimodal import decode_audio
 
         with pt.raises(NotImplementedError):
-            decode_audio(b"RIFF....", "wav")
+            decode_audio(b"\xff\xfb....", "mp3")  # compressed: honest stub
+
+    def test_wav_decodes_for_real(self):
+        import numpy as np
+
+        from data_model_spark.codecs.wav import encode_wav_pcm16
+        from data_model_spark.operators.multimodal import decode_audio
+
+        x = np.array([0, 8192, -8192, 16384], dtype=np.int16)
+        mono = decode_audio(encode_wav_pcm16(x, 8000), "wav")
+        np.testing.assert_array_equal(
+            np.round(mono * 32768.0).astype(np.int16), x
+        )
+        # stereo mixes down by mean
+        st = np.stack([x, -x], axis=1)
+        mixed = decode_audio(encode_wav_pcm16(st, 8000, channels=2), "wav")
+        np.testing.assert_allclose(mixed, 0.0, atol=1e-12)
 
     def test_video_frame_sampling_fanout(self, spark):
         from data_model_spark.operators import multimodal as mm
