@@ -85,6 +85,8 @@ PRIORITY_ORDER: list[str] = [
     "flagship_multiband",
     "wav_audio_features",
     "y4m_frame_sample",
+    "dedup_components",
+    "dedup_canonical",
     # -- load-bearing verified backfill --
     "consolidate_s2",
     "dedup_exact",
@@ -122,6 +124,7 @@ def all_queries() -> dict[str, QuerySpec]:
     then remaining registrations in import order.
     """
     from . import (  # noqa: F401
+        components,
         consolidate,
         dedup,
         multimodal,
