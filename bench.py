@@ -107,6 +107,8 @@ def main() -> None:
         "pyramid_cascade",
         "emb_neardup_lsh_pairs",
         "streaming_event_windows",
+        "dedup_components",
+        "ivf_kmeans_assign",
     ]
     registry = all_queries()
     join_rows = 0

@@ -210,3 +210,29 @@ def streaming_event_windows(spark, sf_dir):
     from ..streaming.windowed import windowed_event_counts
 
     return windowed_event_counts(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+_EVT_DEDUP_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY event_type"""
+
+
+@register("streaming_dedup", _EVT_DEDUP_ORACLE)
+def streaming_dedup(spark, sf_dir):
+    """Watermark-scoped streaming exact-dedup of a duplicated ingest.
+
+    The events parquet is staged TWICE into the stream source (separate
+    micro-batches via maxFilesPerTrigger=1), so every event arrives at
+    least twice; dropDuplicates([event_id, ts]) under a 60-min watermark
+    must reduce the drain back to the batch DISTINCT — the per-type
+    rollup therefore equals the plain batch aggregation (the oracle).
+    Keying the dedup state by the event-time column is what lets the
+    watermark evict it, keeping a continuous ingest's state bounded.
+    """
+    import os
+
+    from ..streaming.dedup import streaming_dedup_counts
+
+    return streaming_dedup_counts(spark, os.path.join(sf_dir, "events.parquet"))

@@ -87,6 +87,13 @@ PRIORITY_ORDER: list[str] = [
     "y4m_frame_sample",
     "dedup_components",
     "dedup_canonical",
+    "ivf_kmeans_assign",
+    "stratified_sample",
+    "stratified_topn",
+    "curation_keep",
+    "length_profile",
+    "vocab_topk",
+    "streaming_dedup",
     # -- load-bearing verified backfill --
     "consolidate_s2",
     "dedup_exact",
@@ -127,10 +134,13 @@ def all_queries() -> dict[str, QuerySpec]:
         components,
         consolidate,
         dedup,
+        ivf_kmeans,
         multimodal,
         pipeline_queries,
+        profile,
         relational,
         reproject,
+        sampling,
         similarity,
         spatial_queries,
         text,

@@ -1,0 +1,79 @@
+"""Streaming exact-dedup: watermark-scoped dropDuplicates over an ingest.
+
+The streaming face of ``operators/dedup.py``'s exact dedup: a continuous
+ingest re-delivers events (at-least-once sources, replayed partitions),
+and the pipeline must emit each logical event once.  Pattern:
+
+    readStream -> withWatermark(ts) -> dropDuplicates([key, ts]) -> sink
+
+Including the event-time column in the dedup key is what bounds the
+state store: Spark evicts dedup state older than the watermark, so a
+10^12-event ingest holds only the watermark horizon in state, while
+an unkeyed ``dropDuplicates([key])`` would grow forever.
+
+The drain harness stages the input parquet TWICE (two symlinks in the
+source directory), so the stream genuinely observes every row at least
+twice and the deduplicated drain must equal the batch ``DISTINCT`` —
+which makes the streaming operator oracle-checkable, exactly like
+``streaming/windowed.py``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def streaming_dedup_counts(
+    spark: SparkSession,
+    events_path: str,
+    watermark: str = "60 minutes",
+    duplicate_input: bool = True,
+) -> DataFrame:
+    """Dedup a (duplicated) event stream, return per-type (n, sum_value).
+
+    The dedup runs INSIDE the streaming query (append mode, watermarked
+    state); the tiny per-type rollup of the drained result is batch-side
+    presentation.
+    """
+    schema = spark.read.parquet(events_path).schema
+    staged = tempfile.mkdtemp(prefix="evt_dedup_")
+    name = f"evt_dedup_{uuid.uuid4().hex[:8]}"
+    try:
+        src = os.path.abspath(events_path)
+        base = os.path.basename(events_path)
+        os.symlink(src, os.path.join(staged, f"copy1_{base}"))
+        if duplicate_input:
+            os.symlink(src, os.path.join(staged, f"copy2_{base}"))
+        deduped = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)  # duplicates arrive in
+            # SEPARATE micro-batches: state must carry across batches
+            .parquet(staged)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", watermark)
+            .dropDuplicates(["event_id", "ts"])
+        )
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        drained = spark.table(name)
+        return (
+            drained.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 6).alias("sum_value"),
+            )
+        )
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)

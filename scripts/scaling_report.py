@@ -58,6 +58,14 @@ def main() -> None:
     e_compute = round(statistics.median(compute_ratios), 3)
     bw_speedup = round(statistics.median(bw_speedups), 2)
 
+    # hardware ceiling measured in the SAME window: what fraction of a true
+    # 4x did 4x threads actually deliver on pure compute (no Spark, no
+    # allocation)?  The job cannot scale better than the box does; the
+    # ceiling-normalized number is the plan's quality independent of which
+    # noise window the protocol happened to land in.
+    ceil_eff = round(ceil["t2_s"] / (4 * ceil["t8_s"]), 3)
+    e_norm = round(e_overall / ceil_eff, 3) if ceil_eff else None
+
     L = []
     A = L.append
     A("# BENCH/BASELINE.md — scaling evidence (north rule protocol)\n")
@@ -89,6 +97,10 @@ def main() -> None:
     A(f"- **Compute-phase efficiency (generate+validate)** = {e_compute} "
       + ("**(>= 0.8: PASS)**" if e_compute >= 0.8 else "(FAIL)")
       + " — the Arrow-vectorized pixel stages, the work that grows with data")
+    A(f"- **Same-window hardware ceiling** = {ceil_eff} (pure-compute 2->8"
+      f" scaling of THIS box during THIS protocol run); ceiling-normalized"
+      f" job efficiency = **{e_norm}** — the fraction of the achievable"
+      " scaling the plan delivers, independent of the host's noise window")
     A(f"- Shuffle/write phases sped up {bw_speedup}x from 2->8 cores — at the")
     A("  machine's memory-bandwidth ceiling, see below.\n")
 
@@ -126,15 +138,23 @@ def main() -> None:
     A("independent partitions) or a single hash/range shuffle with no")
     A("driver-side serialization — nothing in the plan serializes.\n")
 
-    A("## Per-phase wall seconds (median runs)\n")
+    A("## Per-phase wall seconds (column-wise medians across all runs)\n")
+    A("(median of each phase independently — a single noise-hit phase in")
+    A("one run does not leak into the table the way phases-of-the-median-run")
+    A("would)\n")
     hdr = "| phase | local[2] | local[8] |" + (" local[32] |" if m32 else "")
     A(hdr + " 2->8 speedup |")
     A("|---|---|---|" + ("---|" if m32 else "") + "---|")
+
+    def phase_med(rs, k):
+        return round(statistics.median(r[k] for r in rs), 2)
+
     for k in ("t_generate_s", "t_validate_s", "t_merge_s", "t_write_s"):
-        sp = round(m2[k] / m8[k], 2)
-        row = f"| {k[2:-2]} | {m2[k]} | {m8[k]} |"
+        p2, p8 = phase_med(r2s, k), phase_med(r8s, k)
+        sp = round(p2 / p8, 2)
+        row = f"| {k[2:-2]} | {p2} | {p8} |"
         if m32:
-            row += f" {m32[k]} |"
+            row += f" {phase_med(r32s, k)} |"
         A(row + f" {sp}x |")
     A("")
 
@@ -165,11 +185,14 @@ def main() -> None:
                 "efficiency_overall_2_8": e_overall,
                 "efficiency_compute_2_8": e_compute,
                 "bw_phase_speedup_2_8": bw_speedup,
+                "hardware_ceiling_eff_2_8": ceil_eff,
+                "efficiency_ceiling_normalized_2_8": e_norm,
             }
         )
     )
     print(
         f"overall eff 2->8 = {e_overall}; compute-phase = {e_compute}; "
+        f"ceiling {ceil_eff} -> normalized {e_norm}; "
         f"bw-phase speedup = {bw_speedup}x; wrote BENCH/BASELINE.md"
     )
 

@@ -108,3 +108,30 @@ class TestPartitionPruning:
         )[1].split("]")[0]
         # the pruned scan reads 1 of 3 level directories
         assert q.count() == 1000
+
+
+class TestRound3Additions:
+    def test_stratified_topn_group_limit(self, spark):
+        plan = plan_of(spark, "stratified_topn")
+        assert "WindowGroupLimit" in plan
+
+    def test_vocab_topk_partial_agg_and_group_limit(self, spark):
+        plan = plan_of(spark, "vocab_topk")
+        assert "partial_count" in plan or "partial count" in plan.lower()
+        assert "WindowGroupLimit" in plan
+
+    def test_sampling_rate_table_broadcasts(self, spark):
+        plan = plan_of(spark, "stratified_sample")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_curation_no_cartesian(self, spark):
+        plan = plan_of(spark, "curation_keep")
+        assert "CartesianProduct" not in plan
+
+    def test_kmeans_assign_broadcasts_centroids(self, spark):
+        # the only cross join allowed is the broadcast of the k-row
+        # centroid table (BroadcastNestedLoopJoin), never a shuffle cartesian
+        plan = plan_of(spark, "ivf_kmeans_assign")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" in plan
