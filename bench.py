@@ -109,6 +109,7 @@ def main() -> None:
         "streaming_event_windows",
         "dedup_components",
         "ivf_kmeans_assign",
+        "sessionize",
     ]
     registry = all_queries()
     join_rows = 0

@@ -94,6 +94,8 @@ PRIORITY_ORDER: list[str] = [
     "length_profile",
     "vocab_topk",
     "streaming_dedup",
+    "sessionize",
+    "streaming_sessions",
     # -- load-bearing verified backfill --
     "consolidate_s2",
     "dedup_exact",
@@ -141,6 +143,7 @@ def all_queries() -> dict[str, QuerySpec]:
         relational,
         reproject,
         sampling,
+        sessions,
         similarity,
         spatial_queries,
         text,

@@ -1,0 +1,59 @@
+"""Sessionization: batch window formulation + streaming session_window twin."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from data_model_spark.operators.sessions import GAP_MINUTES, sessionize
+from data_model_spark.streaming.sessions import streaming_sessions
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+def mk_events(spark, rows):
+    """rows: (event_id, user_id, minutes_offset, value)"""
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (eid, base + dt.timedelta(minutes=m), uid, "t", v, "{}")
+        for eid, uid, m, v in rows
+    ]
+    return spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+
+
+def test_gap_rule_boundary_and_splits(spark):
+    gap = 30
+    df = mk_events(
+        spark,
+        [
+            (0, 1, 0.0, 1.0),
+            (1, 1, 30.0, 1.0),   # diff == gap: SAME session (rule is > gap)
+            (2, 1, 61.0, 1.0),   # diff = 31 min: new session
+            (3, 2, 0.0, 1.0),    # other user: independent
+        ],
+    )
+    got = {
+        (r["user_id"], r["session_idx"]): r["n_events"]
+        for r in sessionize(df, gap_minutes=gap).collect()
+    }
+    assert got == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_session_bounds_and_sums(spark):
+    df = mk_events(spark, [(0, 5, 0.0, 1.5), (1, 5, 10.0, 2.25)])
+    r = sessionize(df, gap_minutes=30).collect()[0]
+    assert r["n_events"] == 2
+    assert r["t_end_us"] - r["t_start_us"] == 10 * 60 * 1_000_000
+    assert r["sum_value"] == 3.75
+
+
+def test_streaming_sessions_equal_batch(spark):
+    batch = (
+        sessionize(spark.read.parquet(EVENTS), gap_minutes=GAP_MINUTES)
+        .select("user_id", "t_start_us", "n_events", "sum_value")
+    )
+    stream = streaming_sessions(spark, EVENTS, gap_minutes=GAP_MINUTES)
+    b = sorted(map(tuple, batch.collect()))
+    s = sorted(map(tuple, stream.collect()))
+    assert b == s and len(b) > 100
