@@ -60,8 +60,16 @@ def _probe_external_jpeg():
         def dec8(data: bytes) -> np.ndarray:
             return np.asarray(Image.open(io.BytesIO(data)).convert("L"))
 
+        # a successful import is NOT enough: a Pillow built without
+        # libjpeg imports fine and fails at first encode ("encoder jpeg
+        # not available") inside an executor UDF.  Round-trip one 8x8
+        # block at probe time so a JPEG-less Pillow falls back cleanly.
+        probe = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        if dec8(enc8(probe)).shape != (8, 8):
+            raise ImportError("pillow jpeg round-trip failed")
+
         return enc8, dec8, "pillow"
-    except ImportError:
+    except Exception:
         return encode_jpeg_gray8, decode_jpeg_gray8, "pure-numpy-t81"
 
 

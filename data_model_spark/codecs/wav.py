@@ -62,8 +62,17 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if pos + 8 + size > len(payload):
+            # declared size runs past the payload: corrupt/truncated file —
+            # raise rather than silently decoding a short sample stream
+            raise ValueError(
+                f"truncated {cid!r} chunk: declares {size} bytes, "
+                f"{len(payload) - pos - 8} remain"
+            )
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(f"fmt chunk too short: {len(body)} < 16 bytes")
             fmt_info = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body

@@ -1,7 +1,12 @@
 """Gap-based sessionization over the events table.
 
 The canonical event-pipeline operator the engine was still missing: group
-each user's events into sessions separated by > ``gap`` of inactivity.
+each user's events into sessions separated by more than ``gap`` of
+inactivity.  The break rule is ``diff > gap`` — an event exactly ``gap``
+after its predecessor stays in the SAME session — empirically matching
+Spark's native ``session_window``, which merges windows that touch
+(tests/test_sessions.py pins the boundary case against the real
+streaming operator), so the streaming twin agrees on boundaries exactly.
 Batch formulation is the two-window classic:
 
     new_session = (ts - lag(ts) over (user ORDER BY ts, event_id)) > gap

@@ -251,10 +251,16 @@ def knn_join(
 
     Queries explode to their k-ring cells (broadcast — query sets are small
     relative to the point corpus), join points on cell, rank by exact
-    distance.  ``ring`` must be sized so every query finds >= k candidates;
-    ``grow`` > 0 re-runs only the under-filled queries with a doubled ring,
-    up to ``grow`` times (sparse-region safety net; adds one small driver
-    round-trip per growth step, never touches already-satisfied queries).
+    distance.  ``ring`` must be sized so every query finds its true top-k;
+    ``grow`` > 0 re-runs with a doubled ring, up to ``grow`` times, every
+    query that is not PROVABLY satisfied: having k in-ring candidates is
+    not enough (a closer point can sit one cell outside the ring), so a
+    query only counts as done when its k-th candidate distance is within
+    the ring's guaranteed covered radius — ``ring`` full cells in the
+    weaker axis (longitude shrinks by cos(lat); near the poles the
+    guarantee collapses and such queries keep growing until ``grow`` is
+    exhausted).  Each growth step is one small driver round-trip over the
+    (broadcast-sized) query set and never touches proven queries.
     """
     q_cells = with_point_cell(queries, res, lon, lat)
 
@@ -275,8 +281,33 @@ def knn_join(
     cand = pts.join(F.broadcast(q_ring), "cell")
     out = _rank_topk(cand, k, lon, lat, point_id, query_id)
     if grow > 0:
-        counts = out.groupBy(query_id).count().collect()
-        full = {r[0] for r in counts if r["count"] >= k}
+        import math
+
+        # guaranteed covered radius of the explored ring, per query: any
+        # point OUTSIDE the ring is >= `ring` full cells away in some axis;
+        # lat cells are 180/2^res deg (exact meters), lon cells 360/2^res
+        # deg scaled by cos of the worst latitude the ring reaches
+        m_per_deg = 111194.9  # pi * 6371008.8 / 180, matches _dist_udf's R
+        cell_h = 180.0 / (1 << res)
+        cell_w = 360.0 / (1 << res)
+        stats = out.groupBy(query_id).agg(
+            F.count("*").alias("n"), F.max("dist_m").alias("kth")
+        )
+        q_lat = queries.select(query_id, F.col(lat).alias("_qlat"))
+        rows = stats.join(F.broadcast(q_lat), query_id).collect()
+
+        def proven(r) -> bool:
+            if r["n"] < k:
+                return False
+            worst_lat = min(89.9, abs(r["_qlat"]) + (ring + 1) * cell_h)
+            guaranteed_m = (
+                ring
+                * m_per_deg
+                * min(cell_h, cell_w * math.cos(math.radians(worst_lat)))
+            )
+            return r["kth"] < guaranteed_m - 1e-3
+
+        full = {r[0] for r in rows if proven(r)}
         short = queries.filter(~F.col(query_id).isin(full)) if full else queries
         if short.limit(1).count():
             grown = knn_join(

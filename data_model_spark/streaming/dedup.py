@@ -46,10 +46,14 @@ def streaming_dedup_counts(
     name = f"evt_dedup_{uuid.uuid4().hex[:8]}"
     try:
         src = os.path.abspath(events_path)
-        base = os.path.basename(events_path)
-        os.symlink(src, os.path.join(staged, f"copy1_{base}"))
+        # stage_parquet handles both single-file and directory-shaped
+        # parquet (the file stream source does not descend into a nested
+        # Spark-written dataset directory)
+        from .staging import stage_parquet
+
+        stage_parquet(src, staged, prefix="copy1_")
         if duplicate_input:
-            os.symlink(src, os.path.join(staged, f"copy2_{base}"))
+            stage_parquet(src, staged, prefix="copy2_")
         deduped = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)  # duplicates arrive in
@@ -67,13 +71,17 @@ def streaming_dedup_counts(
             .start()
         )
         q.awaitTermination()
-        drained = spark.table(name)
+        # detach from the memory sink + drop its temp view so repeated
+        # calls don't accumulate sinks in the driver
         return (
-            drained.groupBy("event_type")
+            spark.table(name)
+            .groupBy("event_type")
             .agg(
                 F.count("*").alias("n"),
                 F.round(F.sum("value"), 6).alias("sum_value"),
             )
+            .localCheckpoint(eager=True)
         )
     finally:
+        spark.catalog.dropTempView(name)
         shutil.rmtree(staged, ignore_errors=True)

@@ -1,25 +1,27 @@
 """Streaming sessionization: ``session_window`` + watermark, flush-drained.
 
 The incremental twin of ``operators/sessions.py``: Spark's native session
-window merges events within ``gap`` of each other per key, holding one
-open window per (user, session) in the state store and finalizing it when
-the watermark passes session end + gap.  In append mode a finalized
-session is emitted exactly once — the production shape for a continuous
-event ingest (state bounded by the watermark horizon).
+window merges events at most ``gap`` apart per key (empirically, windows
+that merely TOUCH also merge — an event exactly ``gap`` after the
+previous one stays in the same session, matching the batch formulation's
+``diff > gap`` break rule; tests/test_sessions.py pins this boundary),
+holding one open window per (user, session) in the state store and
+finalizing it when the watermark passes session end + gap.  In append
+mode a finalized session is emitted exactly once — the production shape
+for a continuous event ingest (state bounded by the watermark horizon).
 
 Drain-oracle mechanics: append mode only EMITS a session once the
 watermark has passed it, and the watermark only advances between
-micro-batches — so draining a finite input would leave every session that
-ends within the last watermark-delay of the input's max timestamp stuck
-in state, never emitted.  The harness therefore stages a second input
-file containing one FLUSH sentinel event far past the real data (and
-forces file order by modification time, one file per trigger): the
-sentinel advances the watermark past every real session, all of them
-finalize and emit, and the sentinel's own session is filtered out of the
-drained result by its reserved user_id.  This is the standard
-"advance-the-watermark" flush used to close out event-time state, and it
-makes the streaming result comparable to the batch gap-sessionization
-oracle row-for-row.
+micro-batches — so draining a finite input would leave every session
+that ends within the last watermark-delay of the input's max timestamp
+stuck in state, never emitted.  The harness therefore stages flush
+sentinel events far past the real data as strictly-later micro-batches:
+the first sentinel advances the watermark past every real session, the
+batches after it are where those sessions actually emit, and the
+sentinels' own sessions are filtered out of the drained result by their
+reserved user_id.  This is the standard "advance-the-watermark" flush
+used to close out event-time state, and it makes the streaming result
+comparable to the batch gap-sessionization oracle row-for-row.
 """
 
 from __future__ import annotations
@@ -33,7 +35,59 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .staging import stage_parquet
+
 FLUSH_USER = -1
+
+
+def _write_flush_sentinels(
+    src: str, staged: str, gap_minutes: int, data_mtime: float
+) -> None:
+    """Two single-file parquet sentinels, each a strictly-later micro-batch.
+
+    Two because the watermark computed from batch N only gates emission in
+    batch N+1: sentinel 1 advances the watermark past every real session,
+    and the batches after it (sentinel 2 and/or the trailing no-data
+    batch) are where those sessions actually emit.  Single top-level
+    files because the file stream source does not pick up nested
+    part-files of a directory-shaped parquet write.  Sentinel mtimes are
+    set after BOTH now and the staged data's real target mtimes —
+    ``lastModified()`` follows symlinks, so backdating the data links
+    would be a no-op.
+    """
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts_col = pq.read_table(src, columns=["ts"])["ts"]
+    # Normalize the sentinel's ts to MICROSECOND precision regardless of how
+    # the source was written (plain timestamp[us], or Spark's INT96 which
+    # pyarrow surfaces as timestamp[ns] — Spark cannot read back INT64
+    # nanosecond timestamps, so ns must not leak into the sentinel file);
+    # keep the source's tz-ness so NTZ sources stay NTZ.
+    tz = getattr(ts_col.type, "tz", None)
+    ts_us = pa.timestamp("us", tz=tz)
+    max_us = pa.compute.max(ts_col.cast(pa.timestamp("us", tz=tz)).cast(pa.int64())).as_py()
+    epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc if tz else None)
+    base = max(time.time(), data_mtime)
+    for i in (1, 2):
+        flush_dt = epoch + dt.timedelta(
+            microseconds=max_us + gap_minutes * 4 * i * 60 * 1_000_000
+        )
+        sentinel = pa.table(
+            {
+                "event_id": pa.array([-i], pa.int64()),
+                "ts": pa.array([flush_dt], type=ts_us),
+                "user_id": pa.array([FLUSH_USER], pa.int64()),
+                "event_type": pa.array(["flush"], pa.string()),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array(["{}"], pa.string()),
+            }
+        )
+        flush_file = os.path.join(staged, f"zz_flush{i}.parquet")
+        pq.write_table(sentinel, flush_file)
+        os.utime(flush_file, (base + 600 * i, base + 600 * i))
 
 
 def streaming_sessions(
@@ -48,46 +102,13 @@ def streaming_sessions(
     identifies the session (session_idx is an ordinal the incremental
     operator does not know globally).
     """
-    batch = spark.read.parquet(events_path)
-    schema = batch.schema
+    schema = spark.read.parquet(events_path).schema
     staged = tempfile.mkdtemp(prefix="evt_sessions_")
     name = f"evt_sessions_{uuid.uuid4().hex[:8]}"
     try:
         src = os.path.abspath(events_path)
-        main = os.path.join(staged, "a_events.parquet")
-        os.symlink(src, main)
-        # flush sentinel: one event far beyond the real max event time
-        # TWO sentinels, each a SINGLE top-level parquet file (the file
-        # stream source does not pick up nested part-files of a directory
-        # write) in its own strictly-later micro-batch: the watermark
-        # computed from batch N only gates emission in batch N+1, so
-        # sentinel 1 advances the watermark past every real session and
-        # the following batches are where they actually emit.
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        src_tbl = pq.read_table(src)
-        max_us = pa.compute.max(src_tbl["ts"].cast(pa.int64())).as_py()
-        now = time.time()
-        os.utime(main, (now - 600, now - 600), follow_symlinks=False)
-        for i in (1, 2):
-            flush_us = max_us + gap_minutes * 4 * i * 60 * 1_000_000
-            sentinel = pa.table(
-                {
-                    "event_id": pa.array([-i], pa.int64()),
-                    "ts": pa.array([flush_us], pa.int64()).cast(
-                        src_tbl.schema.field("ts").type
-                    ),
-                    "user_id": pa.array([FLUSH_USER], pa.int64()),
-                    "event_type": pa.array(["flush"], pa.string()),
-                    "value": pa.array([0.0], pa.float64()),
-                    "props": pa.array(["{}"], pa.string()),
-                },
-                schema=src_tbl.schema,
-            )
-            flush_file = os.path.join(staged, f"flush{i}.parquet")
-            pq.write_table(sentinel, flush_file)
-            os.utime(flush_file, (now + 600 * i, now + 600 * i))
+        data_mtime = stage_parquet(src, staged, prefix="a")
+        _write_flush_sentinels(src, staged, gap_minutes, data_mtime)
 
         sessions = (
             spark.readStream.schema(schema)
@@ -113,10 +134,14 @@ def streaming_sessions(
             .start()
         )
         q.awaitTermination()
+        # detach the result from the memory sink, then drop the sink's temp
+        # view so repeated calls don't accumulate sinks in the driver
         return (
             spark.table(name)
             .filter(F.col("user_id") != FLUSH_USER)
             .select("user_id", "t_start_us", "n_events", "sum_value")
+            .localCheckpoint(eager=True)
         )
     finally:
+        spark.catalog.dropTempView(name)
         shutil.rmtree(staged, ignore_errors=True)

@@ -28,8 +28,9 @@ def test_gap_rule_boundary_and_splits(spark):
         spark,
         [
             (0, 1, 0.0, 1.0),
-            (1, 1, 30.0, 1.0),   # diff == gap: SAME session (rule is > gap)
-            (2, 1, 61.0, 1.0),   # diff = 31 min: new session
+            (1, 1, 30.0, 1.0),   # diff == gap: SAME session (session_window
+            #                      merges touching windows — pinned below)
+            (2, 1, 61.0, 1.0),   # diff = 31 min > gap: new session
             (3, 2, 0.0, 1.0),    # other user: independent
         ],
     )
@@ -57,3 +58,25 @@ def test_streaming_sessions_equal_batch(spark):
     b = sorted(map(tuple, batch.collect()))
     s = sorted(map(tuple, stream.collect()))
     assert b == s and len(b) > 100
+
+
+def test_streaming_boundary_matches_batch_rule(spark, tmp_path):
+    """An event exactly `gap` after its predecessor: Spark's session_window
+    MERGES touching windows (measured, not assumed), so the batch rule is
+    `diff > gap` and both engines must report ONE 3-event session here.
+    This also exercises the directory-shaped (Spark-written) parquet
+    staging path of the drain harness."""
+    gap = 30
+    df = mk_events(
+        spark,
+        [(0, 1, 0.0, 1.0), (1, 1, 30.0, 2.0), (2, 1, 45.0, 4.0)],
+    )
+    pq = str(tmp_path / "boundary_events.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(pq)
+    batch = sorted(
+        (r["user_id"], r["t_start_us"], r["n_events"], r["sum_value"])
+        for r in sessionize(spark.read.parquet(pq), gap_minutes=gap).collect()
+    )
+    stream = sorted(map(tuple, streaming_sessions(spark, pq, gap_minutes=gap).collect()))
+    assert batch == stream
+    assert [b[2] for b in batch] == [3]  # one merged 3-event session

@@ -162,3 +162,41 @@ class TestKnnRingGrowth:
             ).collect()
         }
         assert grown == exact
+
+    def test_grow_heals_boundary_miss_with_k_in_ring(self, spark):
+        """The subtle case: a query already HAS k in-ring candidates, but
+        the true nearest neighbor sits one cell outside the ring.  A
+        count-based heal would stop; the covered-radius criterion must
+        keep growing until the k-th distance is provably safe."""
+        # res 9 cells: 0.703 deg lon x 0.352 deg lat. Query at (0, 0):
+        # three points 1.30-1.32 deg east are ONE lon cell over (dx=1, in
+        # ring=1) at ~145 km; one point 1.0 deg north (~111 km — the true
+        # nearest) is ~2.8 LAT cells away, outside ring=1. Ring=1 finds
+        # k=3 candidates, so a count-based heal would stop with the wrong
+        # answer; the covered-radius criterion (ring * 0.352 deg * 111 km
+        # ~ 39 km << kth 145 km) keeps doubling until the ring both
+        # contains the northern point and proves the k-th distance safe.
+        points = spark.createDataFrame(
+            [(1, 1.30, 0.0), (2, 1.31, 0.0), (3, 1.32, 0.0), (9, 0.0, 1.0)],
+            "point_id long, lon double, lat double",
+        )
+        queries = spark.createDataFrame(
+            [(0, 0.0, 0.0)], "query_id long, lon double, lat double"
+        )
+        exact = {
+            (r.query_id, r.rank): r.point_id
+            for r in spatial.knn_bruteforce(points, queries, k=3).collect()
+        }
+        assert exact[(0, 1)] == 9  # the out-of-ring point IS the nearest
+        no_grow = {
+            (r.query_id, r.rank): r.point_id
+            for r in spatial.knn_join(points, queries, k=3, res=9, ring=1).collect()
+        }
+        assert len(no_grow) == 3 and no_grow != exact  # k found, but wrong
+        grown = {
+            (r.query_id, r.rank): r.point_id
+            for r in spatial.knn_join(
+                points, queries, k=3, res=9, ring=1, grow=8
+            ).collect()
+        }
+        assert grown == exact

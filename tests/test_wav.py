@@ -92,3 +92,25 @@ def test_truncated_rejected():
         decode_wav(b"RIFFxxxxNOPE")
     with pytest.raises(ValueError):
         decode_wav(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+
+
+def test_truncated_data_chunk_raises():
+    import pytest
+    import numpy as np
+    from data_model_spark.codecs import wav
+
+    good = wav.encode_wav_pcm16(np.zeros(64, dtype=np.int16), 8000)
+    with pytest.raises(ValueError, match="truncated"):
+        wav.decode_wav(good[:-10])
+
+
+def test_short_fmt_chunk_raises():
+    import struct
+    import pytest
+    from data_model_spark.codecs import wav
+
+    fmt = struct.pack("<HH", 1, 1)  # only 4 of 16 required bytes
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="fmt chunk too short"):
+        wav.decode_wav(payload)
