@@ -96,6 +96,7 @@ PRIORITY_ORDER: list[str] = [
     "streaming_dedup",
     "sessionize",
     "streaming_sessions",
+    "cohort_retention",
     # -- load-bearing verified backfill --
     "consolidate_s2",
     "dedup_exact",

@@ -138,3 +138,46 @@ def streaming_sessions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_sessions(
         spark, os.path.join(sf_dir, "events.parquet"), gap_minutes=GAP_MINUTES
     )
+
+
+WEEK_US = 7 * 86400 * 1_000_000
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention matrix: (cohort_week, week_offset, n_users).
+
+    Weeks are epoch-aligned integer buckets (``ts_us // WEEK_US``) — pure
+    int64 arithmetic, so the matrix is bit-identical across engines (no
+    calendar/timezone semantics to disagree on).  cohort = a user's first
+    active week; n_users = distinct users of that cohort active at
+    cohort + offset.  Two aggregations: distinct (user, week) activity,
+    then a broadcast join of the (tiny) per-user cohort table, then the
+    matrix rollup — the 10^12-row shape, since both shuffles key on
+    user/cohort.
+    """
+    wk = F.expr(f"unix_micros(cast(ts as timestamp)) div {WEEK_US}")
+    active = events.select("user_id", wk.alias("wk")).distinct()
+    cohort = active.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        active.join(F.broadcast(cohort), "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+_COHORT_ORACLE = f"""
+WITH active AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch_us(ts) / {7 * 86400 * 1_000_000}) AS BIGINT) AS wk
+  FROM events),
+cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM active GROUP BY user_id)
+SELECT c.cohort_wk, a.wk - c.cohort_wk AS week_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM active a JOIN cohort c USING (user_id)
+GROUP BY c.cohort_wk, a.wk - c.cohort_wk"""
+
+
+@register("cohort_retention", _COHORT_ORACLE)
+def cohort_retention_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over the events table."""
+    return cohort_retention(load_table(spark, sf_dir, "events"))
