@@ -97,6 +97,7 @@ PRIORITY_ORDER: list[str] = [
     "sessionize",
     "streaming_sessions",
     "cohort_retention",
+    "token_count_bpe",
     # -- load-bearing verified backfill --
     "consolidate_s2",
     "dedup_exact",

@@ -157,3 +157,39 @@ def doc_fingerprint_md5(spark, sf_dir):
     """Exact-oracle fingerprint: md5 agrees across engines byte-for-byte."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return d.select("doc_id", F.md5("text").alias("fp_md5"))
+
+
+# BPE-ish pre-tokenizer regex (GPT-2 style, simplified to the common
+# subset of Java regex and RE2 so Spark and DuckDB split identically:
+# no lookahead, no unicode property classes): contraction suffixes,
+# space-prefixed letter runs, digit runs, punctuation runs.
+BPE_PATTERN = "'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+_BPE_SQL = BPE_PATTERN.replace("'", "''")
+
+
+@register(
+    "token_count_bpe",
+    f"""SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT)
+                  AS n_bpe_tokens,
+              CAST(len(list_distinct(regexp_extract_all(text, '{_BPE_SQL}')))
+                  AS BIGINT) AS n_distinct,
+              CAST(length(string_split_regex(trim(text), ' +')) AS BIGINT)
+                  AS n_ws_tokens
+       FROM documents WHERE doc_id < 200""",
+)
+def token_count_bpe(spark, sf_dir):
+    """BPE-style pre-tokenization counts next to the whitespace baseline.
+
+    The regex runs JVM-side (``regexp_extract_all``) — the plan stays in
+    whole-stage codegen, no Python tokenizer in the loop.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.size(F.split(F.trim("text"), " +")).cast("long").alias("n_ws_tokens"),
+    )

@@ -135,3 +135,23 @@ class TestRound3Additions:
         plan = plan_of(spark, "ivf_kmeans_assign")
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoop" in plan
+
+    def test_sessionize_single_user_shuffle(self, spark):
+        # lag + running-sum + final agg all share the user_id clustering:
+        # exactly ONE shuffle exchange in the whole plan
+        from data_model_spark.plans.bucketing import count_exchanges
+
+        df = QUERIES["sessionize"].spark_fn(spark, SF)
+        assert count_exchanges(df) == 1
+
+    def test_cohort_retention_broadcasts_cohorts(self, spark):
+        plan = plan_of(spark, "cohort_retention")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_bpe_token_count_stays_in_codegen(self, spark):
+        # '*(n)' prefixes are the codegen markers in shuffle-free plans
+        # (no AQE wrapper -> no literal 'WholeStageCodegen' node name)
+        plan = plan_of(spark, "token_count_bpe", execute=True)
+        assert ("WholeStageCodegen" in plan or "*(1)" in plan)
+        assert "BatchEvalPython" not in plan

@@ -92,3 +92,53 @@ class TestDegenerateGeometry:
         }
         assert bc == cell
         assert 3 in bc  # interior point always inside
+
+
+class TestRound3EmptyInputs:
+    """New operator families on degenerate inputs: empty tables, tiny
+    samples — must return empty/correct results, never crash."""
+
+    def _empty_events(self, spark):
+        return spark.createDataFrame(
+            [],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+
+    def test_sessionize_empty(self, spark):
+        from data_model_spark.operators.sessions import sessionize
+
+        assert sessionize(self._empty_events(spark)).count() == 0
+
+    def test_cohort_retention_empty(self, spark):
+        from data_model_spark.operators.sessions import cohort_retention
+
+        assert cohort_retention(self._empty_events(spark)).count() == 0
+
+    def test_sampling_empty(self, spark):
+        from data_model_spark.operators import sampling as smp
+
+        docs = spark.createDataFrame([], "doc_id long, lang string, text string")
+        assert smp.hash_sample(docs, 0.5).count() == 0
+        assert smp.stratified_hash_sample(docs, {"en": 1.0}).count() == 0
+        assert smp.stratified_topn(docs, 3).count() == 0
+
+    def test_kmeans_sample_smaller_than_k(self, spark):
+        """Fewer sample vectors than k: init yields that many centroids and
+        the pipeline still assigns every vector deterministically."""
+        from data_model_spark.operators import ivf_kmeans as ik
+
+        rows = [(i, [float(i), float(-i)]) for i in range(5)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = ik.ivf_kmeans_assign(df, sample_max_id=2, k=8, iters=2, dim=2)
+        got = {r["vec_id"]: r["cell"] for r in out.collect()}
+        assert set(got) == set(range(5)) and set(got.values()) <= {0, 1}
+
+    def test_profile_empty(self, spark):
+        from data_model_spark.operators import profile as prof
+
+        docs = spark.createDataFrame(
+            [], "doc_id long, lang string, text string, n_chars long"
+        )
+        assert prof.length_profile(docs).count() == 0
+        assert prof.vocab_topk(docs).count() == 0
