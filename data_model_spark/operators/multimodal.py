@@ -571,3 +571,60 @@ def video_frame_sample(spark, sf_dir):
         )
         .orderBy("clip_id")
     )
+
+
+@register(
+    "image_size_profile",
+    lambda: _image_size_profile_oracle(),
+)
+def image_size_profile(spark, sf_dir):
+    """Metadata profile of the image table: per (fmt, orientation) counts,
+    pixel totals, and dimension ranges — the curation-side scan that sizes
+    decode budgets and flags aspect-ratio outliers before any pixel work.
+    Pure JVM aggregation over the metadata columns (no decode in the plan);
+    the oracle recomputes the same rows from the deterministic dim/fmt
+    cycles alone, so it cross-checks the table generator's metadata too.
+    """
+    from pyspark.sql import functions as F
+
+    imgs = generate_images_df(spark, _N_IMG_QUERY)
+    orient = (
+        F.when(F.col("w") > F.col("h"), "landscape")
+        .when(F.col("w") < F.col("h"), "portrait")
+        .otherwise("square")
+    )
+    return (
+        imgs.withColumn("orientation", orient)
+        .groupBy("fmt", "orientation")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("w").cast("long") * F.col("h")).alias("n_px"),
+            F.min("w").alias("w_min"),
+            F.max("w").alias("w_max"),
+            F.min("h").alias("h_min"),
+            F.max("h").alias("h_max"),
+        )
+    )
+
+
+def _image_size_profile_oracle() -> str:
+    """Metadata-cycle VALUES oracle — no pixel generation, just the same
+    deterministic (dims, fmt) functions the distributed generator uses."""
+    from ..sources.images import image_dims, image_fmt
+
+    vals = ", ".join(
+        f"({w}, {h}, '{image_fmt(i)}')"
+        for i, (w, h) in (
+            (i, image_dims(i)) for i in range(_N_IMG_QUERY)
+        )
+    )
+    return f"""
+WITH imgs(w, h, fmt) AS (VALUES {vals})
+SELECT fmt,
+       CASE WHEN w > h THEN 'landscape'
+            WHEN w < h THEN 'portrait' ELSE 'square' END AS orientation,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(w AS BIGINT) * h) AS BIGINT) AS n_px,
+       MIN(w) AS w_min, MAX(w) AS w_max,
+       MIN(h) AS h_min, MAX(h) AS h_max
+FROM imgs GROUP BY fmt, orientation"""

@@ -83,6 +83,9 @@ PRIORITY_ORDER: list[str] = [
     # -- new queries (round 3+) --
     "product_detect",
     "flagship_multiband",
+    # rows-only but north-rule-core (idempotent resumable write): keep it
+    # inside the driver's 50-slot window ahead of already-green backfill
+    "resume_tile_write",
     "wav_audio_features",
     "y4m_frame_sample",
     "dedup_components",
@@ -98,6 +101,7 @@ PRIORITY_ORDER: list[str] = [
     "streaming_sessions",
     "cohort_retention",
     "token_count_bpe",
+    "image_size_profile",
     # -- load-bearing verified backfill --
     "consolidate_s2",
     "dedup_exact",
