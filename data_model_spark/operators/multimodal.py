@@ -581,13 +581,17 @@ def image_size_profile(spark, sf_dir):
     """Metadata profile of the image table: per (fmt, orientation) counts,
     pixel totals, and dimension ranges — the curation-side scan that sizes
     decode budgets and flags aspect-ratio outliers before any pixel work.
-    Pure JVM aggregation over the metadata columns (no decode in the plan);
-    the oracle recomputes the same rows from the deterministic dim/fmt
-    cycles alone, so it cross-checks the table generator's metadata too.
+    Pure JVM aggregation over the metadata columns — the scan itself is
+    the metadata-only generator (``generate_images_meta_df``), so no
+    pixel synthesis or codec work runs anywhere in this plan; the oracle
+    recomputes the same rows from the deterministic dim/fmt cycles alone,
+    cross-checking the table generator's metadata too.
     """
     from pyspark.sql import functions as F
 
-    imgs = generate_images_df(spark, _N_IMG_QUERY)
+    from ..sources.images import generate_images_meta_df
+
+    imgs = generate_images_meta_df(spark, _N_IMG_QUERY)
     orient = (
         F.when(F.col("w") > F.col("h"), "landscape")
         .when(F.col("w") < F.col("h"), "portrait")

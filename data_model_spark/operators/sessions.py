@@ -155,7 +155,15 @@ def cohort_retention(events: DataFrame) -> DataFrame:
     matrix rollup — the 10^12-row shape, since both shuffles key on
     user/cohort.
     """
-    wk = F.expr(f"unix_micros(cast(ts as timestamp)) div {WEEK_US}")
+    # floor division, not `div` (which truncates toward zero): pre-1970
+    # timestamps — dirty data a curation pass must survive — have negative
+    # epoch micros, where truncation and the oracle's floor() disagree.
+    # (x - pmod(x, w)) / w is an exact integer floor for any sign.
+    wk = F.expr(
+        "cast((unix_micros(cast(ts as timestamp))"
+        f" - pmod(unix_micros(cast(ts as timestamp)), {WEEK_US}))"
+        f" / {WEEK_US} as long)"
+    )
     active = events.select("user_id", wk.alias("wk")).distinct()
     cohort = active.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
     return (

@@ -219,3 +219,46 @@ def generate_images_df(
             yield _rows_for_indices(pdf["id"].to_numpy(), dim_cycle)
 
     return spark.range(0, n, numPartitions=num_partitions).mapInPandas(gen, IMAGE_SCHEMA)
+
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("var", T.StringType(), False),
+    ]
+)
+
+
+def generate_images_meta_df(
+    spark: SparkSession, n: int, num_partitions: int | None = None
+) -> DataFrame:
+    """Metadata columns of the image table WITHOUT pixel synthesis/encode.
+
+    Same distributed scan shape as ``generate_images_df`` (spark.range ->
+    mapInPandas, no shuffle) but only evaluates the deterministic
+    dim/fmt/band cycles — for metadata-profiling queries that would
+    otherwise pay full pixel generation just to discard everything but
+    (w, h, fmt).
+    """
+    if num_partitions is None:
+        num_partitions = max(spark.sparkContext.defaultParallelism, 8)
+
+    def gen(batches):
+        for pdf in batches:
+            idx = pdf["id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "image_id": [f"img_{int(i):012d}" for i in idx],
+                    "w": np.array([image_dims(int(i))[0] for i in idx], dtype=np.int32),
+                    "h": np.array([image_dims(int(i))[1] for i in idx], dtype=np.int32),
+                    "fmt": [image_fmt(int(i)) for i in idx],
+                    "var": [band_for(int(i)) for i in idx],
+                }
+            )
+
+    return spark.range(0, n, numPartitions=num_partitions).mapInPandas(
+        gen, IMAGE_META_SCHEMA
+    )

@@ -48,16 +48,29 @@ def streaming_dedup_counts(
         src = os.path.abspath(events_path)
         # stage_parquet handles both single-file and directory-shaped
         # parquet (the file stream source does not descend into a nested
-        # Spark-written dataset directory)
+        # Spark-written dataset directory).  Copy 1 is symlinked; copy 2
+        # is a real copy with a forced later mtime so the duplicates
+        # arrive in a strictly-later micro-batch (cross-batch dedup
+        # state).  maxFilesPerTrigger = the per-copy file count keeps each
+        # copy's parts in ONE batch — split parts would let the first
+        # batch's watermark discard later parts' older rows as late data;
+        # splitting between the copies is safe (batch-2 rows are all
+        # duplicates of batch-1 rows by construction).
         from .staging import stage_parquet
 
-        stage_parquet(src, staged, prefix="copy1_")
+        newest, n_files = stage_parquet(src, staged, prefix="copy1_")
         if duplicate_input:
-            stage_parquet(src, staged, prefix="copy2_")
+            import time
+
+            stage_parquet(
+                src, staged, prefix="copy2_", copy=True,
+                mtime=max(time.time(), newest) + 600,
+            )
         deduped = (
             spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)  # duplicates arrive in
-            # SEPARATE micro-batches: state must carry across batches
+            .option("maxFilesPerTrigger", n_files)  # one copy per batch:
+            # duplicates arrive in a SEPARATE, later micro-batch, so the
+            # dedup state provably carries across batches
             .parquet(staged)
             .withColumn("ts", F.col("ts").cast("timestamp"))
             .withWatermark("ts", watermark)

@@ -61,6 +61,8 @@ def _write_flush_sentinels(
     import pyarrow.parquet as pq
 
     ts_col = pq.read_table(src, columns=["ts"])["ts"]
+    if len(ts_col) == 0:
+        return  # nothing to flush: no sentinels, the drain is just empty
     # Normalize the sentinel's ts to MICROSECOND precision regardless of how
     # the source was written (plain timestamp[us], or Spark's INT96 which
     # pyarrow surfaces as timestamp[ns] — Spark cannot read back INT64
@@ -107,12 +109,16 @@ def streaming_sessions(
     name = f"evt_sessions_{uuid.uuid4().hex[:8]}"
     try:
         src = os.path.abspath(events_path)
-        data_mtime = stage_parquet(src, staged, prefix="a")
+        data_mtime, n_files = stage_parquet(src, staged, prefix="a")
         _write_flush_sentinels(src, staged, gap_minutes, data_mtime)
 
         sessions = (
             spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
+            # ALL data part-files must share the first micro-batch (the
+            # sentinels, dated later, form their own) — split across
+            # batches, the first batch's watermark would discard later
+            # parts' older rows as late data
+            .option("maxFilesPerTrigger", n_files)
             .parquet(staged)
             .withColumn("ts", F.col("ts").cast("timestamp"))
             .withWatermark("ts", watermark)

@@ -16,14 +16,34 @@ target mtimes; ``stage_parquet`` returns the newest one.
 from __future__ import annotations
 
 import os
+import shutil
 
 
-def stage_parquet(src_path: str, staged_dir: str, prefix: str = "a") -> float:
+def stage_parquet(
+    src_path: str,
+    staged_dir: str,
+    prefix: str = "a",
+    copy: bool = False,
+    mtime: float | None = None,
+) -> tuple[float, int]:
     """Symlink the data file(s) of ``src_path`` into ``staged_dir``.
 
     ``src_path`` may be a single parquet file or a directory-shaped
-    parquet dataset (part-files inside).  Returns the newest target
-    mtime among the staged files.
+    parquet dataset (part-files inside).  Returns (newest target mtime
+    among the staged files, number of files staged).
+
+    The file count matters for correctness, not just bookkeeping: a
+    drain harness must set ``maxFilesPerTrigger`` to AT LEAST the number
+    of data files of one logical input, so the whole input lands in one
+    micro-batch.  Split across batches, the first batch's max event time
+    advances the watermark and rows in later part-files that fall behind
+    it are silently discarded as late data — breaking the
+    streaming == batch oracle equality the harnesses exist to prove.
+
+    ``copy=True`` materializes real copies instead of symlinks, and
+    ``mtime`` forces their modification time — the only way to place a
+    staged replica in a LATER micro-batch than the original, since
+    symlinks share the target's mtime (``lastModified()`` follows them).
     """
     src = os.path.abspath(src_path)
     newest = 0.0
@@ -38,6 +58,13 @@ def stage_parquet(src_path: str, staged_dir: str, prefix: str = "a") -> float:
         if not files:
             raise FileNotFoundError(f"no parquet data files under {src}")
     for i, f in enumerate(files):
-        os.symlink(f, os.path.join(staged_dir, f"{prefix}{i:04d}_{os.path.basename(f)}"))
-        newest = max(newest, os.path.getmtime(f))
-    return newest
+        dst = os.path.join(staged_dir, f"{prefix}{i:04d}_{os.path.basename(f)}")
+        if copy:
+            shutil.copyfile(f, dst)
+            if mtime is not None:
+                os.utime(dst, (mtime, mtime))
+            newest = max(newest, os.path.getmtime(dst))
+        else:
+            os.symlink(f, dst)
+            newest = max(newest, os.path.getmtime(f))
+    return newest, len(files)

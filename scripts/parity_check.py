@@ -53,6 +53,10 @@ def main() -> int:
 
     queries = all_queries()
     if only:
+        unknown = only - set(queries)
+        if unknown:
+            print(f"unknown query names: {sorted(unknown)}", file=sys.stderr)
+            return 1
         queries = {n: s for n, s in queries.items() if n in only}
 
     spark = get_spark(app_name="parity-check")

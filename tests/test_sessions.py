@@ -80,3 +80,54 @@ def test_streaming_boundary_matches_batch_rule(spark, tmp_path):
     stream = sorted(map(tuple, streaming_sessions(spark, pq, gap_minutes=gap).collect()))
     assert batch == stream
     assert [b[2] for b in batch] == [3]  # one merged 3-event session
+
+
+def test_cohort_retention_pre_epoch_floor_semantics(spark):
+    """Negative epoch micros: week bucket must FLOOR (match the oracle),
+    not truncate toward zero."""
+    from data_model_spark.operators.sessions import WEEK_US, cohort_retention
+
+    df = mk_events(
+        spark,
+        [(0, 1, 0.0, 1.0), (1, 1, 7 * 24 * 60.0, 1.0)],
+    ).withColumn("ts", F.expr("ts - INTERVAL 60 YEARS"))  # well before 1970
+    rows = {(r["cohort_wk"], r["week_offset"]): r["n_users"]
+            for r in cohort_retention(df).collect()}
+    import datetime as dt
+
+    # expected buckets via Python's true floor division on exact micros
+    # (INTERVAL 60 YEARS from 2024-01-01 lands on 1964-01-01)
+    epoch = dt.datetime(1970, 1, 1)
+    us0 = int((dt.datetime(1964, 1, 1) - epoch).total_seconds() * 1e6)
+    wk0 = us0 // WEEK_US
+    wk1 = (us0 + 7 * 86400 * 1_000_000) // WEEK_US
+    assert wk0 < 0  # genuinely pre-epoch
+    assert rows == {(wk0, 0): 1, (wk0, wk1 - wk0): 1}
+
+
+def test_streaming_multipart_input_equals_batch(spark, tmp_path):
+    """Directory-shaped input with SEVERAL part files, each spanning the
+    full time range (how Spark writes): all parts must land in one
+    micro-batch, or the first part's watermark would discard later parts'
+    older rows as late data."""
+    gap = 30
+    rows = [(i, 1 + (i % 3), float(i * 7), 1.0) for i in range(60)]
+    df = mk_events(spark, rows)
+    pq = str(tmp_path / "multipart_events.parquet")
+    df.repartition(4).write.mode("overwrite").parquet(pq)
+    import glob
+
+    assert len(glob.glob(pq + "/part-*.parquet")) > 1
+    batch = sorted(
+        (r["user_id"], r["t_start_us"], r["n_events"], r["sum_value"])
+        for r in sessionize(spark.read.parquet(pq), gap_minutes=gap).collect()
+    )
+    stream = sorted(map(tuple, streaming_sessions(spark, pq, gap_minutes=gap).collect()))
+    assert batch == stream
+
+
+def test_streaming_sessions_empty_input(spark, tmp_path):
+    df = mk_events(spark, [])
+    pq = str(tmp_path / "empty_events.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(pq)
+    assert streaming_sessions(spark, pq).count() == 0

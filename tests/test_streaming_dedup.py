@@ -29,3 +29,13 @@ def test_duplicated_ingest_dedups_to_batch_distinct(spark):
 def test_single_ingest_passes_through(spark):
     got = as_map(streaming_dedup_counts(spark, EVENTS, duplicate_input=False))
     assert got == batch_rollup(spark)
+
+
+def test_multipart_duplicated_ingest_dedups(spark, tmp_path):
+    """Directory-shaped source: each copy's parts share one micro-batch,
+    the duplicate copy arrives in a later one; result == batch rollup."""
+    src = spark.read.parquet(EVENTS)
+    pq = str(tmp_path / "events_dir.parquet")
+    src.repartition(3).write.mode("overwrite").parquet(pq)
+    got = as_map(streaming_dedup_counts(spark, pq, duplicate_input=True))
+    assert got == batch_rollup(spark)
