@@ -102,13 +102,17 @@ PRIORITY_ORDER: list[str] = [
     "cohort_retention",
     "token_count_bpe",
     "image_size_profile",
+    "decontaminate",
+    "repetition_stats",
     # -- load-bearing verified backfill --
     "consolidate_s2",
     "dedup_exact",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
-    "simhash_pairs",
+    # image-axis near-dup outranks the third text near-dup for the last
+    # window slot (simhash's mechanics are already covered by minhash)
     "phash_neardup_pairs",
+    "simhash_pairs",
     "caption_token_stats",
     "streaming_event_windows",
     "resume_tile_write",
@@ -141,6 +145,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import (  # noqa: F401
         components,
         consolidate,
+        decontaminate,
         dedup,
         ivf_kmeans,
         multimodal,
