@@ -103,3 +103,18 @@ def test_non_convergence_raises(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(1, 40)], "doc_a long, doc_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iter=1)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)), min_size=0, max_size=50
+    )
+)
+def test_property_matches_union_find(spark, edges):
+    clean = [(a, b) for a, b in edges if a != b]
+    assert run_cc(spark, edges) == union_find(clean)
