@@ -94,6 +94,12 @@ def kmeans_train(
     init = (
         sample_q.orderBy("vec_id").limit(k).select("xq").collect()
     )
+    if not init:
+        raise ValueError(
+            "kmeans_train: empty training sample — no rows to initialize "
+            "centroids from (assignment against zero centroids would "
+            "silently drop every vector)"
+        )
     cents = [(i, [int(v) for v in r["xq"]], 1) for i, r in enumerate(init)]
     for _ in range(iters):
         assigned = _assign(sample_q, cents)

@@ -224,7 +224,8 @@ def streaming_dedup(spark, sf_dir):
     """Watermark-scoped streaming exact-dedup of a duplicated ingest.
 
     The events parquet is staged TWICE into the stream source (separate
-    micro-batches via maxFilesPerTrigger=1), so every event arrives at
+    micro-batches: maxFilesPerTrigger equals the per-copy file count, so
+    each whole copy lands in its own batch), so every event arrives at
     least twice; dropDuplicates([event_id, ts]) under a 60-min watermark
     must reduce the drain back to the batch DISTINCT — the per-type
     rollup therefore equals the plain batch aggregation (the oracle).

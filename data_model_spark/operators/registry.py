@@ -115,7 +115,6 @@ PRIORITY_ORDER: list[str] = [
     "simhash_pairs",
     "caption_token_stats",
     "streaming_event_windows",
-    "resume_tile_write",
     "streaming_tiles",
     "image_features",
     "audio_features",

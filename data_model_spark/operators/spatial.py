@@ -285,9 +285,13 @@ def knn_join(
 
         # guaranteed covered radius of the explored ring, per query: any
         # point OUTSIDE the ring is >= `ring` full cells away in some axis;
-        # lat cells are 180/2^res deg (exact meters), lon cells 360/2^res
-        # deg scaled by cos of the worst latitude the ring reaches
+        # lat cells are 180/2^res deg (exact meters); the longitude bound is
+        # computed with the SAME haversine form as _dist_udf —
+        # 2*R*asin(cos(worst_lat)*sin(dlon/2)) — not a planar arc, which
+        # overestimates the true minimum by ~sin^2(lat)*dlon^2/24 and could
+        # wrongly prove a query whose k-th hit lands in that sliver
         m_per_deg = 111194.9  # pi * 6371008.8 / 180, matches _dist_udf's R
+        r_earth = 6371008.8
         cell_h = 180.0 / (1 << res)
         cell_w = 360.0 / (1 << res)
         stats = out.groupBy(query_id).agg(
@@ -300,21 +304,33 @@ def knn_join(
             if r["n"] < k:
                 return False
             worst_lat = min(89.9, abs(r["_qlat"]) + (ring + 1) * cell_h)
-            guaranteed_m = (
-                ring
-                * m_per_deg
-                * min(cell_h, cell_w * math.cos(math.radians(worst_lat)))
+            dlon = math.radians(ring * cell_w)
+            lon_m = (
+                2.0
+                * r_earth
+                * math.asin(
+                    min(1.0, math.cos(math.radians(worst_lat)) * math.sin(dlon / 2.0))
+                )
             )
+            guaranteed_m = min(ring * cell_h * m_per_deg, lon_m)
             return r["kth"] < guaranteed_m - 1e-3
 
         full = {r[0] for r in rows if proven(r)}
-        short = queries.filter(~F.col(query_id).isin(full)) if full else queries
+        # proven ids as a broadcast anti-join, not an isin(<driver list>)
+        # literal: keeps the plan size bounded for arbitrary query sets
+        proven_df = queries.sparkSession.createDataFrame(
+            [(q,) for q in sorted(full)] or [(None,)],
+            queries.select(query_id).schema,
+        ).filter(F.col(query_id).isNotNull())
+        short = queries.join(F.broadcast(proven_df), query_id, "left_anti")
         if short.limit(1).count():
             grown = knn_join(
                 points, short, k, res, ring * 2, lon, lat, point_id, query_id,
                 grow=grow - 1,
             )
-            out = out.filter(F.col(query_id).isin(full)).unionByName(grown)
+            out = out.join(
+                F.broadcast(proven_df), query_id, "left_semi"
+            ).unionByName(grown)
     return out
 
 

@@ -200,3 +200,22 @@ class TestKnnRingGrowth:
             ).collect()
         }
         assert grown == exact
+
+    def test_grow_plan_has_no_literal_id_list(self, spark):
+        """The proven-query filter is a broadcast semi/anti join against a
+        proven-ids DataFrame, never an isin(<driver list>) literal — plan
+        size must stay bounded for arbitrary query-set sizes."""
+        import numpy as np
+
+        rng = np.random.default_rng(9)
+        pts = [(i, 10.0 + rng.uniform(0, 0.05), 46.0 + rng.uniform(0, 0.05))
+               for i in range(40)] + [(99, 14.0, 48.0)]
+        points = spark.createDataFrame(pts, "point_id long, lon double, lat double")
+        queries = spark.createDataFrame(
+            [(0, 10.02, 46.02), (1, 13.9, 47.9)],
+            "query_id long, lon double, lat double",
+        )
+        df = spatial.knn_join(points, queries, k=3, res=9, ring=1, grow=8)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "query_id IN" not in plan and "query_id INSET" not in plan
+        assert "LeftSemi" in plan and "LeftAnti" in plan
