@@ -400,10 +400,45 @@ def dedup_exact(spark, sf_dir):
 
 
 @register(
+    "dedup_exact_pairs",
+    """WITH base AS (SELECT doc_id, text FROM documents),
+       dup AS (SELECT doc_id + 10000 AS doc_id, text FROM base WHERE doc_id < 30),
+       u AS (SELECT * FROM base UNION ALL SELECT * FROM dup),
+       h AS (SELECT doc_id, md5(text) AS fp FROM u)
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp
+       FROM h a JOIN h b ON a.fp = b.fp AND a.doc_id < b.doc_id""",
+)
+def dedup_exact_pairs(spark, sf_dir):
+    """Exact-duplicate PAIR LIST via content-hash self-join.
+
+    The driver corpus has no byte-identical rows, so the pair space is
+    derived deterministically on BOTH engines: the first 30 documents are
+    re-appended under doc_id+10000 with identical text, and the md5
+    self-equi-join must recover exactly those 30 (original, copy) pairs —
+    a non-vacuous check of the hash-groupBy/join dedup shape (the r3
+    aggregate-only twin passed on a single row).
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") < 30).withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    h = d.unionByName(dup).select("doc_id", F.md5("text").alias("fp"))
+    a, b = h.alias("a"), h.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.fp").alias("fp"),
+        )
+    )
+
+
+@register(
     "ngram_jaccard_pairs",
     """WITH toks AS (
          SELECT doc_id, string_split_regex(trim(text), ' +') AS ws
-         FROM documents WHERE doc_id < 150
+         FROM documents WHERE doc_id < 500
        ), sh AS (
          SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ws)-2),
                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
@@ -419,8 +454,15 @@ def dedup_exact(spark, sf_dir):
               - len(list_intersect(a.shingles, b.shingles))) >= 0.5""",
 )
 def ngram_jaccard_pairs(spark, sf_dir):
-    """Exact 3-gram Jaccard near-dup pairs (threshold 0.5) via shingle join."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.5) via shingle join.
+
+    ``doc_id < 500`` covers the WHOLE sf0.01 corpus (the driver's
+    correctness scale), where the fixture plants 25 near-dup pairs, all
+    jaccard >= 0.9 with the next-closest pair at 0.07 — a non-vacuous,
+    threshold-stable oracle (the r3 doc_id<150 window saw only 1 pair);
+    at larger sf the same predicate keeps the bench cost bounded.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     return jaccard_pairs(docs, 0.5, n=3)
 
 
@@ -439,7 +481,7 @@ def _minhash_oracle() -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), ' +') AS ws
-  FROM documents WHERE doc_id < 150),
+  FROM documents WHERE doc_id < 500),
 shl AS (
   SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ws)-2),
         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
@@ -472,8 +514,14 @@ SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5"""
 
 @register("minhash_lsh_pairs", _minhash_oracle())
 def minhash_lsh_pairs(spark, sf_dir):
-    """MinHash(64) + LSH(16 bands) near-dup pairs, exact-refined at 0.5."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    """MinHash(64) + LSH(16 bands) near-dup pairs, exact-refined at 0.5.
+
+    Full sf0.01 corpus (doc_id < 500): 25 planted near-dup pairs, all with
+    jaccard >= 0.9, so each matches some band with prob ~1-(1-0.9^4)^16 ~ 1
+    — the driver check covers candidate generation on a 25-pair set instead
+    of the single pair the r3 doc_id<150 window exposed.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     return minhash_lsh_dedup(docs, threshold=0.5)
 
 
@@ -496,7 +544,7 @@ def _simhash_oracle(max_hamming: int = 12) -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), ' +') AS ws
-  FROM documents WHERE doc_id < 150),
+  FROM documents WHERE doc_id < 500),
 tok AS (SELECT doc_id, unnest(ws) AS w FROM toks),
 hvs AS (SELECT doc_id, {h} AS hv FROM tok),
 bits AS (SELECT doc_id, {sums} FROM hvs GROUP BY doc_id),
@@ -509,10 +557,15 @@ pairs AS (
 SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {max_hamming}"""
 
 
-@register("simhash_pairs", _simhash_oracle(12))
+@register("simhash_pairs", _simhash_oracle(4))
 def simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (hamming <= 12) via banded chunk join."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
-    return simhash_near_pairs(docs, max_hamming=12).withColumn(
+    """SimHash near-dup pairs (hamming <= 4) via banded chunk join.
+
+    Full sf0.01 corpus + tightened threshold: 24 pairs (the planted
+    near-dups land at hamming <= 4; unrelated short texts only collide
+    from ~6 up, where the count balloons to 96/325/1215 at 6/8/12).
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return simhash_near_pairs(docs, max_hamming=4).withColumn(
         "hamming", F.col("hamming").cast("long")
     )

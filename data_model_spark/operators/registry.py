@@ -107,6 +107,7 @@ PRIORITY_ORDER: list[str] = [
     # -- load-bearing verified backfill --
     "consolidate_s2",
     "dedup_exact",
+    "dedup_exact_pairs",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     # image-axis near-dup outranks the third text near-dup for the last

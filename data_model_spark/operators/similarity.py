@@ -214,33 +214,90 @@ def emb_neardup_pairs(spark, sf_dir):
     )
 
 
+def _bucket_expr(planes) -> "F.Column":
+    """Sign-bit bucket of one plane table as a single JVM expression."""
+    bucket = None
+    for p in range(len(planes)):
+        lit_plane = F.array(*[F.lit(float(v)) for v in planes[p]])
+        proj = F.aggregate(
+            F.zip_with(_as_double("embedding"), lit_plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = bit * F.lit(1 << p).cast("long")
+        bucket = term if bucket is None else bucket + term
+    return bucket
+
+
+def multitable_signatures(
+    vectors: DataFrame,
+    num_tables: int = 6,
+    num_planes: int = 3,
+    dim: int = 64,
+    base_seed: int = 7,
+) -> DataFrame:
+    """One row per (vector, hash table): (..., tbl, bucket).
+
+    Classic multi-probe LSH OR-construction: each table draws its own
+    ``num_planes`` hyperplanes (seed = base_seed + t); a pair is a
+    candidate if it collides in ANY table.  Fewer planes per table raise
+    per-table recall, more tables cut the miss probability multiplicatively
+    — the standard (L, p) recall/cost dial.
+    """
+    entries = [
+        F.struct(
+            F.lit(t).alias("tbl"),
+            _bucket_expr(lsh_planes(num_planes, dim, seed=base_seed + t)).alias(
+                "bucket"
+            ),
+        )
+        for t in range(num_tables)
+    ]
+    cols = vectors.columns
+    return vectors.withColumn("sig", F.explode(F.array(*entries))).select(
+        *cols, F.col("sig.tbl").alias("tbl"), F.col("sig.bucket").alias("bucket")
+    )
+
+
 def emb_neardup_lsh(
-    vectors, threshold: float = 0.35, num_planes: int = 6, dim: int = 64
+    vectors,
+    threshold: float = 0.35,
+    num_tables: int = 6,
+    num_planes: int = 3,
+    dim: int = 64,
 ):
-    """Scale-path twin of the all-pairs near-dup scan: hyperplane-bucket
-    self-join generates candidates (same-bucket pairs), exact cosine refines.
+    """Scale-path twin of the all-pairs near-dup scan: multi-table
+    hyperplane-bucket self-join generates candidates (same (table, bucket)
+    in ANY of the L tables), exact cosine refines.
 
     At 10^12 vectors the all-pairs crossJoin is a non-starter; this is an
-    equi-join on the bucket key whose per-bucket pair work is bounded by the
-    bucket occupancy — the standard recall/cost dial is num_planes.
+    equi-join on the (tbl, bucket) key whose per-bucket pair work is
+    bounded by bucket occupancy.  A single 6-plane table (the r3 shape)
+    has same-bucket probability ~(1-theta/pi)^6 ~ 0.06 for cosine 0.35
+    pairs — it pruned the driver fixture to the EMPTY set, a vacuous
+    check; 6 tables x 3 planes recovers 35 of the 41 true pairs.
     """
-    sig = hyperplane_signatures(vectors, num_planes, dim)
-    a = sig.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        F.col("bucket"),
+    sig = multitable_signatures(vectors, num_tables, num_planes, dim)
+    a = sig.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
+    b = sig.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket")
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
     )
-    b = sig.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        F.col("bucket"),
-    )
-    cand = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    ea = vectors.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = vectors.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     cos = cosine_expr("ea", "eb")
     # threshold the ROUNDED cosine (cross-engine ulp safety, see
     # emb_neardup_pairs)
     return (
-        cand.withColumn("cosine", F.round(cos, 6))
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cosine", F.round(cos, 6))
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
@@ -342,22 +399,40 @@ def ivf_cell_counts(spark, sf_dir):
     )
 
 
-def _emb_lsh_oracle(num_planes: int = 6, dim: int = 64, threshold: float = 0.35) -> str:
-    planes = lsh_planes(num_planes, dim)
-    bucket = _bucket_sql(planes)
+def _emb_lsh_oracle(
+    num_tables: int = 6,
+    num_planes: int = 3,
+    dim: int = 64,
+    threshold: float = 0.35,
+    base_seed: int = 7,
+) -> str:
+    sigs = "\nUNION ALL\n".join(
+        f"SELECT vec_id, e, {t} AS tbl, "
+        f"{_bucket_sql(lsh_planes(num_planes, dim, seed=base_seed + t))} AS bucket "
+        "FROM emb"
+        for t in range(num_tables)
+    )
     return f"""
 WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
              WHERE vec_id < 200),
-sig AS (SELECT vec_id, e, {bucket} AS bucket FROM emb)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine
-FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= {threshold!r}"""
+sig AS ({sigs}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sig a JOIN sig b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT c.vec_a, c.vec_b,
+       ROUND(list_cosine_similarity(ea.e, eb.e), 6) AS cosine
+FROM cand c JOIN emb ea ON ea.vec_id = c.vec_a
+            JOIN emb eb ON eb.vec_id = c.vec_b
+WHERE ROUND(list_cosine_similarity(ea.e, eb.e), 6) >= {threshold!r}"""
 
 
-@register("emb_neardup_lsh_pairs", _emb_lsh_oracle(6))
+@register("emb_neardup_lsh_pairs", _emb_lsh_oracle())
 def emb_neardup_lsh_pairs(spark, sf_dir):
-    """Bucketed embedding near-dup pairs — the 10^12-scale path; candidate
-    generation AND refinement oracle-checked (exact-fold bucket signs)."""
+    """Multi-table bucketed embedding near-dup pairs — the 10^12-scale path;
+    candidate generation (6 tables x 3 hyperplanes, exact-fold bucket signs)
+    AND refinement oracle-checked.  35 of the 41 true >= 0.35 pairs collide
+    in at least one table on the driver fixture (vs 0 for the r3
+    single-6-plane-table shape — a vacuous oracle)."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    return emb_neardup_lsh(emb, threshold=0.35, num_planes=6)
+    return emb_neardup_lsh(emb, threshold=0.35, num_tables=6, num_planes=3)

@@ -140,6 +140,33 @@ class TestSimilarity:
         assert len(lset & bset) >= 1
         assert all(r.cosine <= 1.0 + 1e-9 for r in lsh)
 
+    def test_multitable_lsh_neardup_recall(self, emb):
+        """Multi-table OR-construction: 6 tables x 3 planes must recover a
+        large fraction of the exact >= 0.35 cosine pairs — the single
+        6-plane table it replaced pruned the sf0.01 fixture to ZERO pairs
+        (the vacuous-oracle finding in VERDICT r3)."""
+        sub = emb.filter("vec_id < 200")
+        pdf = sub.toPandas()
+        mat = np.array([np.asarray(v) for v in pdf["embedding"]], dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        cos = n @ n.T
+        exact = {
+            (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+            for i in range(len(ids))
+            for j in range(i + 1, len(ids))
+            if round(cos[i, j], 6) >= 0.35
+        }
+        got = {
+            (r.vec_a, r.vec_b)
+            for r in similarity.emb_neardup_lsh(
+                sub, threshold=0.35, num_tables=6, num_planes=3
+            ).collect()
+        }
+        assert got.issubset(exact)  # refinement admits no false positives
+        if exact:
+            assert len(got) / len(exact) >= 0.5  # OR-construction recall
+
     def test_ivf_assignment_partitions_all(self, emb):
         cells_df = similarity.ivf_assign(emb, num_cells=8)
         counts = dict(
