@@ -240,6 +240,75 @@ def sanitize_array_attrs(attrs: dict, is_decoded_float: bool = False) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# per-CRS coordinate-attribute templates (F13)
+# ---------------------------------------------------------------------------
+
+
+def coord_attr_template(coord_name: str, epsg: int | None) -> dict:
+    """CF attribute template for a coordinate variable, per CRS.
+
+    Re-derives the reference's coordinate-metadata rules (semantics from
+    ``conversion/geozarr.py:1540-1577`` — the ``_get_{x,y,lon,lat}_coord_attrs``
+    templates — and ``geozarr.py:1265-1337`` — ``_add_coordinate_metadata``'s
+    per-name dispatch): a geographic CRS (EPSG:4326) names the spatial axes
+    ``longitude``/``latitude`` in ``degrees_east``/``degrees_north``; any
+    projected CRS names them ``projection_x/y_coordinate`` in meters.
+    ``time``/``angle``/``band``/``detector`` are CRS-independent; any other
+    coordinate gets only its dimension registration.
+    """
+    geographic = epsg == 4326
+    if coord_name == "x":
+        if geographic:
+            return {
+                "_ARRAY_DIMENSIONS": ["x"],
+                "standard_name": "longitude",
+                "units": "degrees_east",
+                "long_name": "longitude",
+            }
+        return {
+            "_ARRAY_DIMENSIONS": ["x"],
+            "standard_name": "projection_x_coordinate",
+            "units": "m",
+            "long_name": "x coordinate of projection",
+        }
+    if coord_name == "y":
+        if geographic:
+            return {
+                "_ARRAY_DIMENSIONS": ["y"],
+                "standard_name": "latitude",
+                "units": "degrees_north",
+                "long_name": "latitude",
+            }
+        return {
+            "_ARRAY_DIMENSIONS": ["y"],
+            "standard_name": "projection_y_coordinate",
+            "units": "m",
+            "long_name": "y coordinate of projection",
+        }
+    if coord_name == "time":
+        return {"_ARRAY_DIMENSIONS": ["time"], "standard_name": "time"}
+    if coord_name == "angle":
+        return {
+            "_ARRAY_DIMENSIONS": ["angle"],
+            "standard_name": "angle",
+            "long_name": "angle coordinate",
+        }
+    if coord_name == "band":
+        return {
+            "_ARRAY_DIMENSIONS": ["band"],
+            "standard_name": "band",
+            "long_name": "spectral band identifier",
+        }
+    if coord_name == "detector":
+        return {
+            "_ARRAY_DIMENSIONS": ["detector"],
+            "standard_name": "detector",
+            "long_name": "detector identifier",
+        }
+    return {"_ARRAY_DIMENSIONS": [coord_name]}
+
+
+# ---------------------------------------------------------------------------
 # multiscale layout document
 # ---------------------------------------------------------------------------
 

@@ -63,6 +63,14 @@ PRIORITY_ORDER: list[str] = [
     "ivf_cell_counts",
     "emb_neardup_pairs",
     "emb_neardup_lsh_pairs",
+    # -- round-4 re-tuned dedup evidence (non-vacuous oracles) --
+    "dedup_exact_pairs",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    # -- round-4 new queries --
+    "coord_attr_templates",
+    "tile_render",
     # -- text suite --
     "token_count",
     "quality_score",
@@ -107,13 +115,9 @@ PRIORITY_ORDER: list[str] = [
     # -- load-bearing verified backfill --
     "consolidate_s2",
     "dedup_exact",
-    "dedup_exact_pairs",
-    "ngram_jaccard_pairs",
-    "minhash_lsh_pairs",
     # image-axis near-dup outranks the third text near-dup for the last
     # window slot (simhash's mechanics are already covered by minhash)
     "phash_neardup_pairs",
-    "simhash_pairs",
     "caption_token_stats",
     "streaming_event_windows",
     "streaming_tiles",

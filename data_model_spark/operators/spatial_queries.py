@@ -346,6 +346,77 @@ def pyramid_layout_meta(spark, sf_dir):
     )
 
 
+_COORD_ATTR_ORACLE = """
+WITH grid AS (
+  SELECT epsg, coord
+  FROM (VALUES (4326), (32632), (3857)) AS e(epsg)
+  CROSS JOIN (VALUES ('x'), ('y'), ('time'), ('angle'), ('band'),
+                     ('detector'), ('scene')) AS c(coord))
+SELECT epsg, coord,
+  CASE
+    WHEN coord = 'x' AND epsg = 4326 THEN 'longitude'
+    WHEN coord = 'x' THEN 'projection_x_coordinate'
+    WHEN coord = 'y' AND epsg = 4326 THEN 'latitude'
+    WHEN coord = 'y' THEN 'projection_y_coordinate'
+    WHEN coord IN ('time', 'angle', 'band', 'detector') THEN coord
+    ELSE NULL
+  END AS standard_name,
+  CASE
+    WHEN coord = 'x' AND epsg = 4326 THEN 'degrees_east'
+    WHEN coord = 'y' AND epsg = 4326 THEN 'degrees_north'
+    WHEN coord IN ('x', 'y') THEN 'm'
+    ELSE NULL
+  END AS units,
+  CASE
+    WHEN coord = 'x' AND epsg = 4326 THEN 'longitude'
+    WHEN coord = 'x' THEN 'x coordinate of projection'
+    WHEN coord = 'y' AND epsg = 4326 THEN 'latitude'
+    WHEN coord = 'y' THEN 'y coordinate of projection'
+    WHEN coord = 'angle' THEN 'angle coordinate'
+    WHEN coord = 'band' THEN 'spectral band identifier'
+    WHEN coord = 'detector' THEN 'detector identifier'
+    ELSE NULL
+  END AS long_name,
+  coord AS dim
+FROM grid"""
+
+
+@register("coord_attr_templates", _COORD_ATTR_ORACLE)
+def coord_attr_templates(spark, sf_dir):
+    """Per-CRS coordinate-attribute template generator (F13) as a query.
+
+    One row per (CRS, coordinate) over geographic (4326), UTM (32632) and
+    WebMercator (3857) crossed with the coordinate vocabulary incl. an
+    unknown name ('scene', dims-only registration).  The Spark side emits
+    ``gridlib.coord_attr_template``'s output (reference semantics:
+    ``conversion/geozarr.py:1540-1577``, ``1265-1337``); the oracle is an
+    independent CASE re-derivation of the dispatch rules in SQL.
+    """
+    from ..functions import gridlib
+    from ..sources.tables import local_df
+
+    rows = []
+    for epsg in (4326, 32632, 3857):
+        for coord in ("x", "y", "time", "angle", "band", "detector", "scene"):
+            t = gridlib.coord_attr_template(coord, epsg)
+            rows.append(
+                (
+                    epsg,
+                    coord,
+                    t.get("standard_name"),
+                    t.get("units"),
+                    t.get("long_name"),
+                    t["_ARRAY_DIMENSIONS"][0],
+                )
+            )
+    return local_df(
+        spark,
+        rows,
+        "epsg int, coord string, standard_name string, units string,"
+        " long_name string, dim string",
+    )
+
+
 def _store_bbox_oracle(n_images: int = 48) -> str:
     """Store-root bbox oracle: the Snyder inverse-TM series replayed in SQL.
 

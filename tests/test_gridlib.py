@@ -137,6 +137,63 @@ class TestCfCodecNodata:
         assert out2 == {"dtype": "uint16", "units": "digital_counts", "keep": 1}
 
 
+class TestCoordAttrTemplates:
+    """Goldens: the exact attr dicts of reference conversion/geozarr.py
+    _get_{x,y,lon,lat}_coord_attrs (1540-1577) and _add_coordinate_metadata
+    (1265-1337)."""
+
+    def test_projected_xy(self):
+        for epsg in (32632, 3857, None):
+            assert gridlib.coord_attr_template("x", epsg) == {
+                "_ARRAY_DIMENSIONS": ["x"],
+                "standard_name": "projection_x_coordinate",
+                "units": "m",
+                "long_name": "x coordinate of projection",
+            }
+            assert gridlib.coord_attr_template("y", epsg) == {
+                "_ARRAY_DIMENSIONS": ["y"],
+                "standard_name": "projection_y_coordinate",
+                "units": "m",
+                "long_name": "y coordinate of projection",
+            }
+
+    def test_geographic_xy(self):
+        assert gridlib.coord_attr_template("x", 4326) == {
+            "_ARRAY_DIMENSIONS": ["x"],
+            "standard_name": "longitude",
+            "units": "degrees_east",
+            "long_name": "longitude",
+        }
+        assert gridlib.coord_attr_template("y", 4326) == {
+            "_ARRAY_DIMENSIONS": ["y"],
+            "standard_name": "latitude",
+            "units": "degrees_north",
+            "long_name": "latitude",
+        }
+
+    def test_crs_independent_coords(self):
+        assert gridlib.coord_attr_template("time", 4326) == {
+            "_ARRAY_DIMENSIONS": ["time"],
+            "standard_name": "time",
+        }
+        assert gridlib.coord_attr_template("band", 32632) == {
+            "_ARRAY_DIMENSIONS": ["band"],
+            "standard_name": "band",
+            "long_name": "spectral band identifier",
+        }
+        assert gridlib.coord_attr_template("detector", 32632)["long_name"] == (
+            "detector identifier"
+        )
+        assert gridlib.coord_attr_template("angle", 3857)["long_name"] == (
+            "angle coordinate"
+        )
+
+    def test_unknown_coord_gets_dims_only(self):
+        assert gridlib.coord_attr_template("scene", 32632) == {
+            "_ARRAY_DIMENSIONS": ["scene"]
+        }
+
+
 class TestMultiscaleLayout:
     def test_layout_fields_and_dynamic_scale(self):
         levels = [
