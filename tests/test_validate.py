@@ -32,12 +32,24 @@ def test_each_failure_mode_detected_once(spark):
         ("l_shape_missing", "SHAPE_LEN"),
         ("l_transform_len", "TRANSFORM_LEN"),
         ("l_cf_unknown", "CF_NAME_UNKNOWN"),
+        ("l_cf_deprecated", "CF_NAME_UNKNOWN"),
+        ("l_cf_invented", "CF_NAME_UNKNOWN"),
         ("s_pj_no_type", "PJ_TYPE_MISSING"),
         ("s_pj_bad_type", "PJ_TYPE_UNKNOWN"),
         ("s_pj_no_name", "PJ_NAME_MISSING"),
         ("s_pj_axis_missing", "PJ_AXIS_MISSING"),
         ("s_pj_axis_count", "PJ_AXIS_COUNT"),
         ("s_pj_incomplete", "PJ_PROJECTED_INCOMPLETE"),
+        # datum / ellipsoid / axis-unit depth (VERDICT r3 item 4); the valid
+        # twins (s_pj_datum_ok, s_pj_sphere_ok, s_pj_axis_unit_ok/_str,
+        # l_ok_full_table, l_ok_snow) must NOT appear here
+        ("s_pj_datum_bad_type", "PJ_DATUM_TYPE_UNKNOWN"),
+        ("s_pj_datum_no_name", "PJ_DATUM_NAME_MISSING"),
+        ("s_pj_ellipsoid_missing", "PJ_ELLIPSOID_MISSING"),
+        ("s_pj_ellipsoid_shape", "PJ_ELLIPSOID_SHAPE"),
+        ("s_pj_pm_no_lon", "PJ_PM_LONGITUDE_MISSING"),
+        ("s_pj_axis_bad_dir", "PJ_AXIS_DIR_UNKNOWN"),
+        ("s_pj_axis_unit_bad", "PJ_AXIS_UNIT_BAD"),
     }
 
 
