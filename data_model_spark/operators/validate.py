@@ -595,6 +595,22 @@ def layout_validate(spark, sf_dir):
 #: (s1.py:894-899: conditions / measurements / quality)
 _S1_POL_MEMBERS = ("conditions", "measurements", "quality")
 
+#: required members of each polarization's conditions group — the reference
+#: models this as a CLOSED, total TypedDict (s1.py:576-592), so a conforming
+#: S1 store carries ALL of them, gcp included
+_S1_COND_MEMBERS = (
+    "antenna_pattern",
+    "attitude",
+    "azimuth_fm_rate",
+    "coordinate_conversion",
+    "doppler_centroid",
+    "gcp",
+    "orbit",
+    "reference_replica",
+    "replica",
+    "terrain_height",
+)
+
 
 def product_detect_df(paths: DataFrame) -> DataFrame:
     """Classify each store as S2 / S1 / generic from its group paths.
@@ -607,7 +623,12 @@ def product_detect_df(paths: DataFrame) -> DataFrame:
       ``measurements/reflectance/r{N}m`` resolution dataset
       (s2.py:650-696).
     * **S1**: at least one top-level polarization group with all of
-      conditions/measurements/quality beneath it (s1.py:894-922).
+      conditions/measurements/quality beneath it (s1.py:894-922), AND every
+      polarization's conditions group carrying the full closed member set
+      (antenna_pattern..terrain_height incl. gcp — s1.py:576-592 is a
+      closed, total TypedDict).  A store whose polarization groups exist
+      but miss conditions members (e.g. no GCP group) classifies
+      **S1_partial**: structurally S1-shaped, fails reference validation.
     * S2 wins over S1 (a hierarchy satisfying both is resolved like the
       reference's ``TypeAdapter(Sentinel1Root | Sentinel2Root)`` + isinstance
       check in s2_converter.py:417).
@@ -622,15 +643,36 @@ def product_detect_df(paths: DataFrame) -> DataFrame:
             "has_res"
         ),
     )
-    pol = (
+    pol_groups = (
         paths.filter(
             (F.size(parts) == 2) & F.element_at(parts, 2).isin(*_S1_POL_MEMBERS)
         )
         .groupBy("store_id", F.element_at(parts, 1).alias("grp"))
         .agg(F.countDistinct(F.element_at(parts, 2)).alias("n_members"))
         .filter(F.col("n_members") == len(_S1_POL_MEMBERS))
+        .select("store_id", "grp")
+    )
+    cond_members = (
+        paths.filter(
+            (F.size(parts) == 3)
+            & (F.element_at(parts, 2) == "conditions")
+            & F.element_at(parts, 3).isin(*_S1_COND_MEMBERS)
+        )
+        .groupBy("store_id", F.element_at(parts, 1).alias("grp"))
+        .agg(F.countDistinct(F.element_at(parts, 3)).alias("n_cond"))
+    )
+    pol = (
+        pol_groups.join(cond_members, ["store_id", "grp"], "left")
         .groupBy("store_id")
-        .agg(F.count("*").alias("n_pol_groups"))
+        .agg(
+            F.count("*").alias("n_pol_groups"),
+            F.sum(
+                (
+                    F.coalesce(F.col("n_cond"), F.lit(0))
+                    == len(_S1_COND_MEMBERS)
+                ).cast("int")
+            ).alias("n_complete_pol"),
+        )
     )
     is_s2 = (
         (F.col("has_m") == 1)
@@ -638,17 +680,29 @@ def product_detect_df(paths: DataFrame) -> DataFrame:
         & (F.col("has_c") == 1)
         & (F.col("has_res") == 1)
     )
+    n_pol = F.coalesce(F.col("n_pol_groups"), F.lit(0))
+    n_full = F.coalesce(F.col("n_complete_pol"), F.lit(0))
     return (
         flags.join(pol, "store_id", "left")
         .select(
             "store_id",
             F.when(is_s2, F.lit("S2"))
-            .when(F.coalesce(F.col("n_pol_groups"), F.lit(0)) >= 1, F.lit("S1"))
+            .when((n_pol >= 1) & (n_full == n_pol), F.lit("S1"))
+            .when(n_pol >= 1, F.lit("S1_partial"))
             .otherwise(F.lit("generic"))
             .alias("product"),
         )
         .orderBy("store_id")
     )
+
+
+def _s1_pol_paths(pol: str, skip: tuple[str, ...] = ()) -> list[str]:
+    """All group paths of one conforming polarization subtree, minus ``skip``."""
+    out = [pol, f"{pol}/conditions", f"{pol}/measurements", f"{pol}/quality"]
+    out += [
+        f"{pol}/conditions/{m}" for m in _S1_COND_MEMBERS if m not in skip
+    ]
+    return out
 
 
 PRODUCT_FIXTURE_PATHS = [
@@ -660,13 +714,14 @@ PRODUCT_FIXTURE_PATHS = [
         "quality/atmosphere", "conditions", "conditions/geometry",
         "conditions/mask",
     )],
-    # a two-polarization S1 hierarchy
-    *[("st_s1", p) for p in (
-        "VH", "VH/conditions", "VH/measurements", "VH/quality",
-        "VV", "VV/conditions", "VV/measurements", "VV/quality",
-    )],
+    # a two-polarization S1 hierarchy, full conditions member set per pol
+    *[("st_s1", p) for p in _s1_pol_paths("VH") + _s1_pol_paths("VV")],
     # single-polarization S1
-    *[("st_s1_hh", p) for p in ("HH", "HH/conditions", "HH/measurements", "HH/quality")],
+    *[("st_s1_hh", p) for p in _s1_pol_paths("HH")],
+    # S1-shaped but one polarization's conditions group is missing its GCP
+    # member (closed TypedDict violation, s1.py:587) -> S1_partial
+    *[("st_s1_no_gcp", p)
+      for p in _s1_pol_paths("VH") + _s1_pol_paths("VV", skip=("gcp",))],
     # S2 minus the conditions root member -> generic
     *[("st_almost_s2", p) for p in (
         "measurements", "measurements/reflectance",
@@ -682,6 +737,7 @@ PRODUCT_FIXTURE_PATHS = [
 def _product_oracle() -> str:
     vals = ", ".join(f"('{s}', '{p}')" for s, p in PRODUCT_FIXTURE_PATHS)
     members = ", ".join(f"'{m}'" for m in _S1_POL_MEMBERS)
+    cond_members = ", ".join(f"'{m}'" for m in _S1_COND_MEMBERS)
     return f"""
 WITH paths(store_id, path) AS (VALUES {vals}),
 flags AS (
@@ -692,18 +748,33 @@ flags AS (
          MAX(CASE WHEN regexp_matches(path, '^measurements/reflectance/r[0-9]+m$')
              THEN 1 ELSE 0 END) AS has_res
   FROM paths GROUP BY store_id),
+pol_groups AS (
+  SELECT store_id, string_split(path, '/')[1] AS grp
+  FROM paths
+  WHERE len(string_split(path, '/')) = 2
+    AND string_split(path, '/')[2] IN ({members})
+  GROUP BY store_id, string_split(path, '/')[1]
+  HAVING COUNT(DISTINCT string_split(path, '/')[2]) = {len(_S1_POL_MEMBERS)}),
+cond_members AS (
+  SELECT store_id, string_split(path, '/')[1] AS grp,
+         COUNT(DISTINCT string_split(path, '/')[3]) AS n_cond
+  FROM paths
+  WHERE len(string_split(path, '/')) = 3
+    AND string_split(path, '/')[2] = 'conditions'
+    AND string_split(path, '/')[3] IN ({cond_members})
+  GROUP BY store_id, string_split(path, '/')[1]),
 pol AS (
-  SELECT store_id, COUNT(*) AS n_pol_groups FROM (
-    SELECT store_id, string_split(path, '/')[1] AS grp
-    FROM paths
-    WHERE len(string_split(path, '/')) = 2
-      AND string_split(path, '/')[2] IN ({members})
-    GROUP BY store_id, string_split(path, '/')[1]
-    HAVING COUNT(DISTINCT string_split(path, '/')[2]) = {len(_S1_POL_MEMBERS)}
-  ) GROUP BY store_id)
+  SELECT g.store_id, COUNT(*) AS n_pol_groups,
+         SUM(CASE WHEN COALESCE(c.n_cond, 0) = {len(_S1_COND_MEMBERS)}
+             THEN 1 ELSE 0 END) AS n_complete_pol
+  FROM pol_groups g LEFT JOIN cond_members c
+    ON g.store_id = c.store_id AND g.grp = c.grp
+  GROUP BY g.store_id)
 SELECT f.store_id,
        CASE WHEN has_m = 1 AND has_q = 1 AND has_c = 1 AND has_res = 1 THEN 'S2'
-            WHEN COALESCE(n_pol_groups, 0) >= 1 THEN 'S1'
+            WHEN COALESCE(n_pol_groups, 0) >= 1
+                 AND COALESCE(n_complete_pol, 0) = n_pol_groups THEN 'S1'
+            WHEN COALESCE(n_pol_groups, 0) >= 1 THEN 'S1_partial'
             ELSE 'generic' END AS product
 FROM flags f LEFT JOIN pol USING (store_id)
 ORDER BY store_id"""

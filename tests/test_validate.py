@@ -111,3 +111,27 @@ class TestMalformedFieldTypes:
         # x3: 4-element bbox of non-numeric strings -> order checks are NULL
         # (TRY_CAST both sides), no crash, no spurious ORDER issue
         assert not any(c.startswith("BBOX_ORDER") for _, c in got)
+
+
+class TestProductDetectS1Depth:
+    """S1 schema depth: the closed conditions TypedDict (reference
+    s1.py:576-592) — a store whose polarization misses the GCP member must
+    classify S1_partial, not S1 (VERDICT r3 item 5)."""
+
+    def test_missing_gcp_is_partial(self, spark):
+        from data_model_spark.operators import validate as V
+        from data_model_spark.sources.tables import local_df
+
+        paths = [("st", p) for p in V._s1_pol_paths("VV", skip=("gcp",))]
+        df = local_df(spark, paths, "store_id string, path string")
+        got = {(r.store_id, r.product) for r in V.product_detect_df(df).collect()}
+        assert got == {("st", "S1_partial")}
+
+    def test_full_conditions_is_s1(self, spark):
+        from data_model_spark.operators import validate as V
+        from data_model_spark.sources.tables import local_df
+
+        paths = [("st", p) for p in V._s1_pol_paths("VV") + V._s1_pol_paths("VH")]
+        df = local_df(spark, paths, "store_id string, path string")
+        got = {(r.store_id, r.product) for r in V.product_detect_df(df).collect()}
+        assert got == {("st", "S1")}
