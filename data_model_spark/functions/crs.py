@@ -13,6 +13,8 @@ EPSG parsing mirrors ``s2_optimization/s2_converter.py:26-102``:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 # WGS84 ellipsoid
@@ -151,7 +153,45 @@ def utm_to_lonlat(x, y, zone: int, north: bool = True):
     return lon, lat
 
 
+# WebMercator (EPSG:3857): spherical mercator on the WGS84 semi-major axis —
+# the published closed forms (EPSG guidance note 7-2, method 1024)
+WEBMERCATOR_R = 6378137.0
+WEBMERCATOR_ORIGIN = math.pi * WEBMERCATOR_R  # half world width, 20037508.34m
+
+
+def lonlat_to_webmercator(lon, lat):
+    """EPSG:4326 -> EPSG:3857 (vectorized)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    x = WEBMERCATOR_R * np.radians(lon)
+    y = WEBMERCATOR_R * np.log(np.tan(np.pi / 4.0 + np.radians(lat) / 2.0))
+    return x, y
+
+
+def webmercator_to_lonlat(x, y):
+    """EPSG:3857 -> EPSG:4326 (vectorized)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    lon = np.degrees(x / WEBMERCATOR_R)
+    lat = np.degrees(2.0 * np.arctan(np.exp(y / WEBMERCATOR_R)) - np.pi / 2.0)
+    return lon, lat
+
+
 def transform_points(x, y, src_epsg: int, dst_epsg: int):
+    """Point CRS transform between EPSG:4326, EPSG:3857 and UTM zones
+    (always_xy order); 3857<->UTM routes through lon/lat."""
+    src = parse_epsg(src_epsg)
+    dst = parse_epsg(dst_epsg)
+    if src == 3857 or dst == 3857:
+        if src == 3857:
+            lon, lat = webmercator_to_lonlat(x, y)
+            return transform_points(lon, lat, 4326, dst)
+        lon, lat = transform_points(x, y, src, 4326)
+        return lonlat_to_webmercator(lon, lat)
+    return _transform_points_utm(x, y, src, dst)
+
+
+def _transform_points_utm(x, y, src_epsg: int, dst_epsg: int):
     """Point CRS transform between EPSG:4326 and UTM zones (always_xy order)."""
     src = parse_epsg(src_epsg)
     dst = parse_epsg(dst_epsg)

@@ -156,6 +156,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline_queries,
         profile,
         relational,
+        render,
         reproject,
         sampling,
         sessions,
