@@ -110,6 +110,7 @@ def main() -> None:
         "dedup_components",
         "ivf_kmeans_assign",
         "sessionize",
+        "tile_render",
     ]
     registry = all_queries()
     join_rows = 0

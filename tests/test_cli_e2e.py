@@ -51,7 +51,7 @@ def test_validate_fixture_exit_code():
     p = run_cli("validate", "--fixture", check=False)
     assert p.returncode == 1  # fixture contains invalid docs
     tail = last_json(p)
-    assert tail["n_issues"] == 17  # incl. the 6 PROJJSON structural rules
+    assert tail["n_issues"] == 26  # incl. datum/ellipsoid/unit + CF-table depth (r4)
     assert "CRS_MISSING" in p.stdout
     assert "PJ_TYPE_UNKNOWN" in p.stdout
 
