@@ -53,6 +53,7 @@ def stage_profile(port: int) -> list[dict]:
 
 def main() -> None:
     n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 5120
+    shuffle_parts = int(sys.argv[2]) if len(sys.argv) > 2 else None
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     ui_port = 4047
 
@@ -65,6 +66,7 @@ def main() -> None:
 
     spark = get_spark(
         cores=cores,
+        shuffle_partitions=shuffle_parts,
         app_name=f"sf10-flagship-{n_images}",
         extra_conf={
             "spark.ui.enabled": "true",  # status REST API for the profile
@@ -74,6 +76,27 @@ def main() -> None:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    # untimed warmup iteration at 1/5 scale: JIT-compiles the decode/merge/
+    # write paths and pre-faults guest pages (same protocol as
+    # scaling_bench.py — a long-lived cluster executor is always warm)
+    warm_dir = tempfile.mkdtemp(prefix="sf10_warm_", dir="/dev/shm")
+    try:
+        w_img = img_src.generate_images_df(spark, n_images // 5, num_partitions=64).cache()
+        w_img.count()
+        tiling.validate_images(w_img).filter("psnr_db >= 40").count()
+        w_merged = tiling.merge_tiles(
+            tiling.build_tiles(w_img, min_dimension=64, repartition=False)
+        )
+        (
+            spatial_block_partition(w_merged, 2 * cores)
+            .write.mode("overwrite")
+            .partitionBy("var", "level")
+            .parquet(warm_dir)
+        )
+        w_img.unpersist()
+    finally:
+        shutil.rmtree(warm_dir, ignore_errors=True)
 
     out_dir = tempfile.mkdtemp(prefix="sf10_tiles_", dir="/dev/shm")
     try:
@@ -110,6 +133,9 @@ def main() -> None:
         result = {
             "n_images": n_img,
             "cores": cores,
+            "shuffle_partitions": int(
+                spark.conf.get("spark.sql.shuffle.partitions")
+            ),
             "n_valid": n_valid,
             "n_tile_fragments": n_frag,
             "n_merged_tiles": n_merged,
