@@ -151,6 +151,79 @@ def polygon_cover(poly_lonlat: np.ndarray, res: int, exact: bool = True) -> np.n
     return cand[keep]
 
 
+def compact_cover(cover, min_res: int) -> np.ndarray:
+    """Hierarchical cover compaction (H3 ``compact`` analogue, NumPy oracle).
+
+    Input: unique same-resolution cells.  Any complete sibling quad (all 4
+    children of one parent present) is replaced by the parent, repeatedly,
+    until ``min_res``.  The result covers exactly the same area with the
+    minimum number of mixed-resolution cells (uniqueness of the greedy
+    bottom-up merge).  Distributed twin: ``operators.spatial.compact_cover_df``.
+    """
+    c = np.unique(np.asarray(cover, dtype=np.int64))
+    if c.size == 0:
+        return c
+    res = int(cell_res(c[0]))
+    if not (0 <= min_res <= res):
+        raise ValueError(f"min_res must be in [0, {res}]")
+    out: list[np.ndarray] = []
+    for _ in range(res, min_res, -1):
+        if c.size == 0:
+            break
+        par = parent(c)
+        uniq, counts = np.unique(par, return_counts=True)
+        promoted = uniq[counts == 4]
+        keep = ~np.isin(par, promoted)
+        out.append(c[keep])
+        c = promoted
+    out.append(c)
+    return np.concatenate(out)
+
+
+def uncompact_cover(cover, res: int) -> np.ndarray:
+    """Expand a mixed-resolution cover to uniform ``res`` cells (inverse of
+    ``compact_cover``: uncompact(compact(S)) == S for unique input S)."""
+    c = np.asarray(cover, dtype=np.int64)
+    done: list[np.ndarray] = []
+    while c.size:
+        r = cell_res(c)
+        if np.any(r > res):
+            raise ValueError("cover contains cells finer than target res")
+        at = c[r == res]
+        if at.size:
+            done.append(at)
+        coarse = c[r < res]
+        c = (
+            np.concatenate([children(int(cc)) for cc in coarse])
+            if coarse.size
+            else np.empty(0, np.int64)
+        )
+    return np.unique(np.concatenate(done)) if done else np.empty(0, np.int64)
+
+
+def mask_boundary(mask, res: int) -> np.ndarray:
+    """Rook-neighborhood boundary of a cell mask (NumPy oracle).
+
+    A cell is boundary iff any of its 4 edge neighbors is absent from the
+    mask; longitude wraps mod ``2^res``, latitude clamps (off-grid counts
+    as absent).  Distributed twin: ``operators.spatial.mask_boundary_cells``.
+    """
+    m = np.unique(np.asarray(mask, dtype=np.int64))
+    if m.size == 0:
+        return m
+    n = 1 << res
+    have = set(int(v) for v in m)
+    x, y = cell_xy(m)
+    out = []
+    for cx, cy, c in zip(x, y, m):
+        nbrs = [((cx + 1) % n, cy), ((cx - 1) % n, cy), (cx, cy + 1), (cx, cy - 1)]
+        for nx, ny in nbrs:
+            if not (0 <= ny < n) or int(cell_id(res, nx, ny)) not in have:
+                out.append(c)
+                break
+    return np.asarray(out, dtype=np.int64)
+
+
 def cover_resolution_for_extent(extent_deg: float, target_cells: int = 16) -> int:
     """Pick a resolution where the extent covers ~``target_cells`` cells in
     TOTAL (~sqrt(target_cells) per axis)."""

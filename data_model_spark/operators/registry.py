@@ -71,6 +71,9 @@ PRIORITY_ORDER: list[str] = [
     # -- round-4 new queries --
     "coord_attr_templates",
     "tile_render",
+    "cell_compact",
+    "mask_boundary_cells",
+    "pyramid_dirty_tiles",
     # -- text suite --
     "token_count",
     "quality_score",

@@ -334,6 +334,135 @@ def knn_join(
     return out
 
 
+# ---------------------------------------------------------------------------
+# cell-set algebra: compaction, boundary extraction
+# ---------------------------------------------------------------------------
+
+_XY_MASK = (1 << 28) - 1
+
+
+def _pack_cell(res: int, x, y):
+    """JVM-side (res, x, y) -> int64 cell id, mirroring cells.cell_id."""
+    return (
+        F.shiftleft(F.lit(res).cast("long"), 56)
+        .bitwiseOR(F.shiftleft(y.cast("long"), 28))
+        .bitwiseOR(x.cast("long"))
+    )
+
+
+def compact_cover_df(
+    covers: DataFrame,
+    res: int,
+    min_res: int,
+    id_col: str = "poly_id",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Hierarchical cell-cover compaction (H3 ``compact``), pure DataFrame ops.
+
+    Per (id, parent) group, a complete sibling quad (all 4 children present)
+    collapses to the parent; repeat from ``res`` down to ``min_res``.  The
+    compacted cover is the minimal mixed-resolution representation of the
+    same area — at 10^12-footprint scale it shrinks exploded cover tables
+    (and any broadcast built from them) by the interior/perimeter ratio
+    before the cover ever reaches a join.
+
+    Plan shape: one hash aggregation + one left-anti join per level, keyed
+    by (id, parent) — partial aggregation applies, no UDFs, no collect.
+    Level count is ``res - min_res`` (single digits in practice), so the
+    fixed-depth plan stays compile-time bounded.  Input cells must be
+    unique per id and all at ``res`` (as produced by ``polygon_cover_df``).
+    """
+    if not 0 <= min_res <= res:
+        raise ValueError(f"min_res must be in [0, {res}]")
+    cur = covers.select(id_col, cell_col)
+    outs: list[DataFrame] = []
+    for r in range(res, min_res, -1):
+        x = F.col(cell_col).bitwiseAND(F.lit(_XY_MASK))
+        y = F.shiftright(F.col(cell_col), 28).bitwiseAND(F.lit(_XY_MASK))
+        with_par = cur.withColumn(
+            "_par", _pack_cell(r - 1, F.shiftright(x, 1), F.shiftright(y, 1))
+        )
+        promoted = (
+            with_par.groupBy(id_col, "_par")
+            .count()
+            .filter(F.col("count") == 4)
+            .select(id_col, F.col("_par").alias(cell_col))
+        )
+        keep = with_par.join(
+            promoted.select(id_col, F.col(cell_col).alias("_par")),
+            [id_col, "_par"],
+            "left_anti",
+        ).select(id_col, cell_col)
+        outs.append(keep)
+        cur = promoted
+    outs.append(cur)
+    out = outs[0]
+    for part in outs[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+def mask_boundary_cells(
+    mask: DataFrame, res: int, cell_col: str = "cell"
+) -> DataFrame:
+    """Rook-neighborhood boundary of a cell mask (raster -> vector edge step).
+
+    A cell is boundary iff any of its 4 edge neighbors is absent from the
+    mask (longitude wraps mod ``2^res``; off-grid latitude counts as
+    absent).  This is the vectorization primitive for "outline the valid
+    extent of a raster mask" — the marching step of raster->vector
+    materialization on the cell grid.
+
+    Plan shape: explode 4 neighbor keys (narrow), one self equi-join on
+    the int64 cell key, one aggregation, one left-anti join — all JVM
+    expressions, no UDFs.  At scale the self-join co-partitions with the
+    mask's own cell partitioning, so no extra shuffle beyond the join key.
+    Returns (cell, x, y).
+    """
+    n = 1 << res
+    m = (
+        mask.select(F.col(cell_col).alias("cell"))
+        .distinct()
+        .withColumn("x", F.col("cell").bitwiseAND(F.lit(_XY_MASK)))
+        .withColumn("y", F.shiftright("cell", 28).bitwiseAND(F.lit(_XY_MASK)))
+    )
+    nbrs = m.select(
+        "cell",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.pmod(F.col("x") + 1, F.lit(n)).alias("nx"),
+                    F.col("y").alias("ny"),
+                ),
+                F.struct(
+                    F.pmod(F.col("x") - 1 + n, F.lit(n)).alias("nx"),
+                    F.col("y").alias("ny"),
+                ),
+                F.struct(F.col("x").alias("nx"), (F.col("y") + 1).alias("ny")),
+                F.struct(F.col("x").alias("nx"), (F.col("y") - 1).alias("ny")),
+            )
+        ).alias("nb"),
+    ).withColumn(
+        "nbr_cell",
+        F.when(
+            (F.col("nb.ny") >= 0) & (F.col("nb.ny") < n),
+            _pack_cell(res, F.col("nb.nx"), F.col("nb.ny")),
+        ),
+    )
+    present = nbrs.join(
+        m.select(F.col("cell").alias("nbr_cell"), F.lit(1).alias("_hit")),
+        "nbr_cell",
+        "left",
+    )
+    interior = (
+        present.groupBy("cell")
+        .agg(F.sum(F.coalesce("_hit", F.lit(0))).alias("_n"))
+        .filter(F.col("_n") == 4)
+        .select("cell")
+    )
+    return m.join(interior, "cell", "left_anti").select("cell", "x", "y")
+
+
 def knn_bruteforce(
     points: DataFrame,
     queries: DataFrame,

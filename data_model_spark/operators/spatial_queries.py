@@ -509,6 +509,173 @@ def store_root_bbox(spark, sf_dir):
     )
 
 
+_COMPACT_RES = 13
+_COMPACT_MIN_RES = 9
+
+
+def _compact_oracle() -> str:
+    """Closed-form compaction oracle — NOT a replay of the iterative merge.
+
+    A cell at res r belongs to the compacted cover of an axis-aligned cell
+    range [x0..x1]x[y0..y1] (at res 13) iff its res-13 descendant block is
+    fully inside the range AND its parent's block is not (at min_res the
+    parent condition is dropped: compaction stops there).  The engine runs
+    the bottom-up groupBy/anti-join merge; the oracle derives membership
+    directly from interval containment — two independent formulations that
+    must agree exactly.
+    """
+    vals = ", ".join(
+        f"('{rid}', {xmin!r}, {ymin!r}, {xmax!r}, {ymax!r})"
+        for rid, (xmin, ymin, xmax, ymax) in sorted(RECTS.items())
+    )
+    n = 1 << _COMPACT_RES
+    return f"""
+WITH rects(rect_id, xmin, ymin, xmax, ymax) AS (VALUES {vals}),
+rng AS (SELECT rect_id,
+  least(greatest(CAST(floor((xmin + 180.0) / 360.0 * {n}) AS BIGINT),
+                 CAST(0 AS BIGINT)), CAST({n - 1} AS BIGINT)) AS x0,
+  least(greatest(CAST(floor((xmax + 180.0) / 360.0 * {n}) AS BIGINT),
+                 CAST(0 AS BIGINT)), CAST({n - 1} AS BIGINT)) AS x1,
+  least(greatest(CAST(floor((ymin + 90.0) / 180.0 * {n}) AS BIGINT),
+                 CAST(0 AS BIGINT)), CAST({n - 1} AS BIGINT)) AS y0,
+  least(greatest(CAST(floor((ymax + 90.0) / 180.0 * {n}) AS BIGINT),
+                 CAST(0 AS BIGINT)), CAST({n - 1} AS BIGINT)) AS y1
+ FROM rects),
+lv AS (SELECT rng.*, CAST(r AS BIGINT) AS r,
+              CAST({_COMPACT_RES} - r AS BIGINT) AS s
+       FROM rng, (VALUES {", ".join(f"({r})" for r in range(_COMPACT_MIN_RES, _COMPACT_RES + 1))}) l(r)),
+cx AS (SELECT *, unnest(range(x0 >> s, (x1 >> s) + 1)) AS px FROM lv),
+cxy AS (SELECT *, unnest(range(y0 >> s, (y1 >> s) + 1)) AS py FROM cx)
+SELECT rect_id, ((r << 56) | (py << 28) | px) AS cell, CAST(r AS INT) AS res
+FROM cxy
+WHERE (px << s) >= x0 AND (((px + 1) << s) - 1) <= x1
+  AND (py << s) >= y0 AND (((py + 1) << s) - 1) <= y1
+  AND NOT (CASE WHEN r = {_COMPACT_MIN_RES} THEN FALSE ELSE
+       ((px >> 1) << (s + 1)) >= x0 AND ((((px >> 1) + 1) << (s + 1)) - 1) <= x1
+   AND ((py >> 1) << (s + 1)) >= y0 AND ((((py >> 1) + 1) << (s + 1)) - 1) <= y1
+  END)"""
+
+
+@register("cell_compact", _compact_oracle)
+def cell_compact(spark, sf_dir):
+    """Hierarchical cover compaction (H3 ``compact``) over the RECTS covers.
+
+    Covers explode distributed (sequence ranges from the engine's own
+    ``cells.bbox_cover`` arithmetic), then ``spatial.compact_cover_df``
+    runs the bottom-up quad merge res 13 -> 9.  At footprint scale this is
+    what keeps exploded cover tables broadcast-able (interior collapses,
+    only the perimeter stays fine-grained).
+    """
+    from ..functions import cells as cl
+
+    rows = []
+    for rid, (xmin, ymin, xmax, ymax) in sorted(RECTS.items()):
+        cover = cl.bbox_cover(xmin, ymin, xmax, ymax, _COMPACT_RES)
+        xs, ys = cl.cell_xy(cover)
+        rows.append((rid, int(xs.min()), int(xs.max()), int(ys.min()), int(ys.max())))
+    base = local_df(spark, rows, "rect_id string, x0 long, x1 long, y0 long, y1 long")
+    covers = (
+        base.withColumn("x", F.explode(F.sequence("x0", "x1")))
+        .withColumn("y", F.explode(F.sequence("y0", "y1")))
+        .select(
+            "rect_id",
+            spatial._pack_cell(_COMPACT_RES, F.col("x"), F.col("y")).alias("cell"),
+        )
+    )
+    out = spatial.compact_cover_df(
+        covers, res=_COMPACT_RES, min_res=_COMPACT_MIN_RES, id_col="rect_id"
+    )
+    return out.select(
+        "rect_id", "cell", F.shiftright("cell", 56).cast("int").alias("res")
+    )
+
+
+_MASK_RES = 11
+_MASK_N = 1 << _MASK_RES
+
+_MASK_BOUNDARY_ORACLE = f"""
+WITH pts AS (
+  SELECT 10.0 + (c_custkey * 37 % 2000) / 1000.0 AS lon,
+         46.0 + (c_custkey * 91 % 2000) / 1000.0 AS lat
+  FROM customer),
+mask AS (
+  SELECT DISTINCT
+         (CAST({_MASK_RES} AS BIGINT) << 56)
+         | (least(greatest(CAST(floor((lat + 90.0) / 180.0 * {_MASK_N}) AS BIGINT),
+                           CAST(0 AS BIGINT)), CAST({_MASK_N - 1} AS BIGINT)) << 28)
+         | least(greatest(CAST(floor((lon + 180.0) / 360.0 * {_MASK_N}) AS BIGINT),
+                          CAST(0 AS BIGINT)), CAST({_MASK_N - 1} AS BIGINT)) AS cell
+  FROM pts),
+xy AS (SELECT cell, cell & 268435455 AS x, (cell >> 28) & 268435455 AS y FROM mask)
+SELECT m.cell, m.x, m.y FROM xy m
+WHERE NOT EXISTS (SELECT 1 FROM xy n WHERE n.x = (m.x + 1) % {_MASK_N} AND n.y = m.y)
+   OR NOT EXISTS (SELECT 1 FROM xy n WHERE n.x = (m.x + {_MASK_N - 1}) % {_MASK_N} AND n.y = m.y)
+   OR m.y + 1 >= {_MASK_N}
+   OR NOT EXISTS (SELECT 1 FROM xy n WHERE n.x = m.x AND n.y = m.y + 1)
+   OR m.y - 1 < 0
+   OR NOT EXISTS (SELECT 1 FROM xy n WHERE n.x = m.x AND n.y = m.y - 1)
+"""
+
+
+@register("mask_boundary_cells", _MASK_BOUNDARY_ORACLE)
+def mask_boundary_cells(spark, sf_dir):
+    """Boundary of the customer-point cell mask at res 11 (raster -> vector).
+
+    The engine runs the neighbor-explode / self-join / anti-join pipeline
+    (spatial.mask_boundary_cells); the oracle decides boundary membership
+    with four NOT EXISTS probes — different formulation, same rook rule.
+    The key-derived point lattice leaves holes in the mask, so the result
+    exercises interior hole edges, not just the outer perimeter.
+    """
+    pts = _points(spark, sf_dir)
+    keyed = spatial.with_point_cell(pts, res=_MASK_RES)
+    return spatial.mask_boundary_cells(keyed.select("cell"), res=_MASK_RES)
+
+
+_DIRTY_N_SCENES = 96
+
+_DIRTY_ORACLE = f"""
+WITH chg AS (SELECT i FROM range(0, {_DIRTY_N_SCENES}) t(i) WHERE i % 7 = 0),
+dims AS (SELECT i,
+  CAST(CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 256 ELSE 512 END AS BIGINT) AS w,
+  CAST(CASE (i // 3) % 3 WHEN 0 THEN 64 WHEN 1 THEN 256 ELSE 512 END AS BIGINT) AS h,
+  600000 + (i % 64) * 2560 AS ax,
+  5090000 + (i // 64) * 2560 AS ay
+ FROM chg),
+lv AS (SELECT dims.*, CAST(l AS BIGINT) AS level
+       FROM dims, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) t(l)
+       WHERE (least(w, h) >> CAST(l AS BIGINT)) >= 64),
+tm AS (SELECT *, (CAST(2560 AS BIGINT) << level) AS tsz FROM lv),
+tx AS (SELECT *, unnest(range(ax // tsz, (ax + w * 10 - 1) // tsz + 1)) AS tile_x FROM tm),
+txy AS (SELECT *, unnest(range(ay // tsz, (ay + h * 10 - 1) // tsz + 1)) AS tile_y FROM tx)
+SELECT CAST(level AS INT) AS level, tile_x, tile_y,
+       CAST(COUNT(DISTINCT i) AS BIGINT) AS n_scenes
+FROM txy GROUP BY 1, 2, 3
+"""
+
+
+@register("pyramid_dirty_tiles", _DIRTY_ORACLE)
+def pyramid_dirty_tiles(spark, sf_dir):
+    """Incremental-update work list: tiles touched by changed scenes.
+
+    Every 7th scene of a 96-scene grid is "reprocessed"; the engine turns
+    metadata rows alone into the exact (level, tile_x, tile_y) rewrite set
+    (tiling.dirty_tiles — integer JVM arithmetic, no decode).  The oracle
+    re-derives scene dims/anchors from the index cycles and replays the
+    range arithmetic in SQL.  tests/test_incremental.py proves the key set
+    equals the distinct tile keys of a full build_tiles run on the same
+    scenes — metadata planning == pixel-path truth.
+    """
+    from ..sources.images import generate_images_meta_df
+    from . import tiling
+
+    meta = generate_images_meta_df(spark, _DIRTY_N_SCENES)
+    changed = meta.filter(
+        F.pmod(F.split("image_id", "_").getItem(1).cast("long"), F.lit(7)) == 0
+    )
+    return tiling.dirty_tiles(changed)
+
+
 @register("tile_bbox_query", None)  # R4 bbox crop, golden vs direct geometry
 def tile_bbox_query(spark, sf_dir):
     """Range-filtered bbox crop over the merged tile table: only tile keys

@@ -334,6 +334,77 @@ def validate_images(images: DataFrame) -> DataFrame:
     return images.mapInPandas(check, VALIDATE_SCHEMA)
 
 
+def dirty_tiles(
+    changed_meta: DataFrame,
+    min_dimension: int = 64,
+    pixel_m: float = img_src.PIXEL_SIZE_M,
+) -> DataFrame:
+    """Incremental pyramid maintenance: tiles touched by changed scenes.
+
+    Given the *metadata rows* of a changed-scene set (image_id, w, h — no
+    pixel bytes), computes the exact (level, tile_x, tile_y) set those
+    scenes contribute to across every pyramid level, i.e. the minimal
+    re-materialization work list after a partial reprocess.  At 100 TB you
+    never rebuild the full pyramid: this query is the planning step that
+    turns "these scenes changed" into a partition-pruned rewrite of only
+    the affected tile partitions (feed its keys to a left-semi join against
+    the tile table / ``ResumableTileWrite``).
+
+    All geometry is integer JVM arithmetic from the deterministic scene
+    grid (sources/images.py: anchor = (ANCHOR_X0 + (i % GRID_COLS) * step,
+    ANCHOR_Y0 + (i // GRID_COLS) * step)); level enumeration replays
+    ``gridlib.overview_levels`` (min(w,h) >> L >= min_dimension) and tile
+    ranges replay ``tiles_for_image``'s floor/epsilon convention — exact
+    when dims halve cleanly through their kept levels (the synthetic grid's
+    power-of-two dims always do).  No decode, no UDF, no collect; one
+    shuffle for the final per-tile aggregation.
+
+    Returns (level, tile_x, tile_y, n_scenes) with n_scenes = number of
+    distinct changed scenes contributing to that tile.
+    """
+    step = int(img_src.GRID_STEP_M)
+    tile0_m = int(TILE_PX * pixel_m)
+    px_m = int(pixel_m)
+    i = F.split("image_id", "_").getItem(1).cast("long")
+    base = changed_meta.select(
+        "image_id",
+        F.col("w").cast("long").alias("w"),
+        F.col("h").cast("long").alias("h"),
+        (F.lit(int(img_src.ANCHOR_X0)) + F.pmod(i, F.lit(img_src.GRID_COLS)) * step)
+        .cast("long")
+        .alias("ax"),
+        (F.lit(int(img_src.ANCHOR_Y0)) + (i - F.pmod(i, F.lit(img_src.GRID_COLS))) / img_src.GRID_COLS * step)
+        .cast("long")
+        .alias("ay"),
+    )
+    lv = base.withColumn("level", F.explode(F.sequence(F.lit(0), F.lit(28)))).filter(
+        F.expr("shiftright(least(w, h), level)") >= min_dimension
+    )
+    t = lv.withColumn(
+        "tm", F.expr(f"cast(shiftleft({tile0_m}, level) as bigint)")
+    )
+    t = t.withColumn(
+        "tile_x",
+        F.explode(
+            F.sequence(
+                F.expr("ax div tm"),
+                F.expr(f"(ax + w * {px_m} - 1) div tm"),
+            )
+        ),
+    ).withColumn(
+        "tile_y",
+        F.explode(
+            F.sequence(
+                F.expr("ay div tm"),
+                F.expr(f"(ay + h * {px_m} - 1) div tm"),
+            )
+        ),
+    )
+    return t.groupBy("level", "tile_x", "tile_y").agg(
+        F.countDistinct("image_id").alias("n_scenes")
+    )
+
+
 def point_query(tiles: DataFrame, level: int, x: float, y: float,
                 pixel_m: float = img_src.PIXEL_SIZE_M) -> DataFrame:
     """Partition-pruned point lookup (consumer contract R4): filter on tile keys."""
