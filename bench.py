@@ -111,6 +111,8 @@ def main() -> None:
         "ivf_kmeans_assign",
         "sessionize",
         "tile_render",
+        "trajectory_cell_cover",
+        "zonal_stats",
     ]
     registry = all_queries()
     join_rows = 0

@@ -122,14 +122,21 @@ def _multiband_oracle() -> str:
     direct kernels, the tile cut conserves pixels/sums/extrema, and the
     distributed per-band aggregation — none of which the oracle replays.
     """
+    return _pyramid_sql(
+        _pyramid_vals((f"img_{i:012d}", i) for i in range(_N_IMG_MB))
+    )
+
+
+def _pyramid_vals(ids_and_indices) -> list[str]:
+    """Per-(image, level) VALUES rows for pyramid-metric oracles: direct
+    downsample dispatch from regenerated pixels, no tile grid involved."""
     from ..codecs import decode_image, encode_image
     from ..functions import gridlib
     from ..sources import images as img_src
     from .downsample import downsample
 
     vals = []
-    for i in range(_N_IMG_MB):
-        image_id = f"img_{i:012d}"
+    for image_id, i in ids_and_indices:
         w, h = img_src.image_dims(i)
         var = img_src.band_for(i)
         fmt = img_src.image_fmt(i)
@@ -153,6 +160,10 @@ def _multiband_oracle() -> str:
                 f"{10.0 * 2 ** level!r}, {float(arr.sum())!r}, "
                 f"{float(arr.min())!r}, {float(arr.max())!r})"
             )
+    return vals
+
+
+def _pyramid_sql(vals: list[str]) -> str:
     return f"""
 WITH v(var, level, ax, top, lw, lh, px, sumv, minv, maxv) AS (VALUES
   {", ".join(vals)}),
@@ -177,6 +188,57 @@ def flagship_multiband(spark, sf_dir):
 
     images = generate_images_df(spark, _N_IMG_MB)
     frags = tiling.build_tiles(images, min_dimension=64, repartition=False)
+    return frags.groupBy("var", "level").agg(
+        F.count("*").alias("n_tiles"),
+        F.sum("px_cnt").alias("n_pixels"),
+        F.round(F.sum("px_sum"), 3).alias("sum_value"),
+        F.min("px_min").alias("min_value"),
+        F.max("px_max").alias("max_value"),
+    )
+
+
+_N_IMG_TC = 24
+_TC_REV_EVERY = 3  # every 3rd scene gets a revision
+
+
+def _tc_winner_ids():
+    from ..sources.images import revision_id
+
+    return [
+        (revision_id(i, 1 if i % _TC_REV_EVERY == 0 else None), i)
+        for i in range(_N_IMG_TC)
+    ]
+
+
+def _composite_oracle() -> str:
+    """Pyramid metrics of the WINNING revision per scene (direct dispatch,
+    no tile cut, no catalog logic — the engine must independently resolve
+    the same winners through its revision window)."""
+    return _pyramid_sql(_pyramid_vals(_tc_winner_ids()))
+
+
+@register("temporal_composite", _composite_oracle)
+def temporal_composite(spark, sf_dir):
+    """Reprocessing-campaign composite: resolve scene revisions, then cut.
+
+    The catalog holds the original 24 scenes PLUS revision-1 rows for every
+    3rd scene (same footprint, new pixel content — sources.images.
+    generate_revision_df).  ``tiling.latest_revision`` keeps exactly one
+    row per scene (numeric-revision top-1 window), so downstream px_sum /
+    px_cnt metadata is composite-exact instead of double-counting
+    superseded pixels.  The oracle inlines per-level totals of the known
+    winners only; matching proves the engine picked the same winners and
+    their (revision-specific) pixels flowed through the cut untouched.
+    """
+    from ..sources.images import generate_images_df, generate_revision_df
+    from . import tiling
+
+    base = generate_images_df(spark, _N_IMG_TC)
+    revs = generate_revision_df(
+        spark, [i for i in range(_N_IMG_TC) if i % _TC_REV_EVERY == 0], rev=1
+    )
+    latest = tiling.latest_revision(base.unionByName(revs))
+    frags = tiling.build_tiles(latest, min_dimension=64, repartition=False)
     return frags.groupBy("var", "level").agg(
         F.count("*").alias("n_tiles"),
         F.sum("px_cnt").alias("n_pixels"),

@@ -74,6 +74,10 @@ PRIORITY_ORDER: list[str] = [
     "cell_compact",
     "mask_boundary_cells",
     "pyramid_dirty_tiles",
+    "trajectory_cell_cover",
+    "idw_surface",
+    "zonal_stats",
+    "temporal_composite",
     # -- text suite --
     "token_count",
     "quality_score",

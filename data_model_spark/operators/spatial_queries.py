@@ -18,10 +18,11 @@ from __future__ import annotations
 
 import numpy as np
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources.tables import load_table, local_df
 from .registry import register
-from . import spatial
+from . import spatial, surfaces
 
 def _points(spark, sf_dir, table="customer", key_col="c_custkey"):
     # deterministic point derivation: key -> lon/lat in a 2x2-deg box near 10E/46N
@@ -674,6 +675,199 @@ def pyramid_dirty_tiles(spark, sf_dir):
         F.pmod(F.split("image_id", "_").getItem(1).cast("long"), F.lit(7)) == 0
     )
     return tiling.dirty_tiles(changed)
+
+
+_TRAJ_RES = 14
+_TRAJ_N = 1 << _TRAJ_RES
+
+_TRAJ_ORACLE = f"""
+WITH d AS (
+  SELECT event_id, ts, user_id,
+         (event_id * 37 % 21) - 10 AS dlon,
+         (event_id * 91 % 21) - 10 AS dlat
+  FROM events),
+pos AS (
+  SELECT user_id, ts, event_id,
+         SUM(dlon) OVER w AS lon_m, SUM(dlat) OVER w AS lat_m
+  FROM d
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)),
+pt AS (
+  SELECT user_id, ts, event_id,
+         10.0 + lon_m / 1000.0 AS lon, 46.0 + lat_m / 1000.0 AS lat
+  FROM pos),
+seg AS (
+  SELECT user_id,
+         LAG(lon) OVER w AS lon0, LAG(lat) OVER w AS lat0,
+         lon AS lon1, lat AS lat1
+  FROM pt
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+g AS (
+  SELECT user_id,
+         (lon0 + 180.0) / 360.0 * {_TRAJ_N} AS gx0,
+         (lat0 + 90.0) / 180.0 * {_TRAJ_N} AS gy0,
+         (lon1 + 180.0) / 360.0 * {_TRAJ_N} AS gx1,
+         (lat1 + 90.0) / 180.0 * {_TRAJ_N} AS gy1
+  FROM seg WHERE lon0 IS NOT NULL),
+cx AS (
+  SELECT *, unnest(range(CAST(floor(least(gx0, gx1)) AS BIGINT),
+                         CAST(floor(greatest(gx0, gx1)) AS BIGINT) + 1)) AS cell_x
+  FROM g),
+cxy AS (
+  SELECT *, unnest(range(CAST(floor(least(gy0, gy1)) AS BIGINT),
+                         CAST(floor(greatest(gy0, gy1)) AS BIGINT) + 1)) AS cell_y
+  FROM cx),
+k AS (
+  SELECT user_id, cell_x, cell_y,
+         (gx1 - gx0) * (CAST(cell_y AS DOUBLE) - gy0)
+           - (gy1 - gy0) * (CAST(cell_x AS DOUBLE) - gx0) AS c00,
+         (gx1 - gx0) * (CAST(cell_y AS DOUBLE) - gy0)
+           - (gy1 - gy0) * ((CAST(cell_x AS DOUBLE) + 1.0) - gx0) AS c10,
+         (gx1 - gx0) * ((CAST(cell_y AS DOUBLE) + 1.0) - gy0)
+           - (gy1 - gy0) * (CAST(cell_x AS DOUBLE) - gx0) AS c01,
+         (gx1 - gx0) * ((CAST(cell_y AS DOUBLE) + 1.0) - gy0)
+           - (gy1 - gy0) * ((CAST(cell_x AS DOUBLE) + 1.0) - gx0) AS c11
+  FROM cxy)
+SELECT (CAST({_TRAJ_RES} AS BIGINT) << 56) | (cell_y << 28) | cell_x AS cell,
+       cell_x, cell_y,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_segments
+FROM k
+WHERE least(c00, c10, c01, c11) <= 0 AND greatest(c00, c10, c01, c11) >= 0
+GROUP BY 1, 2, 3
+"""
+
+
+@register("trajectory_cell_cover", _TRAJ_ORACLE)
+def trajectory_cell_cover(spark, sf_dir):
+    """Trajectory rasterization: cells crossed by per-user random walks.
+
+    Events become per-user walks (integer milli-degree steps cumulated in
+    event-time order — exact int window sums on both engines), consecutive
+    fixes become segments, and ``spatial.segment_cover_cells`` rasterizes
+    each segment to its exact conservative cell cover (bbox explode +
+    4-corner straddle test, all JVM).  The oracle replays the identical
+    IEEE-754 double formulas in SQL, so agreement is bit-level, and the
+    result aggregates per cell (distinct users + segment hits) — the
+    vector->raster half of the R5 raster<->vector pair, on linear features
+    instead of polygons.
+    """
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    d = ev.withColumn(
+        "dlon", F.pmod(F.col("event_id") * 37, F.lit(21)) - 10
+    ).withColumn("dlat", F.pmod(F.col("event_id") * 91, F.lit(21)) - 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pos = (
+        d.withColumn("lon_m", F.sum("dlon").over(w))
+        .withColumn("lat_m", F.sum("dlat").over(w))
+        .withColumn("lon1", 10.0 + F.col("lon_m") / 1000.0)
+        .withColumn("lat1", 46.0 + F.col("lat_m") / 1000.0)
+    )
+    seg = (
+        pos.withColumn("lon0", F.lag("lon1").over(w))
+        .withColumn("lat0", F.lag("lat1").over(w))
+        .filter(F.col("lon0").isNotNull())
+        .select("user_id", "lon0", "lat0", "lon1", "lat1")
+    )
+    cov = spatial.segment_cover_cells(seg, res=_TRAJ_RES)
+    return cov.groupBy("cell", "cell_x", "cell_y").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_segments"),
+    )
+
+
+_IDW_RES = 13
+_IDW_N = 1 << _IDW_RES
+_IDW_BOX = RECTS["r0"]
+
+
+def _idw_oracle() -> str:
+    xmin, ymin, xmax, ymax = _IDW_BOX
+    tx0 = int((xmin + 180.0) / 360.0 * _IDW_N)
+    tx1 = int((xmax + 180.0) / 360.0 * _IDW_N)
+    ty0 = int((ymin + 90.0) / 180.0 * _IDW_N)
+    ty1 = int((ymax + 90.0) / 180.0 * _IDW_N)
+    return f"""
+WITH pts AS (
+  SELECT 10.0 + (c_custkey * 37 % 2000) / 1000.0 AS lon,
+         46.0 + (c_custkey * 91 % 2000) / 1000.0 AS lat,
+         (c_custkey * 53 % 1000) / 10.0 AS value
+  FROM customer),
+px AS (
+  SELECT *, CAST(floor((lon + 180.0) / 360.0 * {_IDW_N}) AS BIGINT) AS cx,
+            CAST(floor((lat + 90.0) / 180.0 * {_IDW_N}) AS BIGINT) AS cy
+  FROM pts),
+t AS (
+  SELECT tx, unnest(range({ty0}, {ty1} + 1)) AS ty
+  FROM (SELECT unnest(range({tx0}, {tx1} + 1)) AS tx)),
+j AS (
+  SELECT t.tx, t.ty, p.value,
+         (p.lon - ((t.tx + 0.5) / {_IDW_N} * 360.0 - 180.0))
+           * (p.lon - ((t.tx + 0.5) / {_IDW_N} * 360.0 - 180.0))
+         + (p.lat - ((t.ty + 0.5) / {_IDW_N} * 180.0 - 90.0))
+           * (p.lat - ((t.ty + 0.5) / {_IDW_N} * 180.0 - 90.0)) AS d2
+  FROM t JOIN px p
+    ON abs(p.cx - t.tx) <= 1 AND abs(p.cy - t.ty) <= 1)
+SELECT tx, ty,
+       SUM((1.0 / (d2 + 1e-6)) * value) / SUM(1.0 / (d2 + 1e-6)) AS idw_value,
+       CAST(COUNT(*) AS BIGINT) AS n_pts
+FROM j GROUP BY tx, ty
+"""
+
+
+@register("idw_surface", _idw_oracle)
+def idw_surface(spark, sf_dir):
+    """IDW interpolation of customer-point values onto the r0 grid window.
+
+    The scatter->grid move (GCP-grid style interpolation, reference
+    ``conversion/geozarr.py`` GCP handling) as a bucketed join: points key
+    by containing cell (JVM floor arithmetic), each of the ~420 target
+    cells explodes its 3x3 ring keys, and the equi-join on the int64 cell
+    id bounds the neighborhood — no cross join at any scale.  The oracle
+    expresses the same neighborhood as an |dx|<=1, |dy|<=1 join (the
+    ring-explode's relational complement, exercised far from the
+    antimeridian where the two agree) and the same 1/(d2+eps) weights.
+    """
+    pts = _points(spark, sf_dir).withColumn(
+        "value", F.pmod(F.col("point_id") * 53, F.lit(1000)) / 10.0
+    )
+    targets = surfaces.grid_window(spark, _IDW_RES, *_IDW_BOX)
+    return surfaces.idw_grid(pts, targets, res=_IDW_RES, ring=1)
+
+
+# tile-grid boundaries are 2560-multiples; za is one exact tile (interior
+# path), zb sits inside a tile, zc mixes interior + boundary, zd is a
+# boundary-only strip further east
+_ZONES = {
+    "za": (234 * 2560, 1988 * 2560, 235 * 2560, 1989 * 2560),
+    "zb": (600130, 5090070, 601000, 5090550),
+    "zc": (600640, 5090320, 608960, 5094500),
+    "zd": (612800, 5090000, 625600, 5092560),
+}
+
+
+@register("zonal_stats", None)  # pixel path; exactness in tests/test_zonal.py
+def zonal_stats(spark, sf_dir):
+    """Per-(zone, var) pixel stats over the merged tile raster.
+
+    Interior tiles contribute their precomputed canvas aggregates as pure
+    column arithmetic (no decode); only zone-edge tiles enter the Arrow
+    clip stage — the split that makes 100 TB zonal stats mostly a metadata
+    scan.  tests/test_zonal.py proves the two-path result equals a NumPy
+    clip of every tile, with both paths exercised.
+    """
+    from ..sources.images import generate_images_df
+    from . import tiling, zonal
+
+    images = generate_images_df(spark, 48)
+    merged = tiling.merge_tiles(tiling.build_tiles(images, repartition=False))
+    zones = zonal.zones_df(spark, _ZONES)
+    out = zonal.zonal_stats(merged, zones, level=0)
+    return out.select(
+        "zone_id", "var", "n_px", "px_sum", F.round("px_mean", 6).alias("px_mean")
+    )
 
 
 @register("tile_bbox_query", None)  # R4 bbox crop, golden vs direct geometry

@@ -33,6 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from ..codecs import decode_image, encode_image, psnr_db
 from ..functions import gridlib
@@ -402,6 +403,34 @@ def dirty_tiles(
     )
     return t.groupBy("level", "tile_x", "tile_y").agg(
         F.countDistinct("image_id").alias("n_scenes")
+    )
+
+
+def latest_revision(images: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """Catalog resolution: keep only the newest revision of each scene.
+
+    A reprocessing campaign appends revised rows (``sources.images.
+    revision_id``: same scene index, ``_r<k>`` suffix, new content) to the
+    image table; compositing must see exactly one row per scene or merged
+    px_sum/px_cnt metadata double-counts the superseded pixels.  The
+    numeric revision is parsed from the id (absent = 0) and a per-scene
+    top-1 window keeps the max — numeric compare, so r10 > r2 where a
+    lexicographic sort would get it wrong.
+
+    One hash shuffle on the scene key; Spark rewrites the rank-1 window to
+    WindowGroupLimit, so the filter pushes into the shuffle as a per-key
+    running top-1, never materializing full per-scene groups.
+    """
+    scene = F.split(F.col(id_col), "_").getItem(1)
+    parts = F.split(F.col(id_col), "_r")
+    rev = F.when(
+        F.size(parts) > 1, F.element_at(parts, -1).cast("int")
+    ).otherwise(F.lit(0))
+    w = Window.partitionBy(scene).orderBy(rev.desc(), F.col(id_col).desc())
+    return (
+        images.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
 
 

@@ -1,0 +1,166 @@
+"""Zonal statistics: aggregate raster pixels over vector zones.
+
+The raster-side half of raster<->vector analytics (per-field crop stats,
+per-admin-region reflectance means).  Zones are meter-space rectangles on
+the scene grid; the raster is the merged global tile table
+(``tiling.merge_tiles`` output: one 256^2 canvas per (var, level, tile)).
+
+Scale design — the whole point of running zonal stats on a *tiled* raster:
+
+* **Interior tiles never decode.**  A tile fully inside a zone contributes
+  its precomputed canvas aggregate (``px_sum``; count is the full canvas)
+  as pure column arithmetic — at 100 TB the interior/perimeter ratio means
+  almost all pixels are summarized from metadata at zero pixel cost.
+* **Boundary tiles decode once, clipped.**  Only tiles crossing a zone
+  edge enter the Arrow/pandas stage, and each decodes exactly the pixel
+  window the zone clips out of it.
+* **Zone->tile assignment is an equi-join.**  Zones explode to the tile
+  keys they intersect (integer ``sequence`` ranges — output-proportional),
+  then equi-join the tile table on (tile_x, tile_y); with few zones the
+  exploded side broadcasts, with many it co-partitions on the tile key.
+
+Pixel-inclusion rule: a pixel counts for a zone iff its full ground
+footprint lies inside the zone rectangle (half-open [x0,x1) x [y0,y1)
+meters).  With integer-meter zones and the 10 m grid the rule is exact
+integer arithmetic on both the planning and the clipping side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources import images as img_src
+from .tiling import TILE_PX
+from ..codecs import decode_image
+
+ZONE_SCHEMA = "zone_id string, x0 long, y0 long, x1 long, y1 long"
+
+_PART_SCHEMA = T.StructType(
+    [
+        T.StructField("zone_id", T.StringType(), False),
+        T.StructField("var", T.StringType(), False),
+        T.StructField("n_px", T.LongType(), False),
+        T.StructField("px_sum", T.DoubleType(), False),
+    ]
+)
+
+
+def zones_df(spark, zones: dict[str, tuple[int, int, int, int]]) -> DataFrame:
+    from ..sources.tables import local_df
+
+    rows = [(zid, *map(int, box)) for zid, box in sorted(zones.items())]
+    return local_df(spark, rows, ZONE_SCHEMA)
+
+
+def zonal_stats(
+    tiles: DataFrame,
+    zones: DataFrame,
+    level: int = 0,
+    pixel_m: float = img_src.PIXEL_SIZE_M,
+    decode_all: bool = False,
+) -> DataFrame:
+    """Per-(zone, var) pixel count / sum / mean over the merged tile canvas.
+
+    ``tiles``: ``merge_tiles`` output.  ``zones``: (zone_id, x0, y0, x1, y1)
+    integer meters, half-open.  Unfilled canvas pixels are zeros and count
+    toward ``n_px`` (canvas semantics — identical in the metadata and the
+    decode path, so the two paths compose exactly).
+
+    Precondition: merged ``px_sum`` is fragment-additive, so the metadata
+    fast path equals the canvas only when no two same-var fragments
+    overlapped a pixel — i.e. feed scenes through ``tiling.
+    latest_revision`` first (or any catalog with non-overlapping same-var
+    footprints, like the synthetic grid).  For catalogs that do overlap,
+    ``decode_all=True`` routes every window through the decode path,
+    which is always canvas-exact (at full pixel cost).
+    """
+    px_m = int(pixel_m * (1 << level))
+    tile_m = TILE_PX * px_m
+    t = tiles.filter(F.col("level") == level)
+
+    # zone -> intersecting tile keys (integer ranges, broadcastable)
+    zt = (
+        zones.withColumn(
+            "tile_x", F.explode(F.sequence(F.expr(f"x0 div {tile_m}"), F.expr(f"(x1 - 1) div {tile_m}")))
+        )
+        .withColumn(
+            "tile_y", F.explode(F.sequence(F.expr(f"y0 div {tile_m}"), F.expr(f"(y1 - 1) div {tile_m}")))
+        )
+        .filter((F.col("x1") > F.col("x0")) & (F.col("y1") > F.col("y0")))
+    )
+    joined = t.join(F.broadcast(zt), ["tile_x", "tile_y"])
+
+    # clipped pixel window of this zone inside this tile, in canvas indices:
+    # columns (x grows east), rows (canvas row 0 is the tile's north edge)
+    c0 = F.greatest(F.lit(0), F.ceil((F.col("x0") - F.col("tile_x") * tile_m) / px_m))
+    c1 = F.least(F.lit(TILE_PX), F.floor((F.col("x1") - F.col("tile_x") * tile_m) / px_m))
+    # y in [y0, y1) full-pixel rows; canvas row r spans y in
+    # [(tile_y+1)*tile_m - (r+1)*px_m, (tile_y+1)*tile_m - r*px_m)
+    r0 = F.greatest(
+        F.lit(0), F.ceil(((F.col("tile_y") + 1) * tile_m - F.col("y1")) / px_m)
+    )
+    r1 = F.least(
+        F.lit(TILE_PX), F.floor(((F.col("tile_y") + 1) * tile_m - F.col("y0")) / px_m)
+    )
+    win = (
+        joined.withColumn("c0", c0.cast("long"))
+        .withColumn("c1", c1.cast("long"))
+        .withColumn("r0", r0.cast("long"))
+        .withColumn("r1", r1.cast("long"))
+        .filter((F.col("c1") > F.col("c0")) & (F.col("r1") > F.col("r0")))
+    )
+    full = (
+        (F.col("c0") == 0)
+        & (F.col("c1") == TILE_PX)
+        & (F.col("r0") == 0)
+        & (F.col("r1") == TILE_PX)
+    )
+    if decode_all:
+        full = F.lit(False)
+
+    # interior path: canvas aggregate from metadata only (unfilled = 0)
+    interior = win.filter(full).select(
+        "zone_id",
+        "var",
+        F.lit(TILE_PX * TILE_PX).cast("long").alias("n_px"),
+        F.col("px_sum"),
+    )
+
+    # boundary path: decode once, clip the window, vectorized NumPy sum
+    def clip(batches):
+        for pdf in batches:
+            recs = []
+            for row in pdf.itertuples(index=False):
+                canvas = decode_image(row.data, "raw-u16", TILE_PX, TILE_PX)
+                block = canvas[row.r0 : row.r1, row.c0 : row.c1]
+                recs.append(
+                    {
+                        "zone_id": row.zone_id,
+                        "var": row.var,
+                        "n_px": int(block.size),
+                        "px_sum": float(block.astype(np.float64).sum()),
+                    }
+                )
+            yield pd.DataFrame.from_records(recs) if recs else pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in _PART_SCHEMA.fields}
+            )
+
+    boundary = (
+        win.filter(~full)
+        .select("zone_id", "var", "data", "r0", "r1", "c0", "c1")
+        .mapInPandas(clip, _PART_SCHEMA)
+    )
+
+    return (
+        interior.unionByName(boundary)
+        .groupBy("zone_id", "var")
+        .agg(
+            F.sum("n_px").alias("n_px"),
+            F.sum("px_sum").alias("px_sum"),
+            (F.sum("px_sum") / F.sum("n_px")).alias("px_mean"),
+        )
+    )

@@ -161,11 +161,24 @@ def footprint_lonlat(image_id: str, w: int, h: int) -> np.ndarray:
     return np.column_stack([lon, lat])
 
 
-def _rows_for_indices(indices: np.ndarray, dim_cycle) -> pd.DataFrame:
+def revision_id(i: int, rev: int | None) -> str:
+    """Image id of revision ``rev`` of scene ``i`` (None/0 = original).
+
+    The scene index stays the second ``_`` field, so ``image_index`` (and
+    everything keyed on it: dims, anchor, band, fmt) is revision-invariant,
+    while the full id — and therefore the pixel seed — changes per
+    revision: a reprocessed scene has the same footprint, new content.
+    """
+    return f"img_{i:012d}" + (f"_r{rev}" if rev else "")
+
+
+def _rows_for_indices(
+    indices: np.ndarray, dim_cycle, rev: int | None = None
+) -> pd.DataFrame:
     recs = []
     for i in indices:
         i = int(i)
-        image_id = f"img_{i:012d}"
+        image_id = revision_id(i, rev)
         w, h = image_dims(i, dim_cycle)
         fmt = image_fmt(i)
         pixels = synth_pixels(image_id, w, h)
@@ -219,6 +232,32 @@ def generate_images_df(
             yield _rows_for_indices(pdf["id"].to_numpy(), dim_cycle)
 
     return spark.range(0, n, numPartitions=num_partitions).mapInPandas(gen, IMAGE_SCHEMA)
+
+
+def generate_revision_df(
+    spark: SparkSession,
+    indices,
+    rev: int,
+    num_partitions: int | None = None,
+    dim_cycle=DIM_CYCLE,
+) -> DataFrame:
+    """Reprocessed copies (revision ``rev``) of specific scene indices.
+
+    Same distributed scan shape as ``generate_images_df``; footprints match
+    the originals (index-keyed), pixel content is the revision's own.
+    """
+    if num_partitions is None:
+        num_partitions = max(spark.sparkContext.defaultParallelism, 8)
+    idx = [int(i) for i in indices]
+
+    def gen(batches):
+        for pdf in batches:
+            yield _rows_for_indices(pdf["i"].to_numpy(), dim_cycle, rev=rev)
+
+    src = spark.createDataFrame([(i,) for i in idx], "i long").repartition(
+        min(num_partitions, max(len(idx), 1))
+    )
+    return src.mapInPandas(gen, IMAGE_SCHEMA)
 
 
 IMAGE_META_SCHEMA = T.StructType(
