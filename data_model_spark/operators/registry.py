@@ -78,6 +78,7 @@ PRIORITY_ORDER: list[str] = [
     "idw_surface",
     "zonal_stats",
     "temporal_composite",
+    "focal_mean",
     # -- text suite --
     "token_count",
     "quality_score",

@@ -870,6 +870,34 @@ def zonal_stats(spark, sf_dir):
     )
 
 
+@register("focal_mean", None)  # pixel path; exactness in tests/test_focal.py
+def focal_mean(spark, sf_dir):
+    """3x3 focal mean over the merged tile raster via halo exchange.
+
+    Each tile ships only its 1-px edge strips to its 8 neighbors (one
+    shuffle, ~3% volume overhead over the canvases themselves), the
+    assembly stage convolves the padded canvas with exact integer window
+    sums, and tests/test_focal.py proves every tile equals the NumPy
+    convolution of the zero-padded global mosaic — interior borders
+    included.  Returned here: per-tile focal summaries (the driver's
+    rows-only check), canvases dropped.
+    """
+    from ..sources.images import generate_images_df
+    from . import focal, tiling
+
+    images = generate_images_df(spark, 48)
+    merged = tiling.merge_tiles(
+        tiling.build_tiles(images, repartition=False)
+    ).filter(F.col("level") == 0)
+    out = focal.focal_stats(merged, radius=1)
+    return out.select(
+        "var", "tile_x", "tile_y", "n_halo",
+        F.round("focal_sum", 3).alias("focal_sum"),
+        F.round("focal_min", 3).alias("focal_min"),
+        F.round("focal_max", 3).alias("focal_max"),
+    )
+
+
 @register("tile_bbox_query", None)  # R4 bbox crop, golden vs direct geometry
 def tile_bbox_query(spark, sf_dir):
     """Range-filtered bbox crop over the merged tile table: only tile keys
