@@ -285,9 +285,17 @@ def tile_render(spark, sf_dir):
     exercising both source-level choices (z13 -> level 0, z12 -> level 1).
     Returns per-tile render summaries plus an md5 of the pixel canvas so
     the rows-only driver check still hashes deterministic content."""
+    from ..cache import track
+
     images = generate_images_df(spark, 48)
     merged = merge_tiles(build_tiles(images, min_dimension=64, repartition=False))
-    merged = merged.persist()
+    # eager tracked persist: the two zoom branches below share this plan,
+    # and a lazy persist would let them race to materialize it — the whole
+    # generate/cut/merge pipeline computed twice in one job (measured 18 s
+    # vs 7 s in the bench window).  track() lets long-lived sessions
+    # release it via cache.unpersist_tracked().
+    merged = track(merged)
+    merged.count()
     # center of scene 16 (b01, 256x512 px -> pyramid levels 0..2, so BOTH
     # zooms hit real data at their chosen source level)
     ax, ay = img_src.scene_anchor(16)
