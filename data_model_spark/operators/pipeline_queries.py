@@ -248,6 +248,193 @@ def temporal_composite(spark, sf_dir):
     )
 
 
+def _scene_level_arrays(i: int, rev: int | None = None):
+    """(level -> (array, ax, top_m, lw, lh)) for scene ``i``, regenerated
+    through the codec roundtrip + DIRECT downsample dispatch — the same
+    tile-grid-free path as ``_pyramid_vals``."""
+    from ..codecs import decode_image, encode_image
+    from ..functions import gridlib
+    from ..sources import images as img_src
+    from .downsample import downsample
+
+    image_id = img_src.revision_id(i, rev)
+    w, h = img_src.image_dims(i)
+    fmt = img_src.image_fmt(i)
+    pixels = img_src.synth_pixels(image_id, w, h)
+    decoded = (
+        decode_image(encode_image(pixels, fmt), fmt, w, h)
+        if fmt == "jpeg"
+        else pixels
+    )
+    ax, ay = img_src.scene_anchor(i)
+    top = ay + h * img_src.PIXEL_SIZE_M
+    out = {}
+    for lv in gridlib.overview_levels(w, h, min_dimension=64):
+        level, lw, lh = lv["level"], lv["width"], lv["height"]
+        arr = decoded if level == 0 else downsample(decoded, lh, lw, img_src.band_for(i))
+        out[level] = (arr, ax, top, lw, lh)
+    return out
+
+
+_N_IMG_NDI = 64  # full band-cycle x scene-dim grid: three b03/b04 overlap tiles
+_NDI_PAIRS = (("b03", "b04"), ("b07", "b08"))
+
+
+def _ndi_oracle() -> str:
+    """Per-(pair, scene-pair, level) NDI stats on footprint intersections,
+    computed WITHOUT the tile grid (direct slice arithmetic on regenerated
+    level arrays); the SQL aggregates per (pair, level).  Equality proves
+    the co-keyed tile join finds exactly the cross-band overlaps, the
+    canvas nodata mask, and the per-pixel float index end-to-end."""
+    import numpy as np
+
+    from ..sources import images as img_src
+
+    vals = []
+    by_band: dict[str, list[int]] = {}
+    for i in range(_N_IMG_NDI):
+        by_band.setdefault(img_src.band_for(i), []).append(i)
+    for va, vb in _NDI_PAIRS:
+        for ia in by_band.get(va, []):
+            la = _scene_level_arrays(ia)
+            for ib in by_band.get(vb, []):
+                lb = _scene_level_arrays(ib)
+                for level in sorted(set(la) & set(lb)):
+                    arr_a, ax_a, top_a, lw_a, lh_a = la[level]
+                    arr_b, ax_b, top_b, lw_b, lh_b = lb[level]
+                    px = img_src.PIXEL_SIZE_M * (2**level)
+                    x0 = max(ax_a, ax_b)
+                    x1 = min(ax_a + lw_a * px, ax_b + lw_b * px)
+                    y1 = min(top_a, top_b)
+                    y0 = max(top_a - lh_a * px, top_b - lh_b * px)
+                    if x1 <= x0 or y1 <= y0:
+                        continue
+                    sa = arr_a[
+                        round((top_a - y1) / px) : round((top_a - y0) / px),
+                        round((x0 - ax_a) / px) : round((x1 - ax_a) / px),
+                    ]
+                    sb = arr_b[
+                        round((top_b - y1) / px) : round((top_b - y0) / px),
+                        round((x0 - ax_b) / px) : round((x1 - ax_b) / px),
+                    ]
+                    mask = (sa > 0) & (sb > 0)
+                    if not mask.any():
+                        continue
+                    af = sa[mask].astype(np.float64)
+                    bf = sb[mask].astype(np.float64)
+                    ndi = (af - bf) / (af + bf)
+                    vals.append(
+                        f"('{va}/{vb}', {level}, {int(mask.sum())}, "
+                        f"{float(ndi.sum())!r}, {float(ndi.min())!r}, "
+                        f"{float(ndi.max())!r})"
+                    )
+    return f"""
+WITH v(pair, level, n_px, ndi_sum, ndi_min, ndi_max) AS (VALUES
+  {", ".join(vals)})
+SELECT pair, level, CAST(SUM(n_px) AS BIGINT) AS n_px,
+       ROUND(SUM(ndi_sum), 6) AS ndi_sum,
+       MIN(ndi_min) AS ndi_min, MAX(ndi_max) AS ndi_max
+FROM v GROUP BY pair, level
+"""
+
+
+@register("band_ndi", _ndi_oracle)
+def band_ndi_q(spark, sf_dir):
+    """Cross-band normalized-difference index over the merged mosaics.
+
+    ``raster_math.band_ndi`` joins each pair's tile tables on the tile key
+    (co-keyed sort-merge join — co-located and shuffle-free on a bucketed
+    tile store) and evaluates (a-b)/(a+b) on co-filled pixels only.  The
+    oracle re-derives the same stats from per-scene-pair footprint
+    intersections with no tile grid at all, so agreement proves join
+    completeness, nodata masking, and the per-pixel float path.
+    """
+    from ..sources.images import generate_images_df
+    from . import raster_math, tiling
+
+    merged = tiling.merge_tiles(
+        tiling.build_tiles(generate_images_df(spark, _N_IMG_NDI), repartition=False)
+    )
+    frames = []
+    for va, vb in _NDI_PAIRS:
+        frames.append(
+            raster_math.band_ndi(merged, va, vb).withColumn(
+                "pair", F.lit(f"{va}/{vb}")
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.groupBy("pair", "level").agg(
+        F.sum("n_px").alias("n_px"),
+        F.round(F.sum("ndi_sum"), 6).alias("ndi_sum"),
+        F.min("ndi_min").alias("ndi_min"),
+        F.max("ndi_max").alias("ndi_max"),
+    )
+
+
+def _change_oracle() -> str:
+    """Per-(scene, level) exact integer diff metrics between the original
+    and the revision-resolved catalog, aggregated per (var, level) in SQL.
+    Unrevised scenes contribute zero rows of exact zeros — their presence
+    pins that the engine diffs ALL tiles, not just suspected-dirty ones."""
+    import numpy as np
+
+    from ..sources import images as img_src
+
+    vals = []
+    for i in range(_N_IMG_TC):
+        var = img_src.band_for(i)
+        la = _scene_level_arrays(i)
+        lb = _scene_level_arrays(i, rev=1) if i % _TC_REV_EVERY == 0 else la
+        for level in sorted(la):
+            d = np.abs(la[level][0].astype(np.int64) - lb[level][0].astype(np.int64))
+            vals.append(
+                f"('{var}', {level}, {int((d > 0).sum())}, "
+                f"{int(d.sum())}, {int(d.max())})"
+            )
+    return f"""
+WITH v(var, level, n_px_changed, sum_abs_diff, max_abs_diff) AS (VALUES
+  {", ".join(vals)})
+SELECT var, level, CAST(SUM(n_px_changed) AS BIGINT) AS n_px_changed,
+       CAST(SUM(sum_abs_diff) AS BIGINT) AS sum_abs_diff,
+       CAST(MAX(max_abs_diff) AS BIGINT) AS max_abs_diff
+FROM v GROUP BY var, level
+"""
+
+
+@register("change_detect", _change_oracle)
+def change_detect(spark, sf_dir):
+    """Reprocessing QA: pixel-exact diff of two catalog states per band.
+
+    Builds the original 24-scene mosaic and the revision-resolved one
+    (every 3rd scene reprocessed), then ``raster_math.change_stats`` joins
+    the two merged tile tables on the full tile key and diffs canvases with
+    exact integer arithmetic.  The oracle computes the same metrics
+    per-scene with no tile machinery; matching totals prove the join is
+    total (unchanged tiles produce exact zeros) and the revision content
+    flowed through both cuts untouched.
+    """
+    from ..sources.images import generate_images_df, generate_revision_df
+    from . import raster_math, tiling
+
+    base = generate_images_df(spark, _N_IMG_TC)
+    revs = generate_revision_df(
+        spark, [i for i in range(_N_IMG_TC) if i % _TC_REV_EVERY == 0], rev=1
+    )
+    old = tiling.merge_tiles(tiling.build_tiles(base, repartition=False))
+    new = tiling.merge_tiles(
+        tiling.build_tiles(
+            tiling.latest_revision(base.unionByName(revs)), repartition=False
+        )
+    )
+    return raster_math.change_stats(old, new).groupBy("var", "level").agg(
+        F.sum("n_px_changed").alias("n_px_changed"),
+        F.sum("sum_abs_diff").alias("sum_abs_diff"),
+        F.max("max_abs_diff").alias("max_abs_diff"),
+    )
+
+
 _EVT_WINDOW_ORACLE = """
 SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
        event_type,

@@ -79,6 +79,8 @@ PRIORITY_ORDER: list[str] = [
     "zonal_stats",
     "temporal_composite",
     "focal_mean",
+    "band_ndi",
+    "change_detect",
     # -- text suite --
     "token_count",
     "quality_score",
