@@ -81,6 +81,7 @@ PRIORITY_ORDER: list[str] = [
     "focal_mean",
     "band_ndi",
     "change_detect",
+    "zonal_stats_poly",
     # -- text suite --
     "token_count",
     "quality_score",

@@ -870,6 +870,43 @@ def zonal_stats(spark, sf_dir):
     )
 
 
+@register("zonal_stats_poly", None)  # pixel path; tests/test_zonal_poly.py
+def zonal_stats_poly_q(spark, sf_dir):
+    """Polygon zonal statistics: arbitrary simple polygons (convex and
+    concave) over the merged tile raster.
+
+    Interior tiles (exact classification: corners-in + no-vertex-in +
+    no-edge-cross) aggregate from canvas metadata with no decode; boundary
+    tiles decode once and mask pixel centers with a vectorized even-odd
+    ray cast.  tests/test_zonal_poly.py proves equality with a pure
+    per-pixel evaluation over every tile, with both paths exercised and a
+    reflex-corner tile pinned to the decode path.
+    """
+    import numpy as np
+
+    from ..sources.images import generate_images_df
+    from . import tiling, zonal
+
+    images = generate_images_df(spark, 48)
+    merged = tiling.merge_tiles(tiling.build_tiles(images, repartition=False))
+    polys = {
+        "tri": np.array(
+            [[601000, 5089000], [640000, 5089000], [620000, 5096000]], dtype=float
+        ),
+        "ell": np.array(
+            [
+                [660000, 5089500], [680000, 5089500], [680000, 5092000],
+                [670000, 5092000], [670000, 5094500], [660000, 5094500],
+            ],
+            dtype=float,
+        ),
+    }
+    out = zonal.zonal_stats_poly(merged, polys, level=0)
+    return out.select(
+        "zone_id", "var", "n_px", "px_sum", F.round("px_mean", 6).alias("px_mean")
+    )
+
+
 @register("focal_mean", None)  # pixel path; exactness in tests/test_focal.py
 def focal_mean(spark, sf_dir):
     """3x3 focal mean over the merged tile raster via halo exchange.

@@ -164,3 +164,153 @@ def zonal_stats(
             (F.sum("px_sum") / F.sum("n_px")).alias("px_mean"),
         )
     )
+
+
+_ASSIGN_SCHEMA = T.StructType(
+    [
+        T.StructField("zone_id", T.StringType(), False),
+        T.StructField("tile_x", T.LongType(), False),
+        T.StructField("tile_y", T.LongType(), False),
+        T.StructField("full", T.BooleanType(), False),
+    ]
+)
+
+
+def zonal_stats_poly(
+    tiles: DataFrame,
+    polys: dict[str, "np.ndarray"],
+    level: int = 0,
+    pixel_m: float = img_src.PIXEL_SIZE_M,
+) -> DataFrame:
+    """Per-(zone, var) pixel stats over arbitrary polygon zones.
+
+    ``polys``: zone_id -> (N, 2) open ring in scene-grid meters (any simple
+    polygon, convex or not).  Pixel-inclusion rule: CENTER-in-polygon
+    (even-odd ray cast) — the standard raster burn-in rule; a tile whose
+    rectangle lies fully inside the polygon has every center inside, so
+    the two paths below agree by construction:
+
+    * **Interior tiles** (all 4 corners inside, no polygon vertex inside
+      the tile, no edge crossing — exact for simple polygons) contribute
+      their canvas metadata (``px_sum``; full canvas count) with no
+      decode, so a country-sized zone over a 100 TB mosaic reads pixels
+      only along its perimeter.
+    * **Boundary tiles** decode once and mask pixel centers with one
+      vectorized ray cast (O(pixels x edges) elementwise).
+
+    The polygon set rides a driver dict closure-broadcast to both the
+    classification and the clip stages (the small-dim side, like the GCP
+    grids in ``operators/reproject.py``); tile assignment itself stays
+    distributed — a JVM ``sequence`` explode over each zone's bbox tile
+    range, classified in an Arrow batch stage, then equi-joined to the
+    tile table on the tile key.
+
+    Same precondition as ``zonal_stats``: fragment-additive ``px_sum``
+    (feed ``tiling.latest_revision`` output when catalogs revise scenes).
+    """
+    from ..functions import geometry as G
+    from ..sources.tables import local_df
+
+    px_m = int(pixel_m * (1 << level))
+    tile_m = TILE_PX * px_m
+    t = tiles.filter(F.col("level") == level)
+    polys = {z: np.asarray(p, dtype=np.float64) for z, p in polys.items()}
+
+    bbox_rows = []
+    for zid, poly in sorted(polys.items()):
+        x0, y0 = poly.min(axis=0)
+        x1, y1 = poly.max(axis=0)
+        bbox_rows.append((zid, int(np.floor(x0 / tile_m)), int(np.floor(y0 / tile_m)),
+                          int(np.floor(x1 / tile_m)), int(np.floor(y1 / tile_m))))
+    boxes = local_df(
+        tiles.sparkSession,
+        bbox_rows,
+        "zone_id string, tx0 long, ty0 long, tx1 long, ty1 long",
+    )
+    cand = boxes.withColumn(
+        "tile_x", F.explode(F.sequence("tx0", "tx1"))
+    ).withColumn("tile_y", F.explode(F.sequence("ty0", "ty1"))).select(
+        "zone_id", "tile_x", "tile_y"
+    )
+
+    def classify(batches):
+        for pdf in batches:
+            outs = []
+            for zid, grp in pdf.groupby("zone_id", sort=False):
+                poly = polys[zid]
+                lo_x = grp["tile_x"].to_numpy() * float(tile_m)
+                lo_y = grp["tile_y"].to_numpy() * float(tile_m)
+                hi_x, hi_y = lo_x + tile_m, lo_y + tile_m
+                hit = G.rects_intersect_polygon(lo_x, lo_y, hi_x, hi_y, poly)
+                if not hit.any():
+                    continue
+                cx = np.stack([lo_x, hi_x, lo_x, hi_x], axis=1).ravel()
+                cy = np.stack([lo_y, lo_y, hi_y, hi_y], axis=1).ravel()
+                corners_in = (
+                    G.points_in_polygon(cx, cy, poly).reshape(-1, 4).all(axis=1)
+                )
+                vx, vy = poly[:, 0], poly[:, 1]
+                vert_in = (
+                    (vx[None, :] > lo_x[:, None]) & (vx[None, :] < hi_x[:, None])
+                    & (vy[None, :] > lo_y[:, None]) & (vy[None, :] < hi_y[:, None])
+                ).any(axis=1)
+                full = corners_in & ~vert_in
+                sub = grp.loc[hit, ["tile_x", "tile_y"]].copy()
+                sub.insert(0, "zone_id", zid)
+                sub["full"] = full[hit]
+                outs.append(sub)
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in _ASSIGN_SCHEMA.fields}
+            )
+
+    assign = cand.mapInPandas(classify, _ASSIGN_SCHEMA)
+    joined = t.join(F.broadcast(assign), ["tile_x", "tile_y"])
+
+    interior = joined.filter(F.col("full")).select(
+        "zone_id",
+        "var",
+        F.lit(TILE_PX * TILE_PX).cast("long").alias("n_px"),
+        F.col("px_sum"),
+    )
+
+    def clip(batches):
+        for pdf in batches:
+            recs = []
+            for row in pdf.itertuples(index=False):
+                poly = polys[row.zone_id]
+                canvas = decode_image(row.data, "raw-u16", TILE_PX, TILE_PX)
+                xs = row.tile_x * tile_m + (np.arange(TILE_PX) + 0.5) * px_m
+                ys = (row.tile_y + 1) * tile_m - (np.arange(TILE_PX) + 0.5) * px_m
+                gx, gy = np.meshgrid(xs, ys)
+                mask = G.points_in_polygon(gx.ravel(), gy.ravel(), poly).reshape(
+                    TILE_PX, TILE_PX
+                )
+                if not mask.any():
+                    continue
+                recs.append(
+                    {
+                        "zone_id": row.zone_id,
+                        "var": row.var,
+                        "n_px": int(mask.sum()),
+                        "px_sum": float(canvas[mask].astype(np.float64).sum()),
+                    }
+                )
+            yield pd.DataFrame.from_records(recs) if recs else pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in _PART_SCHEMA.fields}
+            )
+
+    boundary = (
+        joined.filter(~F.col("full"))
+        .select("zone_id", "var", "data", "tile_x", "tile_y")
+        .mapInPandas(clip, _PART_SCHEMA)
+    )
+
+    return (
+        interior.unionByName(boundary)
+        .groupBy("zone_id", "var")
+        .agg(
+            F.sum("n_px").alias("n_px"),
+            F.sum("px_sum").alias("px_sum"),
+            (F.sum("px_sum") / F.sum("n_px")).alias("px_mean"),
+        )
+    )
