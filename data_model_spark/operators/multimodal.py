@@ -632,3 +632,193 @@ SELECT fmt,
        MIN(w) AS w_min, MAX(w) AS w_max,
        MIN(h) AS h_min, MAX(h) AS h_max
 FROM imgs GROUP BY fmt, orientation"""
+
+
+# ---------------------------------------------------------------------------
+# joint image+caption near-dup (multimodal dedup verdict)
+# ---------------------------------------------------------------------------
+
+
+def _joint_neardup_oracle() -> str:
+    """Replays BOTH modality pipelines in SQL over the fixture VALUES —
+    phash 16-bit chunk join + popcount refine, caption bigram-shingle join
+    + exact Jaccard — and full-outer-joins the pair sets like the engine."""
+    pdf = _fixture_pdf()
+    vals = ", ".join(
+        "({}, '{}', '{}')".format(
+            int(r.phash), r.image_id, r.caption.replace("'", "''")
+        )
+        for r in pdf.itertuples()
+    )
+    return f"""
+WITH imgs(phash, image_id, caption) AS (VALUES {vals}),
+chunks AS (
+  SELECT image_id, phash, c.chunk, (phash >> (16 * c.chunk)) & 65535 AS cv
+  FROM imgs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS chunk) c),
+ppairs AS (
+  SELECT img_a, img_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+  FROM (SELECT DISTINCT a.image_id AS img_a, b.image_id AS img_b,
+               a.phash AS ha, b.phash AS hb
+        FROM chunks a JOIN chunks b
+          ON a.chunk = b.chunk AND a.cv = b.cv AND a.image_id < b.image_id)
+  WHERE bit_count(xor(ha, hb)) <= 3),
+tok AS (
+  SELECT image_id, string_split_regex(trim(caption), ' +') AS ts FROM imgs),
+big AS (
+  SELECT DISTINCT image_id, ts[i] || ' ' || ts[i + 1] AS bg
+  FROM tok, unnest(range(1, len(ts))) AS t(i)),
+sizes AS (SELECT image_id, COUNT(*) AS n FROM big GROUP BY image_id),
+cpairs AS (
+  SELECT a.image_id AS img_a, b.image_id AS img_b, COUNT(*) AS inter
+  FROM big a JOIN big b ON a.bg = b.bg AND a.image_id < b.image_id
+  GROUP BY 1, 2),
+cj AS (
+  SELECT img_a, img_b,
+         ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+  FROM cpairs
+  JOIN sizes sa ON sa.image_id = img_a
+  JOIN sizes sb ON sb.image_id = img_b
+  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.3)
+SELECT COALESCE(p.img_a, c.img_a) AS img_a,
+       COALESCE(p.img_b, c.img_b) AS img_b,
+       p.hamming, c.jaccard,
+       CASE WHEN p.img_a IS NOT NULL AND c.img_a IS NOT NULL THEN 'both'
+            WHEN p.img_a IS NOT NULL THEN 'image_only'
+            ELSE 'caption_only' END AS verdict
+FROM ppairs p FULL OUTER JOIN cj c
+  ON p.img_a = c.img_a AND p.img_b = c.img_b"""
+
+
+def joint_neardup(
+    imgs: DataFrame, max_hamming: int = 3, min_jaccard: float = 0.3
+) -> DataFrame:
+    """Multimodal near-dup verdict: image pHash x caption shingles.
+
+    ``imgs``: (image_id, phash, caption) rows.  Each modality generates
+    candidates through its own bounded join — images via the 16-bit pHash
+    pigeonhole chunk join (``max_hamming`` <= 3 guarantees one clean
+    chunk), captions via a bigram-shingle equi-join with exact Jaccard
+    (bigram document frequency is bounded by the per-band scene count, so
+    the shingle key never goes hot the way unigrams like 'scene' would) —
+    and a full outer join on the pair key merges them into one verdict
+    row: 'both' / 'image_only' / 'caption_only'.  The cross-modality shape
+    of CLIP-style corpus dedup: evidence from either side surfaces the
+    pair, agreement upgrades it.
+    """
+    chunks = imgs.select(
+        "image_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned("phash", 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("image_id", "phash", "ck.chunk", "ck.cv")
+    pa, pb = chunks.alias("a"), chunks.alias("b")
+    ppairs = (
+        pa.join(
+            pb,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.image_id") < F.col("b.image_id")),
+        )
+        .select(
+            F.col("a.image_id").alias("img_a"),
+            F.col("b.image_id").alias("img_b"),
+            F.col("a.phash").alias("ha"),
+            F.col("b.phash").alias("hb"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("img_a", "img_b", "hamming")
+    )
+
+    toks = F.split(F.trim("caption"), " +")
+    big = (
+        imgs.withColumn("ts", toks)
+        .select(
+            "image_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ts") - 2),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("ts", i + 1), F.element_at("ts", i + 2)
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .distinct()
+    )
+    sizes = big.groupBy("image_id").agg(F.count("*").alias("n"))
+    ba, bb = big.alias("a"), big.alias("b")
+    cpairs = (
+        ba.join(
+            bb,
+            (F.col("a.bg") == F.col("b.bg"))
+            & (F.col("a.image_id") < F.col("b.image_id")),
+        )
+        .groupBy(
+            F.col("a.image_id").alias("img_a"), F.col("b.image_id").alias("img_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    cj = (
+        cpairs.join(
+            F.broadcast(sizes.withColumnRenamed("image_id", "img_a")
+                        .withColumnRenamed("n", "na")), "img_a"
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("image_id", "img_b")
+                        .withColumnRenamed("n", "nb")), "img_b"
+        )
+        .withColumn(
+            "jaccard_raw",
+            F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard_raw") >= min_jaccard)
+        .select("img_a", "img_b", F.round("jaccard_raw", 6).alias("jaccard"))
+    )
+
+    joined = ppairs.alias("p").join(
+        cj.alias("c"),
+        (F.col("p.img_a") == F.col("c.img_a"))
+        & (F.col("p.img_b") == F.col("c.img_b")),
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce(F.col("p.img_a"), F.col("c.img_a")).alias("img_a"),
+        F.coalesce(F.col("p.img_b"), F.col("c.img_b")).alias("img_b"),
+        F.col("p.hamming").alias("hamming"),
+        F.col("c.jaccard").alias("jaccard"),
+        F.when(
+            F.col("p.img_a").isNotNull() & F.col("c.img_a").isNotNull(), "both"
+        )
+        .when(F.col("p.img_a").isNotNull(), "image_only")
+        .otherwise("caption_only")
+        .alias("verdict"),
+    )
+
+
+@register("joint_neardup_pairs", _joint_neardup_oracle)
+def joint_neardup_pairs(spark, sf_dir):
+    """Joint image+caption near-dup over the generated pair table (see
+    ``joint_neardup``); the oracle replays both modality pipelines in SQL.
+    The fixture yields image_only + caption_only rows; the 'both' branch
+    is pinned by the crafted-pair test in tests/test_joint_neardup.py."""
+    imgs = (
+        generate_images_df(spark, _N_IMG_QUERY)
+        .select("image_id", "phash", "caption")
+        .cache()
+    )
+    return joint_neardup(imgs)

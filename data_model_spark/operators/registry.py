@@ -129,6 +129,7 @@ PRIORITY_ORDER: list[str] = [
     # image-axis near-dup outranks the third text near-dup for the last
     # window slot (simhash's mechanics are already covered by minhash)
     "phash_neardup_pairs",
+    "joint_neardup_pairs",
     "caption_token_stats",
     "streaming_event_windows",
     "streaming_tiles",
