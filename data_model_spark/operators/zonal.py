@@ -254,7 +254,24 @@ def zonal_stats_poly(
                     (vx[None, :] > lo_x[:, None]) & (vx[None, :] < hi_x[:, None])
                     & (vy[None, :] > lo_y[:, None]) & (vy[None, :] < hi_y[:, None])
                 ).any(axis=1)
-                full = corners_in & ~vert_in
+                # a notch can dip across a tile side between two inside
+                # corners with BOTH its vertices outside the tile — the
+                # corner and vertex tests miss it, so the edge-cross test
+                # is load-bearing, not belt-and-braces
+                px1, py1 = vx, vy
+                px2, py2 = np.roll(px1, -1), np.roll(py1, -1)
+                cross = np.zeros(lo_x.size, dtype=bool)
+                for ax1, ay1, ax2, ay2 in (
+                    (lo_x, lo_y, hi_x, lo_y),
+                    (hi_x, lo_y, hi_x, hi_y),
+                    (hi_x, hi_y, lo_x, hi_y),
+                    (lo_x, hi_y, lo_x, lo_y),
+                ):
+                    cross |= G._segments_cross(
+                        ax1[:, None], ay1[:, None], ax2[:, None], ay2[:, None],
+                        px1[None, :], py1[None, :], px2[None, :], py2[None, :],
+                    ).any(axis=1)
+                full = corners_in & ~vert_in & ~cross
                 sub = grp.loc[hit, ["tile_x", "tile_y"]].copy()
                 sub.insert(0, "zone_id", zid)
                 sub["full"] = full[hit]

@@ -133,3 +133,60 @@ def test_level1_poly(spark):
     assert out
     for r in out:
         assert r.n_px > 0 and np.isfinite(r.px_mean)
+
+
+def test_notch_tile_not_full(spark, merged):
+    """A polygon with a thin notch dipping across one tile side — both
+    notch vertices OUTSIDE the tile, all 4 tile corners inside — must
+    route that tile through the decode path and still match pixel truth.
+    (Corner and vertex-in-tile tests alone misclassify it as full.)"""
+    # tile (236, 1988): x [604160, 606720), y [5089280, 5091840)
+    tx0, ty0 = 236 * TILE_M, 1988 * TILE_M
+    notch = np.array(
+        [
+            [tx0 - 5000, ty0 - 5000],
+            [tx0 + 10000, ty0 - 5000],
+            [tx0 + 10000, ty0 + 10000],
+            # thin notch piercing the whole tile top-to-bottom: both notch
+            # vertices lie outside the tile (above / below), its sides
+            # cross the tile's north and south edges between the corners
+            [tx0 + 1400, ty0 + 10000],
+            [tx0 + 1280, ty0 - 300],
+            [tx0 + 1160, ty0 + 10000],
+            [tx0 - 5000, ty0 + 10000],
+        ],
+        dtype=float,
+    )
+    # fixture sanity: 4 corners in, no vertex strictly inside the tile
+    cx = np.array([tx0, tx0 + TILE_M, tx0, tx0 + TILE_M], dtype=float)
+    cy = np.array([ty0, ty0, ty0 + TILE_M, ty0 + TILE_M], dtype=float)
+    assert G.points_in_polygon(cx, cy, notch).all()
+    vx, vy = notch[:, 0], notch[:, 1]
+    assert not (
+        (vx > tx0) & (vx < tx0 + TILE_M) & (vy > ty0) & (vy < ty0 + TILE_M)
+    ).any()
+
+    got = {
+        (r.zone_id, r.var): (r.n_px, r.px_sum)
+        for r in zonal.zonal_stats_poly(merged, {"nz": notch}, level=0).collect()
+    }
+    # truth: pure per-pixel over every tile
+    want = {}
+    for row in merged.collect():
+        canvas = decode_image(row.data, "raw-u16", TILE_PX, TILE_PX)
+        xs = row.tile_x * TILE_M + (np.arange(TILE_PX) + 0.5) * PX_M
+        ys = (row.tile_y + 1) * TILE_M - (np.arange(TILE_PX) + 0.5) * PX_M
+        gx, gy = np.meshgrid(xs, ys)
+        mask = G.points_in_polygon(gx.ravel(), gy.ravel(), notch).reshape(
+            TILE_PX, TILE_PX
+        )
+        if not mask.any():
+            continue
+        key = ("nz", row.var)
+        n, s = want.get(key, (0, 0.0))
+        want[key] = (n + int(mask.sum()),
+                     s + float(canvas[mask].astype(np.float64).sum()))
+    assert set(got) == set(want) and want
+    for k, (n, s) in want.items():
+        assert got[k][0] == n, k
+        assert got[k][1] == pytest.approx(s, abs=1e-6), k
