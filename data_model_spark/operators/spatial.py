@@ -335,6 +335,72 @@ def knn_join(
 
 
 # ---------------------------------------------------------------------------
+# polygon-polygon overlay join
+# ---------------------------------------------------------------------------
+
+
+def polygon_overlay_join(
+    polys_a: DataFrame,
+    polys_b: DataFrame,
+    res: int,
+    broadcast_a: bool | None = None,
+    broadcast_limit: int = 200_000,
+) -> DataFrame:
+    """All (a, b) pairs whose polygons intersect: cover join + exact refine.
+
+    Completes the vector side of the raster<->vector surface (reference
+    models footprint/zone relations via shapely STRtree-style queries,
+    e.g. tests around scene-footprint geometry): both sides explode to
+    their EXACT cell covers (``cells.polygon_cover(exact=True)``) at
+    ``res``, candidates come from one equi-join on the int64 cell id, and
+    each candidate pair is refined with the exact
+    ``geometry.polygons_intersect`` kernel (vertex containment both ways +
+    proper edge crossing, even-odd half-open rule).
+
+    Completeness: if A intersects B, some point of the intersection lies in
+    a cell c; c intersects both polygons, so c appears in BOTH exact covers
+    and the pair survives the equi-join — the cover join is a superset of
+    the answer at every resolution, ``res`` only tunes candidate tightness
+    vs cover size.
+
+    Scale shape: one shuffle on cell for the candidate join (or zero when
+    the bounded probe finds side A's cover small enough to broadcast), one
+    pair-key dedup that also deduplicates refine work across shared cells,
+    then a vectorized Arrow refine stage. Both inputs can be arbitrarily
+    large; per-cell fan-out is bounded by polygon density per cell, and a
+    hot city-cell can be pre-split by covering at ``res+1``.
+    """
+    cov_a = polygon_cover_df(polys_a, res).select(
+        F.col("poly_id").alias("a_id"), F.col("ring").alias("ring_a"), "cell"
+    )
+    cov_b = polygon_cover_df(polys_b, res).select(
+        F.col("poly_id").alias("b_id"), F.col("ring").alias("ring_b"), "cell"
+    )
+    if broadcast_a is None:
+        from ..cache import track
+
+        cov_a = track(cov_a)
+        broadcast_a = cov_a.limit(broadcast_limit + 1).count() <= broadcast_limit
+    cand = cov_b.join(F.broadcast(cov_a) if broadcast_a else cov_a, "cell")
+    # one refine per PAIR, not per shared cell: pairs overlapping many cells
+    # would otherwise re-run the exact kernel once per cell
+    pairs = cand.groupBy("a_id", "b_id").agg(
+        F.first("ring_a").alias("ring_a"), F.first("ring_b").alias("ring_b")
+    )
+
+    @F.pandas_udf(T.BooleanType())
+    def hits(ra: pd.Series, rb: pd.Series) -> pd.Series:
+        out = np.zeros(len(ra), dtype=bool)
+        for i, (ring_a, ring_b) in enumerate(zip(ra, rb)):
+            out[i] = geometry.polygons_intersect(
+                _ring_to_np(ring_a), _ring_to_np(ring_b)
+            )
+        return pd.Series(out)
+
+    return pairs.filter(hits("ring_a", "ring_b")).select("a_id", "b_id")
+
+
+# ---------------------------------------------------------------------------
 # cell-set algebra: compaction, boundary extraction
 # ---------------------------------------------------------------------------
 

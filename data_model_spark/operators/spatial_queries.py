@@ -956,3 +956,130 @@ def tile_bbox_query(spark, sf_dir):
         F.min("tile_y").alias("ty_min"),
         F.max("tile_y").alias("ty_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# polygon-polygon overlay join (R16)
+# ---------------------------------------------------------------------------
+
+# literal zone polygons; coordinates deliberately off the rect field's
+# 1/1000-degree lattice so no fixture pair sits exactly on a boundary
+_OVERLAY_POLYS = {
+    "tri": np.array([[10.1237, 46.2119], [11.4411, 46.0913], [10.5672, 47.3318]]),
+    "ell": np.array(
+        [
+            [10.9114, 46.5217], [11.8561, 46.5217], [11.8561, 47.6119],
+            [11.4017, 47.6119], [11.4017, 46.9321], [10.9114, 46.9321],
+        ]
+    ),
+    "sliv": np.array([[10.0513, 47.7011], [11.9513, 47.8213], [10.0523, 47.7321]]),
+    "quad": np.array(
+        [[11.2519, 46.0417], [11.9911, 46.2218], [11.7513, 46.8816], [11.1817, 46.7219]]
+    ),
+}
+
+
+def _pp_raycast_odd(poly: np.ndarray, px: str, py: str) -> str:
+    """Even-odd ray-cast parity for an SQL point against a literal ring —
+    the same per-edge expression tree as geometry.points_in_polygon (see
+    _raycast_sql), but with the point coordinates as SQL expressions."""
+    terms = []
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = float(poly[i][0]), float(poly[i][1])
+        x2, y2 = float(poly[(i + 1) % n][0]), float(poly[(i + 1) % n][1])
+        if y1 == y2:
+            continue
+        terms.append(
+            f"(CASE WHEN (({y1!r} <= {py}) != ({y2!r} <= {py})) AND "
+            f"{px} < {x1!r} + ({py} - {y1!r}) / ({y2!r} - {y1!r}) * ({x2!r} - {x1!r}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    return f"(({' + '.join(terms)}) % 2 = 1)"
+
+
+def _pp_intersects_sql(poly: np.ndarray, pid: str) -> str:
+    """polygons_intersect(poly, rect) replayed in SQL for key-derived rects.
+
+    Mirrors geometry.polygons_intersect term by term: (1) any rect corner
+    inside the literal ring (ray cast, identical expression tree), (2) any
+    literal vertex inside the rect — for an axis-aligned ring the engine's
+    even-odd cast reduces EXACTLY (the vertical-edge x-intercept is the
+    edge x: the (py-y1)/(y2-y1)*(x2-x1) term is a finite multiple of 0.0)
+    to xmin <= vx < xmax AND ymin <= vy < ymax, (3) any proper edge
+    crossing via the same sign-product test as _segments_cross.
+    """
+    corners = [("xmin", "ymin"), ("xmax", "ymin"), ("xmax", "ymax"), ("xmin", "ymax")]
+    corner_in = " OR ".join(_pp_raycast_odd(poly, cx, cy) for cx, cy in corners)
+    vert_in = " OR ".join(
+        f"({vx!r} >= xmin AND {vx!r} < xmax AND {vy!r} >= ymin AND {vy!r} < ymax)"
+        for vx, vy in ((float(v[0]), float(v[1])) for v in poly)
+    )
+    # rect edges in ring order (corner i -> corner i+1), as (x1,y1,x2,y2)
+    rect_edges = [
+        ("xmin", "ymin", "xmax", "ymin"),
+        ("xmax", "ymin", "xmax", "ymax"),
+        ("xmax", "ymax", "xmin", "ymax"),
+        ("xmin", "ymax", "xmin", "ymin"),
+    ]
+    cross_terms = []
+    n = len(poly)
+    for i in range(n):
+        ax1, ay1 = float(poly[i][0]), float(poly[i][1])
+        ax2, ay2 = float(poly[(i + 1) % n][0]), float(poly[(i + 1) % n][1])
+        dax, day = ax2 - ax1, ay2 - ay1  # constant-folded like NumPy doubles
+        for bx1, by1, bx2, by2 in rect_edges:
+            d1 = f"SIGN({dax!r} * ({by1} - {ay1!r}) - {day!r} * ({bx1} - {ax1!r}))"
+            d2 = f"SIGN({dax!r} * ({by2} - {ay1!r}) - {day!r} * ({bx2} - {ax1!r}))"
+            d3 = (
+                f"SIGN(({bx2} - {bx1}) * ({ay1!r} - {by1}) "
+                f"- ({by2} - {by1}) * ({ax1!r} - {bx1}))"
+            )
+            d4 = (
+                f"SIGN(({bx2} - {bx1}) * ({ay2!r} - {by1}) "
+                f"- ({by2} - {by1}) * ({ax2!r} - {bx1}))"
+            )
+            cross_terms.append(f"(({d1}) * ({d2}) < 0 AND ({d3}) * ({d4}) < 0)")
+    pred = f"({corner_in}) OR ({vert_in}) OR ({' OR '.join(cross_terms)})"
+    return f"SELECT '{pid}' AS a_id, b_id FROM rects WHERE {pred}"
+
+
+def _overlay_oracle() -> str:
+    rects = """
+WITH rects AS (
+  SELECT 's' || CAST(s_suppkey AS VARCHAR) AS b_id,
+         10.0 + (s_suppkey * 53 % 1900) / 1000.0 AS xmin,
+         46.0 + (s_suppkey * 29 % 1900) / 1000.0 AS ymin,
+         (10.0 + (s_suppkey * 53 % 1900) / 1000.0)
+           + (0.05 + (s_suppkey % 7) * 0.03) AS xmax,
+         (46.0 + (s_suppkey * 29 % 1900) / 1000.0)
+           + (0.05 + (s_suppkey % 5) * 0.04) AS ymax
+  FROM supplier)
+"""
+    return rects + "\nUNION ALL\n".join(
+        _pp_intersects_sql(poly, pid) for pid, poly in _OVERLAY_POLYS.items()
+    )
+
+
+@register("polygon_overlay", _overlay_oracle)
+def polygon_overlay(spark, sf_dir):
+    """Polygon-polygon overlay join: literal zones x key-derived footprint
+    rects; exact cell-cover candidate join + polygons_intersect refine.
+
+    The Spark side runs the full generic engine
+    (spatial.polygon_overlay_join); the oracle replays the three-part
+    intersects predicate with the identical IEEE expression trees over ALL
+    zone x rect pairs — cover completeness makes the candidate join a
+    strict superset, so agreement checks the cover stage too.
+    """
+    sup = load_table(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("k"))
+    xmin = F.lit(10.0) + F.pmod(F.col("k") * 53, F.lit(1900)) / F.lit(1000.0)
+    ymin = F.lit(46.0) + F.pmod(F.col("k") * 29, F.lit(1900)) / F.lit(1000.0)
+    xmax = xmin + (F.lit(0.05) + F.pmod(F.col("k"), F.lit(7)) * F.lit(0.03))
+    ymax = ymin + (F.lit(0.05) + F.pmod(F.col("k"), F.lit(5)) * F.lit(0.04))
+    rects = sup.select(
+        F.concat(F.lit("s"), F.col("k").cast("string")).alias("poly_id"),
+        F.array(xmin, ymin, xmax, ymin, xmax, ymax, xmin, ymax).alias("ring"),
+    )
+    zones = spatial.polygons_df(spark, _OVERLAY_POLYS)
+    return spatial.polygon_overlay_join(zones, rects, res=11)
