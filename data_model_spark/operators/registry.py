@@ -173,6 +173,7 @@ def all_queries() -> dict[str, QuerySpec]:
         sampling,
         sessions,
         similarity,
+        sketches,
         spatial_queries,
         text,
         validate,
