@@ -164,6 +164,7 @@ def all_queries() -> dict[str, QuerySpec]:
         decontaminate,
         dedup,
         ivf_kmeans,
+        lm,
         multimodal,
         pipeline_queries,
         profile,

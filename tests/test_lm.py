@@ -1,0 +1,80 @@
+"""Bigram-LM perplexity vs a pure-Python reference + filtering semantics."""
+
+import math
+from collections import Counter
+
+from data_model_spark.operators import lm
+
+
+def _ref(docs: dict[int, str], train: dict[int, str] | None = None):
+    train = train if train is not None else docs
+
+    def bigrams(text):
+        ws = text.strip().lower().split()
+        return [(f"{ws[i]} {ws[i+1]}", ws[i]) for i in range(len(ws) - 1)]
+
+    c2, c1 = Counter(), Counter()
+    vocab = set()
+    for t in train.values():
+        for b, w1 in bigrams(t):
+            c2[b] += 1
+            c1[w1] += 1
+        vocab.update(w for w in t.strip().lower().split() if w)
+    v = len(vocab)
+    out = {}
+    for did, t in docs.items():
+        bgs = bigrams(t)
+        if not bgs:
+            continue
+        nll = -sum(
+            int(round(math.log((c2[b] + 1.0) / (c1[w1] + v)) * 1e9))
+            for b, w1 in bgs
+        )
+        out[did] = (len(bgs), nll, round(math.exp(nll / 1e9 / len(bgs)), 6))
+    return out
+
+
+def _docs_df(spark, docs: dict[int, str]):
+    return spark.createDataFrame(
+        [(k, t) for k, t in docs.items()], "doc_id long, text string"
+    )
+
+
+DOCS = {
+    1: "the cat sat on the mat",
+    2: "the cat sat on the mat",  # exact dup -> identical score
+    3: "the dog sat on the mat",
+    4: "zyx wvu tsr qpo nml kji",  # all-rare bigrams
+    5: "the cat the cat the cat the cat",
+    6: "single",  # no bigram -> excluded
+}
+
+
+def test_matches_python_reference(spark):
+    got = {
+        r.doc_id: (r.n_bigrams, r.nll_nano, r.ppl)
+        for r in lm.perplexity(_docs_df(spark, DOCS)).collect()
+    }
+    assert got == _ref(DOCS)
+    assert 6 not in got
+
+
+def test_filtering_semantics(spark):
+    rows = {r.doc_id: r.ppl for r in lm.perplexity(_docs_df(spark, DOCS)).collect()}
+    assert rows[1] == rows[2]  # duplicates score identically
+    assert rows[4] > rows[1]  # rare-bigram doc is higher perplexity
+    assert rows[5] < rows[4]  # repeated frequent bigram scores low
+
+
+def test_external_model_backoff(spark):
+    """Scoring held-out docs with unseen bigrams/prefixes backs off cleanly."""
+    train = {i: t for i, t in DOCS.items() if i <= 3}
+    score = {10: "the cat sat on unseen token", 11: "entirely novel words here"}
+    model = lm.bigram_model(_docs_df(spark, train))
+    got = {
+        r.doc_id: (r.n_bigrams, r.nll_nano, r.ppl)
+        for r in lm.perplexity(_docs_df(spark, score), model=model).collect()
+    }
+    assert got == _ref(score, train=train)
+    # novel-everything doc must be strictly worse than the in-domain one
+    assert got[11][2] > got[10][2]
