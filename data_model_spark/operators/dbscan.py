@@ -1,0 +1,198 @@
+"""Density-based spatial clustering (DBSCAN) composed from engine parts.
+
+DBSCAN (Ester et al., KDD'96) over the distributed radius self-join
+(spatial.radius_join) and the large-star/small-star connected components
+(components.connected_components):
+
+* degree = exact neighbor count within eps (one cell-keyed shuffle);
+* core points have degree+1 >= min_pts;
+* clusters = connected components of the core-core epsilon graph, labeled
+  by minimum reachable point id;
+* border points (non-core within eps of a core) join the MINIMUM cluster
+  label among their core neighbors — the classic DBSCAN border ambiguity
+  resolved deterministically so the result is plan- and
+  parallelism-independent;
+* everything else is noise (cluster -1).
+
+Every stage is a bounded shuffle or an iterative star-contraction round —
+no all-pairs anywhere; the oracle replays degrees, the core rule, a
+min-label transitive closure (WITH RECURSIVE), and the border rule on the
+same haversine distances.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .components import connected_components
+from .registry import register
+from .spatial import radius_join
+
+
+def dbscan(
+    points: DataFrame,
+    eps_m: float,
+    min_pts: int,
+    res: int,
+    lat_max: float,
+    lon="lon",
+    lat="lat",
+    id_col="point_id",
+) -> DataFrame:
+    """(point_id, cluster, role) for every input point.
+
+    role: 'core' | 'border' | 'noise'; cluster is the min point id of the
+    cluster's core set, -1 for noise.
+    """
+    from ..cache import track
+
+    edges = track(
+        radius_join(points, eps_m, res, lat_max, lon, lat, id_col)
+    )
+    both = edges.select(F.col("id_a").alias("node"), F.col("id_b").alias("nbr")).unionByName(
+        edges.select(F.col("id_b").alias("node"), F.col("id_a").alias("nbr"))
+    )
+    deg = both.groupBy("node").agg(F.count("*").alias("deg"))
+    core = track(
+        deg.filter(F.col("deg") + 1 >= min_pts).select(F.col("node").alias("cid"))
+    )
+
+    # cluster the core-core epsilon graph; singleton cores keep their own id
+    core_edges = (
+        edges.join(core.withColumnRenamed("cid", "id_a"), "id_a", "left_semi")
+        .join(core.withColumnRenamed("cid", "id_b"), "id_b", "left_semi")
+    )
+    comps = connected_components(core_edges, "id_a", "id_b")
+    core_lbl = (
+        core.join(comps, core["cid"] == comps["node"], "left")
+        .select(F.col("cid"), F.coalesce("comp", "cid").alias("cluster"))
+    )
+
+    # border: non-core with at least one core neighbor -> min core label
+    border = (
+        both.join(core.withColumnRenamed("cid", "node"), "node", "left_anti")
+        .join(core_lbl.withColumnRenamed("cid", "nbr"), "nbr")
+        .groupBy("node")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+
+    ids = points.select(F.col(id_col).alias("pid"))
+    out = (
+        ids.join(core_lbl, ids["pid"] == core_lbl["cid"], "left")
+        .select("pid", F.col("cluster").alias("core_cluster"))
+        .join(border.withColumnRenamed("node", "pid2"), F.col("pid") == F.col("pid2"), "left")
+        .select(
+            F.col("pid").alias(id_col),
+            F.coalesce("core_cluster", "cluster", F.lit(-1)).alias("cluster"),
+            F.when(F.col("core_cluster").isNotNull(), F.lit("core"))
+            .when(F.col("cluster").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# registered queries: planted-blob points from customer keys
+# ---------------------------------------------------------------------------
+
+# 70% of customers fall in a 12x11 grid of dense blobs (+-0.002 deg jitter,
+# blob diameter < 540 m, blob spacing > 11 km); the rest scatter uniformly —
+# so eps=600 m makes each blob a clique, blobs never bridge, small blobs
+# become noise, and scattered points near a blob become border points.
+_PTS_CTE = """
+pts AS (
+  SELECT c_custkey AS point_id,
+         CASE WHEN c_custkey % 10 < 7
+              THEN 10.05 + (c_custkey % 12) * 0.15
+                   + ((c_custkey * 37 % 2001) - 1000) / 1000.0 * 0.002
+              ELSE 10.0 + (c_custkey * 37 % 2000) / 1000.0 END AS lon,
+         CASE WHEN c_custkey % 10 < 7
+              THEN 46.05 + (c_custkey * 53 % 11) * 0.15
+                   + ((c_custkey * 91 % 2001) - 1000) / 1000.0 * 0.002
+              ELSE 46.0 + (c_custkey * 91 % 2000) / 1000.0 END AS lat
+  FROM customer)"""
+
+_EPS_M, _MIN_PTS, _RES, _LAT_MAX = 600.0, 4, 14, 47.9
+
+_DIST = """ROUND(2 * 6371008.8 * asin(sqrt(
+           least(1.0, pow(sin(radians(b.lat - a.lat) / 2), 2)
+             + cos(radians(a.lat)) * cos(radians(b.lat))
+             * pow(sin(radians(b.lon - a.lon) / 2), 2)))), 3)"""
+
+_PAIRS_CTE = f"""
+pairs AS (
+  SELECT a.point_id AS id_a, b.point_id AS id_b, {_DIST} AS dist_m
+  FROM pts a JOIN pts b ON a.point_id < b.point_id),
+hits AS (SELECT id_a, id_b, dist_m FROM pairs WHERE dist_m <= {_EPS_M!r})"""
+
+
+def _blob_points(spark, sf_dir) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    clustered = F.pmod("k", F.lit(10)) < 7
+    jlon = (F.pmod(F.col("k") * 37, F.lit(2001)) - 1000) / F.lit(1000.0) * F.lit(0.002)
+    jlat = (F.pmod(F.col("k") * 91, F.lit(2001)) - 1000) / F.lit(1000.0) * F.lit(0.002)
+    lon = F.when(
+        clustered, F.lit(10.05) + F.pmod("k", F.lit(12)) * F.lit(0.15) + jlon
+    ).otherwise(F.lit(10.0) + F.pmod(F.col("k") * 37, F.lit(2000)) / F.lit(1000.0))
+    lat = F.when(
+        clustered,
+        F.lit(46.05) + F.pmod(F.col("k") * 53, F.lit(11)) * F.lit(0.15) + jlat,
+    ).otherwise(F.lit(46.0) + F.pmod(F.col("k") * 91, F.lit(2000)) / F.lit(1000.0))
+    return cust.select(F.col("k").alias("point_id"), lon.alias("lon"), lat.alias("lat"))
+
+
+@register(
+    "radius_pairs",
+    f"WITH {_PTS_CTE[1:]},{_PAIRS_CTE[1:]}\nSELECT id_a, id_b, dist_m FROM hits",
+)
+def radius_pairs(spark, sf_dir):
+    """Exact epsilon-neighborhood pairs over the planted-blob points; the
+    oracle is the all-pairs distance filter (completeness of the 3x3 cell
+    candidate join is the property under test)."""
+    return radius_join(
+        _blob_points(spark, sf_dir), _EPS_M, res=_RES, lat_max=_LAT_MAX
+    )
+
+
+_DBSCAN_ORACLE = f"""
+WITH RECURSIVE {_PTS_CTE[1:]},{_PAIRS_CTE[1:]},
+nbrs AS (
+  SELECT id_a AS node, id_b AS nbr FROM hits
+  UNION ALL SELECT id_b, id_a FROM hits),
+deg AS (SELECT node, COUNT(*) AS deg FROM nbrs GROUP BY node),
+core AS (SELECT node FROM deg WHERE deg + 1 >= {_MIN_PTS}),
+cedges AS (
+  SELECT n.node AS u, n.nbr AS v FROM nbrs n
+  WHERE n.node IN (SELECT node FROM core) AND n.nbr IN (SELECT node FROM core)),
+reach(u, lbl) AS (
+  SELECT node, node FROM core
+  UNION
+  SELECT e.u, r.lbl FROM cedges e JOIN reach r ON e.v = r.u),
+core_lbl AS (SELECT u AS node, MIN(lbl) AS cluster FROM reach GROUP BY u),
+border AS (
+  SELECT n.node, MIN(cl.cluster) AS cluster
+  FROM nbrs n JOIN core_lbl cl ON cl.node = n.nbr
+  WHERE n.node NOT IN (SELECT node FROM core)
+  GROUP BY n.node)
+SELECT p.point_id,
+       CAST(COALESCE(cl.cluster, b.cluster, -1) AS BIGINT) AS cluster,
+       CASE WHEN cl.node IS NOT NULL THEN 'core'
+            WHEN b.node IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role
+FROM pts p
+LEFT JOIN core_lbl cl ON cl.node = p.point_id
+LEFT JOIN border b ON b.node = p.point_id"""
+
+
+@register("dbscan_clusters", _DBSCAN_ORACLE)
+def dbscan_clusters(spark, sf_dir):
+    """DBSCAN(eps=600 m, min_pts=4) over the planted-blob points."""
+    return dbscan(
+        _blob_points(spark, sf_dir), _EPS_M, _MIN_PTS, res=_RES, lat_max=_LAT_MAX
+    )

@@ -161,6 +161,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import (  # noqa: F401
         components,
         consolidate,
+        dbscan,
         decontaminate,
         dedup,
         ivf_kmeans,

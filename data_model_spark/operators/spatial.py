@@ -335,6 +335,84 @@ def knn_join(
 
 
 # ---------------------------------------------------------------------------
+# radius (distance) self-join
+# ---------------------------------------------------------------------------
+
+
+def radius_join(
+    points: DataFrame,
+    radius_m: float,
+    res: int,
+    lat_max: float,
+    lon="lon",
+    lat="lat",
+    id_col="point_id",
+) -> DataFrame:
+    """All unordered point pairs within ``radius_m`` meters (exact).
+
+    The DBSCAN/near-duplicate-GPS building block: points key by their
+    containing cell, the probe side explodes to its 3x3 cell neighborhood
+    (``k_ring(1)``), candidates come from ONE equi-join on the int64 cell
+    id, and the exact haversine refine keeps pairs within the radius.
+
+    Completeness requires the grid at ``res`` to be at least ``radius_m``
+    wide in BOTH axes at the data's worst latitude — then two points
+    within the radius are at most one cell apart in each axis, and the
+    3x3 ring finds them.  ``lat_max`` is the caller's bound on |latitude|
+    (longitude cells shrink by cos(lat)); the function refuses a grid too
+    fine for the radius instead of silently dropping pairs.
+
+    Each unordered pair is emitted exactly once: only the lower-id side
+    explodes into the neighborhood, and the higher-id side's single
+    containing cell matches exactly one ring cell.
+
+    Scale shape: the 9x probe explosion happens map-side before the one
+    cell-keyed shuffle; AQE skew-join splitting handles hot cells (a
+    megacity cell at 10^12 points can also pre-split by covering at
+    res+1).
+    """
+    import math
+
+    m_per_deg = 111194.9
+    cell_h_m = 180.0 / (1 << res) * m_per_deg
+    cell_w_m = 360.0 / (1 << res) * m_per_deg * math.cos(math.radians(lat_max))
+    if min(cell_h_m, cell_w_m) < radius_m:
+        raise ValueError(
+            f"res={res} cells are {cell_w_m:.0f}x{cell_h_m:.0f} m at lat "
+            f"{lat_max} — smaller than radius {radius_m} m; pairs one ring "
+            f"apart would be missed (use a coarser res)"
+        )
+
+    pts = with_point_cell(points, res, lon, lat).select(
+        F.col(id_col), F.col(lon), F.col(lat), "cell"
+    )
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def ring_udf(cell: pd.Series) -> pd.Series:
+        return cell.map(lambda c: [int(x) for x in cells.k_ring(int(c), 1)])
+
+    probe = pts.select(
+        F.col(id_col).alias("id_a"),
+        F.col(lon).alias("lon_a"),
+        F.col(lat).alias("lat_a"),
+        F.explode(ring_udf("cell")).alias("cell"),
+    )
+    build = pts.select(
+        F.col(id_col).alias("id_b"),
+        F.col(lon).alias("lon_b"),
+        F.col(lat).alias("lat_b"),
+        "cell",
+    )
+    cand = probe.join(build, "cell").filter(F.col("id_a") < F.col("id_b"))
+    dist = F.round(_dist_udf("lon_a", "lat_a", "lon_b", "lat_b"), 3)
+    return (
+        cand.withColumn("dist_m", dist)
+        .filter(F.col("dist_m") <= radius_m)
+        .select("id_a", "id_b", "dist_m")
+    )
+
+
+# ---------------------------------------------------------------------------
 # polygon-polygon overlay join
 # ---------------------------------------------------------------------------
 
