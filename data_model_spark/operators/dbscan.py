@@ -100,23 +100,30 @@ def dbscan(
 # ---------------------------------------------------------------------------
 
 # 70% of customers fall in a 12x11 grid of dense blobs (+-0.002 deg jitter,
-# blob diameter < 540 m, blob spacing > 11 km); the rest scatter uniformly —
-# so eps=600 m makes each blob a clique, blobs never bridge, small blobs
-# become noise, and scattered points near a blob become border points.
+# blob diameter < 540 m, blob spacing > 11 km); 10% are "satellites" pinned
+# 0.0055 deg (~611 m) north of their blob's center so only the
+# jitter-favored tail of the blob is within eps — few neighbors, at least
+# one of them core => border points; the rest scatter uniformly (noise).
+# eps=600 m / min_pts=5 makes each blob a clique, blobs never bridge, and
+# sf0.01 exercises all three roles (1119 core / 11 border / 370 noise).
 _PTS_CTE = """
 pts AS (
   SELECT c_custkey AS point_id,
          CASE WHEN c_custkey % 10 < 7
               THEN 10.05 + (c_custkey % 12) * 0.15
                    + ((c_custkey * 37 % 2001) - 1000) / 1000.0 * 0.002
+              WHEN c_custkey % 10 = 7
+              THEN 10.05 + (c_custkey % 12) * 0.15
               ELSE 10.0 + (c_custkey * 37 % 2000) / 1000.0 END AS lon,
          CASE WHEN c_custkey % 10 < 7
               THEN 46.05 + (c_custkey * 53 % 11) * 0.15
                    + ((c_custkey * 91 % 2001) - 1000) / 1000.0 * 0.002
+              WHEN c_custkey % 10 = 7
+              THEN 46.05 + (c_custkey * 53 % 11) * 0.15 + 0.0055
               ELSE 46.0 + (c_custkey * 91 % 2000) / 1000.0 END AS lat
   FROM customer)"""
 
-_EPS_M, _MIN_PTS, _RES, _LAT_MAX = 600.0, 4, 14, 47.9
+_EPS_M, _MIN_PTS, _RES, _LAT_MAX = 600.0, 5, 14, 48.0
 
 _DIST = """ROUND(2 * 6371008.8 * asin(sqrt(
            least(1.0, pow(sin(radians(b.lat - a.lat) / 2), 2)
@@ -135,15 +142,21 @@ def _blob_points(spark, sf_dir) -> DataFrame:
         F.col("c_custkey").alias("k")
     )
     clustered = F.pmod("k", F.lit(10)) < 7
+    satellite = F.pmod("k", F.lit(10)) == 7
     jlon = (F.pmod(F.col("k") * 37, F.lit(2001)) - 1000) / F.lit(1000.0) * F.lit(0.002)
     jlat = (F.pmod(F.col("k") * 91, F.lit(2001)) - 1000) / F.lit(1000.0) * F.lit(0.002)
-    lon = F.when(
-        clustered, F.lit(10.05) + F.pmod("k", F.lit(12)) * F.lit(0.15) + jlon
-    ).otherwise(F.lit(10.0) + F.pmod(F.col("k") * 37, F.lit(2000)) / F.lit(1000.0))
-    lat = F.when(
-        clustered,
-        F.lit(46.05) + F.pmod(F.col("k") * 53, F.lit(11)) * F.lit(0.15) + jlat,
-    ).otherwise(F.lit(46.0) + F.pmod(F.col("k") * 91, F.lit(2000)) / F.lit(1000.0))
+    blob_lon = F.lit(10.05) + F.pmod("k", F.lit(12)) * F.lit(0.15)
+    blob_lat = F.lit(46.05) + F.pmod(F.col("k") * 53, F.lit(11)) * F.lit(0.15)
+    lon = (
+        F.when(clustered, blob_lon + jlon)
+        .when(satellite, blob_lon)
+        .otherwise(F.lit(10.0) + F.pmod(F.col("k") * 37, F.lit(2000)) / F.lit(1000.0))
+    )
+    lat = (
+        F.when(clustered, blob_lat + jlat)
+        .when(satellite, blob_lat + F.lit(0.0055))
+        .otherwise(F.lit(46.0) + F.pmod(F.col("k") * 91, F.lit(2000)) / F.lit(1000.0))
+    )
     return cust.select(F.col("k").alias("point_id"), lon.alias("lon"), lat.alias("lat"))
 
 
