@@ -82,6 +82,13 @@ PRIORITY_ORDER: list[str] = [
     "band_ndi",
     "change_detect",
     "zonal_stats_poly",
+    "joint_neardup_pairs",
+    "radius_pairs",
+    "dbscan_clusters",
+    "lm_perplexity",
+    "cms_heavy_hitters",
+    "hll_distinct_shingles",
+    "polygon_overlay",
     # -- text suite --
     "token_count",
     "quality_score",
@@ -102,8 +109,9 @@ PRIORITY_ORDER: list[str] = [
     # -- new queries (round 3+) --
     "product_detect",
     "flagship_multiband",
-    # rows-only but north-rule-core (idempotent resumable write): keep it
-    # inside the driver's 50-slot window ahead of already-green backfill
+    # r3-green backfill below this point (rotated out of the 50-slot window
+    # in r4 to make room for the 21 never-checked round-4 queries;
+    # resume_tile_write et al. carry green CORRECTNESS_r03 rows)
     "resume_tile_write",
     "wav_audio_features",
     "y4m_frame_sample",
