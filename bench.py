@@ -157,6 +157,9 @@ def main() -> None:
         "ivf_kmeans_assign",
         "sessionize",
         "trajectory_cell_cover",
+        "dbscan_clusters",
+        "polygon_overlay",
+        "lm_perplexity",
     ]
     from data_model_spark.cache import unpersist_tracked
 

@@ -89,6 +89,7 @@ PRIORITY_ORDER: list[str] = [
     "cms_heavy_hitters",
     "hll_distinct_shingles",
     "polygon_overlay",
+    "pagerank_trade",
     # -- text suite --
     "token_count",
     "quality_score",
@@ -175,6 +176,7 @@ def all_queries() -> dict[str, QuerySpec]:
         ivf_kmeans,
         lm,
         multimodal,
+        pagerank,
         pipeline_queries,
         profile,
         relational,
