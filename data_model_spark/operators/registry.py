@@ -90,6 +90,7 @@ PRIORITY_ORDER: list[str] = [
     "hll_distinct_shingles",
     "polygon_overlay",
     "pagerank_trade",
+    "convex_hull_vertices",
     # -- text suite --
     "token_count",
     "quality_score",
@@ -173,6 +174,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dbscan,
         decontaminate,
         dedup,
+        hull,
         ivf_kmeans,
         lm,
         multimodal,
