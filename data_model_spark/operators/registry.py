@@ -91,6 +91,7 @@ PRIORITY_ORDER: list[str] = [
     "polygon_overlay",
     "pagerank_trade",
     "convex_hull_vertices",
+    "bm25_scores",
     # -- text suite --
     "token_count",
     "quality_score",

@@ -193,3 +193,73 @@ def token_count_bpe(spark, sf_dir):
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
         F.size(F.split(F.trim("text"), " +")).cast("long").alias("n_ws_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance scoring (Robertson/Sparck Jones probabilistic ranking)
+# ---------------------------------------------------------------------------
+
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def bm25_scores(docs, k1: float = BM25_K1, b: float = BM25_B):
+    """(doc_id, term, bm25) for every (document, term) pair.
+
+    BM25 (Robertson et al., TREC-3): idf(t) = ln(1 + (N - df + 0.5) /
+    (df + 0.5)); score = idf * tf * (k1+1) / (tf + k1 * (1 - b + b *
+    dl/avgdl)).  The whole pipeline is JVM-side column algebra.
+
+    Scale shape: tf is one (doc, term) hash aggregation over the exploded
+    token stream (map-side partial combine); df is a second aggregation
+    over tf's already-deduplicated output — NOT over the raw stream, so a
+    10^12-token corpus aggregates its distinct (doc, term) pairs only; the
+    corpus stats (N, avgdl) are a single-row broadcast crossJoin; the
+    df-to-tf join shuffles on the term key, AQE-coalesced.  All float
+    inputs (dl sums, counts) are integers exactly representable in
+    doubles, so the scores are plan-order-independent.
+    """
+    toks = F.split(F.trim(F.lower("text")), " +")
+    base = docs.select("doc_id", toks.alias("ws"))
+    dl = base.select("doc_id", F.size("ws").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+    tok = base.select("doc_id", F.explode("ws").alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    return (
+        tf.join(df, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            F.round(idf * F.col("tf") * (k1 + 1) / denom, 6).alias("bm25"),
+        )
+    )
+
+
+@register(
+    "bm25_scores",
+    """WITH docs AS (
+         SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS ws
+         FROM documents WHERE doc_id < 60),
+       dl AS (SELECT doc_id, len(ws) AS dl FROM docs),
+       stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+       tok AS (SELECT doc_id, unnest(ws) AS term FROM docs),
+       tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM tok GROUP BY doc_id, term),
+       df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term)
+       SELECT t.doc_id, t.term,
+              ROUND(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                    * t.tf * 2.2
+                    / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)),
+                    6) AS bm25
+       FROM tf t JOIN df d USING (term) JOIN dl l ON l.doc_id = t.doc_id
+       CROSS JOIN stats s""",
+)
+def bm25_scores_query(spark, sf_dir):
+    """BM25 for every (doc, term) pair over the first 60 documents; the
+    oracle replays the identical formula (same ln, same k1/b literals)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    return bm25_scores(d)

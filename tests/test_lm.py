@@ -78,3 +78,39 @@ def test_external_model_backoff(spark):
     assert got == _ref(score, train=train)
     # novel-everything doc must be strictly worse than the in-domain one
     assert got[11][2] > got[10][2]
+
+
+class TestBM25:
+    def test_hand_computed(self, spark):
+        import math
+
+        rows = [
+            (0, "cat sat on the mat"),
+            (1, "the dog sat"),
+            (2, "cat cat dog"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        from data_model_spark.operators.text import bm25_scores
+
+        got = {
+            (r.doc_id, r.term): r.bm25 for r in bm25_scores(docs).collect()
+        }
+        n, avgdl = 3, (5 + 3 + 3) / 3
+        def score(tf, df, dl, k1=1.2, b=0.75):
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            return round(idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)), 6)
+
+        assert got[(0, "cat")] == score(1, 2, 5)
+        assert got[(2, "cat")] == score(2, 2, 3)
+        assert got[(1, "the")] == score(1, 2, 3)
+        assert got[(2, "dog")] == score(1, 2, 3)
+        assert len(got) == 5 + 3 + 2  # distinct terms per doc
+
+    def test_rarer_term_scores_higher(self, spark):
+        rows = [(i, "common filler words here") for i in range(9)]
+        rows.append((9, "common rareword words here"))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        from data_model_spark.operators.text import bm25_scores
+
+        got = {(r.doc_id, r.term): r.bm25 for r in bm25_scores(docs).collect()}
+        assert got[(9, "rareword")] > got[(9, "common")]
