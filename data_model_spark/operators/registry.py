@@ -92,6 +92,7 @@ PRIORITY_ORDER: list[str] = [
     "pagerank_trade",
     "convex_hull_vertices",
     "bm25_scores",
+    "skyline_docs",
     # -- text suite --
     "token_count",
     "quality_score",
@@ -188,6 +189,7 @@ def all_queries() -> dict[str, QuerySpec]:
         sampling,
         sessions,
         similarity,
+        skyline,
         sketches,
         spatial_queries,
         text,

@@ -382,21 +382,36 @@ def radius_join(
             f"{lat_max} — smaller than radius {radius_m} m; pairs one ring "
             f"apart would be missed (use a coarser res)"
         )
+    if res < 2:
+        raise ValueError("radius_join needs res >= 2 (ring cells distinct)")
 
     pts = with_point_cell(points, res, lon, lat).select(
         F.col(id_col), F.col(lon), F.col(lat), "cell"
     )
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def ring_udf(cell: pd.Series) -> pd.Series:
-        return cell.map(lambda c: [int(x) for x in cells.k_ring(int(c), 1)])
-
+    # 3x3 ring JVM-side (pure bit arithmetic on the packed cell id —
+    # whole-stage codegen, no Python in the explode): lon wraps mod n,
+    # lat clamps.  res >= 2 guarantees the 9 candidates are distinct, so
+    # no per-row dedup is needed (matches cells.k_ring semantics).
+    n = 1 << res
+    cx = F.col("cell").bitwiseAND(F.lit(cells._XY_MASK))
+    cy = F.shiftright("cell", cells._Y_SHIFT).bitwiseAND(F.lit(cells._XY_MASK))
+    ring = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            ny = cy + F.lit(dy)
+            nc = (
+                F.lit(res << cells._RES_SHIFT)
+                .bitwiseOR(F.shiftleft(ny.cast("long"), cells._Y_SHIFT))
+                .bitwiseOR(F.pmod(cx + F.lit(dx), F.lit(n)).cast("long"))
+            )
+            ring.append(F.when((ny >= 0) & (ny < n), nc))
     probe = pts.select(
         F.col(id_col).alias("id_a"),
         F.col(lon).alias("lon_a"),
         F.col(lat).alias("lat_a"),
-        F.explode(ring_udf("cell")).alias("cell"),
-    )
+        F.explode(F.array(*ring)).alias("cell"),
+    ).filter(F.col("cell").isNotNull())
     build = pts.select(
         F.col(id_col).alias("id_b"),
         F.col(lon).alias("lon_b"),
