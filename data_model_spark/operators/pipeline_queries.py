@@ -486,3 +486,34 @@ def streaming_dedup(spark, sf_dir):
     from ..streaming.dedup import streaming_dedup_counts
 
     return streaming_dedup_counts(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+_EVT_ENRICH_ORACLE = """
+WITH v AS (SELECT event_id AS view_id, user_id, ts FROM events
+           WHERE event_type = 'view'),
+     p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+           WHERE event_type = 'purchase')
+SELECT v.user_id, v.view_id, p.purchase_id,
+       CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS delta_us
+FROM v JOIN p ON p.user_id = v.user_id
+              AND p.ts >= v.ts
+              AND p.ts <= v.ts + INTERVAL 120 MINUTES"""
+
+
+@register("streaming_enrich_join", _EVT_ENRICH_ORACLE)
+def streaming_enrich_join(spark, sf_dir):
+    """Watermarked stream-stream interval join as a REAL streaming query.
+
+    Two readStream sources over the same event ingest (views and
+    purchases), joined on user plus a 2-hour event-time range under
+    60-min watermarks on BOTH sides; input staged as two time-split
+    micro-batches (maxFilesPerTrigger=1), so cross-batch matches prove
+    the join state carries between triggers.  The drained result must
+    equal the batch interval join (the oracle); the range predicate is
+    what lets Spark evict join state past the watermark horizon.
+    """
+    import os
+
+    from ..streaming.enrich import stream_interval_join
+
+    return stream_interval_join(spark, os.path.join(sf_dir, "events.parquet"))

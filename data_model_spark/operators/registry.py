@@ -93,6 +93,7 @@ PRIORITY_ORDER: list[str] = [
     "convex_hull_vertices",
     "bm25_scores",
     "skyline_docs",
+    "streaming_enrich_join",
     # -- text suite --
     "token_count",
     "quality_score",
