@@ -94,6 +94,7 @@ PRIORITY_ORDER: list[str] = [
     "bm25_scores",
     "skyline_docs",
     "streaming_enrich_join",
+    "geohash_points",
     # -- text suite --
     "token_count",
     "quality_score",

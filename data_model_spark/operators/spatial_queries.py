@@ -1083,3 +1083,46 @@ def polygon_overlay(spark, sf_dir):
     )
     zones = spatial.polygons_df(spark, _OVERLAY_POLYS)
     return spatial.polygon_overlay_join(zones, rects, res=11)
+
+
+def _geohash_oracle() -> str:
+    from ..functions.geohash import geohash_sql
+
+    lon = "((c_custkey * 37) % 360000) / 1000.0 - 180.0"
+    lat = "((c_custkey * 91) % 180000) / 1000.0 - 90.0"
+    bx, by = 18, 17  # ceil(35/2), floor(35/2) for precision 7
+    x = f"CAST(least(floor(({lon} + 180.0) / 360.0 * {1 << bx}), {(1 << bx) - 1}) AS BIGINT)"
+    y = f"CAST(least(floor(({lat} + 90.0) / 180.0 * {1 << by}), {(1 << by) - 1}) AS BIGINT)"
+    return f"""
+SELECT c_custkey AS point_id,
+       {geohash_sql(lon, lat, 7)} AS gh7,
+       ROUND(({x} + 0.5) / {1 << bx} * 360.0 - 180.0, 6) AS lon_c,
+       ROUND(({y} + 0.5) / {1 << by} * 180.0 - 90.0, 6) AS lat_c
+FROM customer"""
+
+
+@register("geohash_points", _geohash_oracle())
+def geohash_points(spark, sf_dir):
+    """Geohash-7 encode + decode-to-center roundtrip over full-range
+    customer-derived points, all JVM shift/mask expressions; the oracle
+    replays the identical bit construction in SQL and derives the cell
+    centers from the grid indices — a broken decode (non-inverse bit
+    layout) would desynchronize lon_c/lat_c.  Public-vector goldens in
+    tests/test_geohash.py pin the scheme itself."""
+    from ..functions import geohash as gh
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("point_id"),
+        (F.pmod(F.col("c_custkey") * 37, F.lit(360000)) / 1000.0 - 180.0).alias("lon"),
+        (F.pmod(F.col("c_custkey") * 91, F.lit(180000)) / 1000.0 - 90.0).alias("lat"),
+    )
+    enc = cust.select(
+        "point_id", gh.geohash_col("lon", "lat", 7).alias("gh7")
+    )
+    lon_c, lat_c = gh.geohash_decode_cols("gh7", 7)
+    return enc.select(
+        "point_id",
+        "gh7",
+        F.round(lon_c, 6).alias("lon_c"),
+        F.round(lat_c, 6).alias("lat_c"),
+    )
