@@ -95,6 +95,7 @@ PRIORITY_ORDER: list[str] = [
     "skyline_docs",
     "streaming_enrich_join",
     "geohash_points",
+    "traj_simplify",
     # -- text suite --
     "token_count",
     "quality_score",
@@ -195,6 +196,7 @@ def all_queries() -> dict[str, QuerySpec]:
         sketches,
         spatial_queries,
         text,
+        trajectory,
         validate,
     )
 
