@@ -55,13 +55,17 @@ _STRIP_SCHEMA = T.StructType(
     ]
 )
 
+_KEY_FIELDS = [
+    T.StructField("var", T.StringType(), False),
+    T.StructField("level", T.IntegerType(), False),
+    T.StructField("tile_x", T.LongType(), False),
+    T.StructField("tile_y", T.LongType(), False),
+    T.StructField("n_halo", T.IntegerType(), False),
+]
+
 _FOCAL_SCHEMA = T.StructType(
-    [
-        T.StructField("var", T.StringType(), False),
-        T.StructField("level", T.IntegerType(), False),
-        T.StructField("tile_x", T.LongType(), False),
-        T.StructField("tile_y", T.LongType(), False),
-        T.StructField("n_halo", T.IntegerType(), False),
+    _KEY_FIELDS
+    + [
         T.StructField("data", T.BinaryType(), False),
         T.StructField("focal_sum", T.DoubleType(), False),
         T.StructField("focal_min", T.DoubleType(), False),
@@ -70,23 +74,19 @@ _FOCAL_SCHEMA = T.StructType(
 )
 
 
-def focal_stats(tiles: DataFrame, radius: int = 1) -> DataFrame:
-    """Per-pixel box-mean over each tile canvas with true cross-tile halos.
+def halo_exchange(tiles: DataFrame, radius: int, compute, out_fields) -> DataFrame:
+    """Generic distributed stencil: pad each tile with r-pixel halos from
+    its 8 neighbors (one shuffle, edge strips only) and apply ``compute``.
 
-    ``tiles``: ``merge_tiles`` output (any mix of levels; the tile key
-    includes ``level`` so pyramids pass through unmixed).  Returns one row
-    per input tile: the float32 focal-mean canvas (row-major ``data``),
-    the number of neighbor strips received (``n_halo``, 0..8), and the
-    canvas' focal sum / min / max.
-
-    Mean semantics: constant divisor ``(2r+1)^2`` with zero padding
-    outside the stored mosaic — identical to ``numpy`` convolution of the
-    zero-padded global mosaic, which is what the tests compare against.
+    ``compute(P, n_halo)`` receives the (TILE_PX+2r)^2 int64 padded canvas
+    (zeros outside the stored mosaic) and returns a dict of the fields in
+    ``out_fields`` — the stencil kernel (focal mean, hillshade, ...).
+    Shared by ``focal_stats`` and ``operators/terrain.py``.
     """
     if radius < 1 or radius > TILE_PX:
         raise ValueError(f"radius must be in 1..{TILE_PX}, got {radius}")
     r = radius
-    k = 2 * r + 1
+    out_schema = T.StructType(_KEY_FIELDS + list(out_fields))
 
     def emit_strips(batches):
         for pdf in batches:
@@ -159,20 +159,15 @@ def focal_stats(tiles: DataFrame, radius: int = 1) -> DataFrame:
                 P[r0 : r0 + h, c0 : c0 + w] = block
                 if not (dx == 0 and dy == 0):
                     n_halo += 1
-            win = np.lib.stride_tricks.sliding_window_view(P, (k, k))
-            sums = win.sum(axis=(2, 3))
-            mean = (sums / float(k * k)).astype(np.float32)
-            return {
+            rec = {
                 "var": str(var),
                 "level": int(level),
                 "tile_x": int(tx),
                 "tile_y": int(ty),
                 "n_halo": n_halo,
-                "data": mean.tobytes(),
-                "focal_sum": float(mean.astype(np.float64).sum()),
-                "focal_min": float(mean.min()),
-                "focal_max": float(mean.max()),
             }
+            rec.update(compute(P, n_halo))
+            return rec
 
         out: list[dict] = []
         for pdf in batches:
@@ -192,7 +187,36 @@ def focal_stats(tiles: DataFrame, radius: int = 1) -> DataFrame:
             yield pd.DataFrame.from_records(out)
         elif cur_key is None:
             yield pd.DataFrame(
-                {f.name: pd.Series(dtype="object") for f in _FOCAL_SCHEMA.fields}
+                {f.name: pd.Series(dtype="object") for f in out_schema.fields}
             )
 
-    return keyed.mapInPandas(assemble_stream, _FOCAL_SCHEMA)
+    return keyed.mapInPandas(assemble_stream, out_schema)
+
+
+def focal_stats(tiles: DataFrame, radius: int = 1) -> DataFrame:
+    """Per-pixel box-mean over each tile canvas with true cross-tile halos.
+
+    ``tiles``: ``merge_tiles`` output (any mix of levels; the tile key
+    includes ``level`` so pyramids pass through unmixed).  Returns one row
+    per input tile: the float32 focal-mean canvas (row-major ``data``),
+    the number of neighbor strips received (``n_halo``, 0..8), and the
+    canvas' focal sum / min / max.
+
+    Mean semantics: constant divisor ``(2r+1)^2`` with zero padding
+    outside the stored mosaic — identical to ``numpy`` convolution of the
+    zero-padded global mosaic, which is what the tests compare against.
+    """
+    k = 2 * radius + 1
+
+    def compute(P: np.ndarray, n_halo: int) -> dict:
+        win = np.lib.stride_tricks.sliding_window_view(P, (k, k))
+        sums = win.sum(axis=(2, 3))
+        mean = (sums / float(k * k)).astype(np.float32)
+        return {
+            "data": mean.tobytes(),
+            "focal_sum": float(mean.astype(np.float64).sum()),
+            "focal_min": float(mean.min()),
+            "focal_max": float(mean.max()),
+        }
+
+    return halo_exchange(tiles, radius, compute, _FOCAL_SCHEMA.fields[5:])

@@ -96,6 +96,7 @@ PRIORITY_ORDER: list[str] = [
     "streaming_enrich_join",
     "geohash_points",
     "traj_simplify",
+    "hillshade_tiles",
     # -- text suite --
     "token_count",
     "quality_score",

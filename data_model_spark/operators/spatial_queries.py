@@ -1126,3 +1126,25 @@ def geohash_points(spark, sf_dir):
         F.round(lon_c, 6).alias("lon_c"),
         F.round(lat_c, 6).alias("lat_c"),
     )
+
+
+@register("hillshade_tiles", None)  # pixel path; exactness in tests/test_terrain.py
+def hillshade_tiles(spark, sf_dir):
+    """Horn slope/aspect/hillshade over the merged tile raster via the
+    same 1-px halo exchange as focal_mean; tests/test_terrain.py proves
+    every tile's hillshade canvas equals the NumPy computation over the
+    zero-padded global mosaic.  Returned here: per-tile slope/shade
+    summaries (the driver's rows-only check), canvases dropped.
+    """
+    from ..sources.images import generate_images_df
+    from . import terrain, tiling
+
+    images = generate_images_df(spark, 48)
+    merged = tiling.merge_tiles(
+        tiling.build_tiles(images, repartition=False)
+    ).filter(F.col("level") == 0)
+    out = terrain.hillshade(merged)
+    return out.select(
+        "var", "tile_x", "tile_y", "n_halo",
+        "slope_mean_deg", "slope_max_deg", "shade_mean",
+    )
