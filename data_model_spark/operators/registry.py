@@ -97,6 +97,7 @@ PRIORITY_ORDER: list[str] = [
     "geohash_points",
     "traj_simplify",
     "hillshade_tiles",
+    "weighted_sample",
     # -- text suite --
     "token_count",
     "quality_score",

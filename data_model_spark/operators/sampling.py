@@ -233,3 +233,58 @@ def curation_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full curation funnel: length, punctuation, near-dup, sample gates."""
     d = load_table(spark, sf_dir, "documents")
     return curation_flags(d, _RATES)
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis-Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+
+def weighted_sample(
+    df: DataFrame, k: int, weight_col: str, id_col: str = "doc_id",
+    seed: str = "w0",
+) -> DataFrame:
+    """Top-k weighted sample without replacement, fully deterministic.
+
+    A-ES (Efraimidis & Spirakis, IPL 2006): each row draws u ~ U(0,1) and
+    ranks by u^(1/w); the k largest are a weighted sample without
+    replacement.  Here u is content-addressed (md5_60 of seed:id scaled
+    to (0,1]), so the sample is a pure function of (seed, ids, weights) —
+    layout- and parallelism-independent, replayable in SQL.  Ranking uses
+    the monotone transform ln(u)/w (identical ordering, one log instead
+    of a pow), ties broken by id.
+
+    Scale shape: a global top-k — Catalyst plans TakeOrderedAndProject
+    (per-partition heaps + tiny final merge), never a full sort.
+    """
+    u = (
+        md5_60(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
+        % RATE_DENOM
+        + 1
+    ) / RATE_DENOM
+    key = F.log(u) / F.col(weight_col)
+    ranked = df.select(
+        F.col(id_col),
+        F.col(weight_col),
+        key.alias("aes_key"),
+    ).orderBy(F.col("aes_key").desc(), F.col(id_col))
+    return ranked.limit(k).select(
+        id_col, weight_col, F.round("aes_key", 9).alias("aes_key")
+    )
+
+
+def _weighted_oracle(k: int, seed: str = "w0") -> str:
+    u = f"(({_sample_hash_sql('doc_id', seed)}) + 1) / {RATE_DENOM}.0"
+    return f"""
+SELECT doc_id, n_chars, ROUND(ln({u}) / n_chars, 9) AS aes_key
+FROM documents
+ORDER BY ln({u}) / n_chars DESC, doc_id
+LIMIT {k}"""
+
+
+@register("weighted_sample", _weighted_oracle(25))
+def weighted_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """25-doc A-ES weighted sample, n_chars as weight; longer documents
+    proportionally likelier, selection replayed exactly in SQL."""
+    d = load_table(spark, sf_dir, "documents")
+    return weighted_sample(d, 25, "n_chars")

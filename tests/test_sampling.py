@@ -83,3 +83,36 @@ def test_curation_keep_is_conjunction(spark, docs):
 def test_topn_plan_uses_window_group_limit(spark, docs):
     plan = smp.stratified_topn(docs, 5)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+class TestWeightedSample:
+    def test_deterministic_and_parallelism_independent(self, spark):
+        from data_model_spark.operators.sampling import weighted_sample
+
+        rows = [(i, (i * 7) % 100 + 1) for i in range(500)]
+        df = spark.createDataFrame(rows, "doc_id long, w long")
+        a = weighted_sample(df.coalesce(1), 20, "w").collect()
+        b = weighted_sample(df.repartition(32), 20, "w").collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        assert len(a) == 20
+
+    def test_weight_bias(self, spark):
+        # two strata: weight 100 vs weight 1; the heavy stratum must
+        # dominate the sample across independent seeds
+        from data_model_spark.operators.sampling import weighted_sample
+
+        rows = [(i, 100 if i < 250 else 1) for i in range(500)]
+        df = spark.createDataFrame(rows, "doc_id long, w long")
+        heavy = 0
+        for seed in ("a", "b", "c"):
+            got = weighted_sample(df, 40, "w", seed=seed).collect()
+            heavy += sum(1 for r in got if r.w == 100)
+        assert heavy > 0.8 * 120  # E[heavy] ~ 40*100/(100*frac...) >> 0.8
+
+    def test_plan_is_global_topk(self, spark):
+        from data_model_spark.operators.sampling import weighted_sample
+
+        df = spark.createDataFrame([(i, i + 1) for i in range(100)],
+                                   "doc_id long, w long")
+        plan = weighted_sample(df, 5, "w")._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan  # never a full global sort
