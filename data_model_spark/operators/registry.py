@@ -98,6 +98,7 @@ PRIORITY_ORDER: list[str] = [
     "traj_simplify",
     "hillshade_tiles",
     "weighted_sample",
+    "quadkey_tiles",
     # -- text suite --
     "token_count",
     "quality_score",

@@ -1148,3 +1148,45 @@ def hillshade_tiles(spark, sf_dir):
         "var", "tile_x", "tile_y", "n_halo",
         "slope_mean_deg", "slope_max_deg", "shade_mean",
     )
+
+
+def _quadkey_oracle(zoom: int = 12) -> str:
+    from ..functions.quadkey import quadkey_sql
+
+    n = 1 << zoom
+    lon = "((c_custkey * 37) % 340000) / 1000.0 - 170.0"
+    lat = "((c_custkey * 91) % 160000) / 1000.0 - 80.0"
+    tx = (
+        f"CAST(least(greatest(floor(({lon} + 180.0) / 360.0 * {n}), 0), {n - 1})"
+        " AS BIGINT)"
+    )
+    ty = (
+        f"CAST(least(greatest(floor((1.0 - ln(tan(radians({lat}))"
+        f" + 1.0 / cos(radians({lat}))) / pi()) / 2.0 * {n}), 0), {n - 1})"
+        " AS BIGINT)"
+    )
+    return f"""
+SELECT c_custkey AS point_id, {tx} AS tile_x, {ty} AS tile_y,
+       {quadkey_sql(tx, ty, zoom)} AS quadkey
+FROM customer"""
+
+
+@register("quadkey_tiles", _quadkey_oracle(12))
+def quadkey_tiles(spark, sf_dir):
+    """WebMercator z12 tile assignment + quadkey encode for full-range
+    points (|lat| <= 80, inside Mercator's domain), all JVM expressions;
+    a decode roundtrip inequality in tests/test_quadkey.py pins the
+    digit layout against the public definition."""
+    from ..functions import quadkey as qk
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("point_id"),
+        (F.pmod(F.col("c_custkey") * 37, F.lit(340000)) / 1000.0 - 170.0).alias("lon"),
+        (F.pmod(F.col("c_custkey") * 91, F.lit(160000)) / 1000.0 - 80.0).alias("lat"),
+    )
+    tx, ty = qk.mercator_tile_cols("lon", "lat", 12)
+    tiles = cust.select("point_id", tx.alias("tile_x"), ty.alias("tile_y"))
+    return tiles.select(
+        "point_id", "tile_x", "tile_y",
+        qk.quadkey_col(F.col("tile_x"), F.col("tile_y"), 12).alias("quadkey"),
+    )
