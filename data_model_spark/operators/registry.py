@@ -99,6 +99,7 @@ PRIORITY_ORDER: list[str] = [
     "hillshade_tiles",
     "weighted_sample",
     "quadkey_tiles",
+    "snapshot_diff",
     # -- text suite --
     "token_count",
     "quality_score",
@@ -196,6 +197,7 @@ def all_queries() -> dict[str, QuerySpec]:
         sessions,
         similarity,
         skyline,
+        snapshot,
         sketches,
         spatial_queries,
         text,
