@@ -95,7 +95,7 @@ def main() -> None:
     import numpy as np
 
     from data_model_spark.functions import crs as C
-    from data_model_spark.operators import focal, render, zonal
+    from data_model_spark.operators import focal, render, terrain, zonal
 
     m0 = merged.filter(F.col("level") == 0)
 
@@ -130,6 +130,7 @@ def main() -> None:
     timed("tile_render", _render)
     timed("zonal_stats", _zonal)
     timed("focal_mean", lambda: focal.focal_stats(m0, radius=1).count())
+    timed("hillshade", lambda: terrain.hillshade(m0).count())
 
     # ---- headline operator queries at the target SF ----
     headline = [
