@@ -100,6 +100,7 @@ PRIORITY_ORDER: list[str] = [
     "weighted_sample",
     "quadkey_tiles",
     "snapshot_diff",
+    "triangle_counts",
     # -- text suite --
     "token_count",
     "quality_score",
@@ -202,6 +203,7 @@ def all_queries() -> dict[str, QuerySpec]:
         spatial_queries,
         text,
         trajectory,
+        triangles,
         validate,
     )
 
