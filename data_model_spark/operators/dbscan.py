@@ -209,3 +209,46 @@ def dbscan_clusters(spark, sf_dir):
     return dbscan(
         _blob_points(spark, sf_dir), _EPS_M, _MIN_PTS, res=_RES, lat_max=_LAT_MAX
     )
+
+
+# the heatmap shares the planted-blob fixture: dense blobs + sparse scatter
+# make a non-trivial smoothed surface
+def _heatmap_oracle(res: int = 10) -> str:
+    n = 1 << res
+    weights = {
+        (dx, dy): (4 if dx == dy == 0 else (2 if dx == 0 or dy == 0 else 1))
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    }
+    spread = "\n  UNION ALL\n".join(
+        f"""  SELECT (CAST({res} AS BIGINT) << 56)
+           | (CAST(y + {dy} AS BIGINT) << 28)
+           | CAST((x + {dx} + {n}) % {n} AS BIGINT) AS cell_t, n * {w} AS wn
+  FROM counts WHERE y + {dy} >= 0 AND y + {dy} < {n}"""
+        for (dx, dy), w in weights.items()
+    )
+    return f"""
+WITH {_PTS_CTE[1:]},
+idx AS (
+  SELECT least(greatest(CAST(floor((lon + 180.0) / 360.0 * {n}) AS BIGINT), 0), {n - 1}) AS x,
+         least(greatest(CAST(floor((lat + 90.0) / 180.0 * {n}) AS BIGINT), 0), {n - 1}) AS y
+  FROM pts),
+counts AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n FROM idx GROUP BY x, y),
+packed AS (
+  SELECT (CAST({res} AS BIGINT) << 56) | (y << 28) | x AS cell, n FROM counts),
+spread AS (
+{spread}),
+heat AS (SELECT cell_t AS cell, SUM(wn) AS heat FROM spread GROUP BY cell_t)
+SELECT h.cell, CAST(h.heat AS BIGINT) AS heat,
+       CAST(COALESCE(p.n, 0) AS BIGINT) AS n_own
+FROM heat h LEFT JOIN packed p USING (cell)"""
+
+
+@register("cell_heatmap", _heatmap_oracle(10))
+def cell_heatmap_query(spark, sf_dir):
+    """3x3 integer-kernel (4/2/1) density surface over the planted-blob
+    points at res 10; the oracle replays cell packing, the ring spread,
+    and both aggregations — integer heat, hash-exact."""
+    from .spatial import cell_heatmap
+
+    return cell_heatmap(_blob_points(spark, sf_dir), res=10)

@@ -101,6 +101,7 @@ PRIORITY_ORDER: list[str] = [
     "quadkey_tiles",
     "snapshot_diff",
     "triangle_counts",
+    "cell_heatmap",
     # -- text suite --
     "token_count",
     "quality_score",

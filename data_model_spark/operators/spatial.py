@@ -714,3 +714,72 @@ def knn_bruteforce(
     )
     cand = points.crossJoin(F.broadcast(q))
     return _rank_topk(cand, k, lon, lat, point_id, query_id)
+
+
+# ---------------------------------------------------------------------------
+# cell heatmap (kernel-smoothed density surface)
+# ---------------------------------------------------------------------------
+
+
+def cell_heatmap(
+    points: DataFrame,
+    res: int,
+    w_center: int = 4,
+    w_edge: int = 2,
+    w_corner: int = 1,
+    lon="lon",
+    lat="lat",
+) -> DataFrame:
+    """Kernel-smoothed point density per cell: (cell, heat, n_own).
+
+    The raster face of point density (KDE with a 3x3 integer kernel —
+    center/edge/corner weights): heat(c) = sum over the 3x3 ring of
+    weight * count(neighbor).  Integer weights keep the surface exact and
+    plan-independent.
+
+    Scale shape: ONE count aggregation over the raw points (map-side
+    combinable; the explode below touches cell COUNTS, not points), then
+    a 9x JVM ring explode of the count table and a second cell-keyed sum
+    — both shuffles carry only distinct-cell rows.  Same wrap/clamp ring
+    as radius_join (lon wraps mod n, lat clamps; res >= 2).
+    """
+    if res < 2:
+        raise ValueError("cell_heatmap needs res >= 2")
+    counts = (
+        with_point_cell(points, res, lon, lat)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+    )
+    n = 1 << res
+    cx = F.col("cell").bitwiseAND(F.lit(cells._XY_MASK))
+    cy = F.shiftright("cell", cells._Y_SHIFT).bitwiseAND(F.lit(cells._XY_MASK))
+    terms = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            w = w_center if dx == dy == 0 else (w_edge if dx == 0 or dy == 0 else w_corner)
+            ny = cy + F.lit(dy)
+            nc = (
+                F.lit(res << cells._RES_SHIFT)
+                .bitwiseOR(F.shiftleft(ny.cast("long"), cells._Y_SHIFT))
+                .bitwiseOR(F.pmod(cx + F.lit(dx), F.lit(n)).cast("long"))
+            )
+            terms.append(
+                F.when(
+                    (ny >= 0) & (ny < n),
+                    F.struct(nc.alias("tc"), (F.col("n") * w).alias("wn")),
+                )
+            )
+    spread = counts.select(
+        "cell", "n", F.explode(F.array(*terms)).alias("t")
+    ).filter(F.col("t").isNotNull())
+    heat = spread.groupBy(F.col("t.tc").alias("cell_out")).agg(
+        F.sum("t.wn").alias("heat")
+    )
+    return (
+        heat.join(counts, heat["cell_out"] == counts["cell"], "left")
+        .select(
+            F.col("cell_out").alias("cell"),
+            "heat",
+            F.coalesce("n", F.lit(0)).alias("n_own"),
+        )
+    )

@@ -219,3 +219,39 @@ class TestKnnRingGrowth:
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert "query_id IN" not in plan and "query_id INSET" not in plan
         assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+class TestCellHeatmap:
+    def test_single_point_kernel_shape(self, spark):
+        df = spark.createDataFrame([(1, 10.0, 46.0)], "point_id long, lon double, lat double")
+        out = spatial.cell_heatmap(df, res=8).collect()
+        heats = sorted(r.heat for r in out)
+        assert heats == [1, 1, 1, 1, 2, 2, 2, 2, 4]
+        own = {r.n_own for r in out}
+        assert own == {0, 1}
+
+    def test_heat_mass_conserved(self, spark):
+        from data_model_spark.operators.dbscan import _blob_points
+
+        pts = _blob_points(spark, "/root/testdata/sf0.001")
+        out = spatial.cell_heatmap(pts, res=10).toPandas()
+        n = pts.count()
+        # interior points spread 4+4*2+4*1 = 16 each; lat-clamped rows lose
+        # some — fixture lats are interior, so exact equality holds
+        assert out.heat.sum() == 16 * n
+        assert out.n_own.sum() == n
+
+    def test_parallelism_independent(self, spark):
+        from data_model_spark.operators.dbscan import _blob_points
+
+        pts = _blob_points(spark, "/root/testdata/sf0.001")
+        a = {(r.cell, r.heat, r.n_own) for r in spatial.cell_heatmap(pts.coalesce(1), res=10).collect()}
+        b = {(r.cell, r.heat, r.n_own) for r in spatial.cell_heatmap(pts.repartition(32), res=10).collect()}
+        assert a == b
+
+    def test_res_guard(self, spark):
+        df = spark.createDataFrame([(1, 0.0, 0.0)], "point_id long, lon double, lat double")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="res >= 2"):
+            spatial.cell_heatmap(df, res=1)
