@@ -102,6 +102,7 @@ PRIORITY_ORDER: list[str] = [
     "snapshot_diff",
     "triangle_counts",
     "cell_heatmap",
+    "traj_stay_points",
     # -- text suite --
     "token_count",
     "quality_score",

@@ -125,3 +125,98 @@ def traj_simplify(spark, sf_dir):
         .select("user_id", "seq", "x", "y")
     )
     return simplify_trajectories(pos, tol=15)
+
+
+def stay_points(
+    fixes: DataFrame,
+    d2: int,
+    min_dur_us: int,
+    key: str = "user_id",
+    seq: str = "seq",
+    ts_us: str = "ts_us",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Stay-point detection (Li et al., GIS 2008 anchor scan).
+
+    A stay point is a maximal run of consecutive fixes all within
+    ``sqrt(d2)`` grid units of the run's FIRST fix (the anchor) whose
+    time span is >= ``min_dur_us``.  The scan is the published greedy:
+    extend from the anchor until the first violator, emit if long
+    enough, resume at the violator (else at anchor+1).  All comparisons
+    are integer (squared distances, microsecond spans) — deterministic
+    at any parallelism.  Output per stay: (key, start_seq, end_seq,
+    n_fixes, x_sum, y_sum, dur_us) — integer sums so the centroid is a
+    caller-side exact fraction.
+
+    Same scale shape as ``simplify_trajectories``: one shuffle on the
+    trajectory key, sequential NumPy scan per group.  Sequential
+    data-dependent control flow => rows-only (no SQL oracle); the
+    reference-scan pytests pin exactness.
+    """
+    src = fixes.select(
+        F.col(key).alias("key"),
+        F.col(seq).alias("seq"),
+        F.col(ts_us).cast("long").alias("ts_us"),
+        F.col(x).cast("long").alias("x"),
+        F.col(y).cast("long").alias("y"),
+    )
+    out_schema = (
+        "key long, start_seq long, end_seq long, n_fixes long, "
+        "x_sum long, y_sum long, dur_us long"
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("seq")
+        xs = pdf["x"].to_numpy(np.int64)
+        ys = pdf["y"].to_numpy(np.int64)
+        ts = pdf["ts_us"].to_numpy(np.int64)
+        sq = pdf["seq"].to_numpy(np.int64)
+        n = len(pdf)
+        recs = []
+        i = 0
+        while i < n - 1:
+            dx = xs[i + 1 :] - xs[i]
+            dy = ys[i + 1 :] - ys[i]
+            viol = np.flatnonzero(dx * dx + dy * dy > d2)
+            j = n - 1 if viol.size == 0 else i + int(viol[0])  # last in-range
+            if j > i and ts[j] - ts[i] >= min_dur_us:
+                recs.append(
+                    {
+                        "key": int(pdf["key"].iloc[0]),
+                        "start_seq": int(sq[i]),
+                        "end_seq": int(sq[j]),
+                        "n_fixes": int(j - i + 1),
+                        "x_sum": int(xs[i : j + 1].sum()),
+                        "y_sum": int(ys[i : j + 1].sum()),
+                        "dur_us": int(ts[j] - ts[i]),
+                    }
+                )
+                i = j + 1
+            else:
+                i += 1
+        cols = ["key", "start_seq", "end_seq", "n_fixes", "x_sum", "y_sum", "dur_us"]
+        return pd.DataFrame.from_records(recs, columns=cols)
+
+    out = src.groupBy("key").applyInPandas(run, out_schema)
+    return out.withColumnRenamed("key", key)
+
+
+@register("traj_stay_points", None)
+def traj_stay_points(spark, sf_dir):
+    """Stay points of the per-user milli-degree walks (d=25 units,
+    min duration 15 h); rows-only — sequential anchor scan is not
+    SQL-expressible; exactness pinned by tests/test_trajectory.py."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    d = ev.withColumn(
+        "dlon", F.pmod(F.col("event_id") * 37, F.lit(21)) - 10
+    ).withColumn("dlat", F.pmod(F.col("event_id") * 91, F.lit(21)) - 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pos = (
+        d.withColumn("x", F.sum("dlon").over(w))
+        .withColumn("y", F.sum("dlat").over(w))
+        .withColumn("seq", F.row_number().over(w))
+        .withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+        .select("user_id", "seq", "ts_us", "x", "y")
+    )
+    return stay_points(pos, d2=625, min_dur_us=15 * 3600 * 1_000_000)

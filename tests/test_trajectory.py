@@ -109,3 +109,71 @@ def test_span_overflow_guard():
     y = np.array([0, 1, 2], np.int64)
     with pytest.raises(ValueError, match="span"):
         dp_mask(x, y, 5)
+
+
+# ---------------------------------------------------------------------------
+# stay points
+# ---------------------------------------------------------------------------
+
+
+def _stay_reference(xs, ys, ts, sq, d2, min_dur):
+    """Pure-Python Li et al. anchor scan."""
+    n, i, out = len(xs), 0, []
+    while i < n - 1:
+        j = i
+        for k in range(i + 1, n):
+            if (xs[k] - xs[i]) ** 2 + (ys[k] - ys[i]) ** 2 > d2:
+                break
+            j = k
+        if j > i and ts[j] - ts[i] >= min_dur:
+            out.append(
+                (int(sq[i]), int(sq[j]), j - i + 1,
+                 int(sum(xs[i : j + 1])), int(sum(ys[i : j + 1])),
+                 int(ts[j] - ts[i]))
+            )
+            i = j + 1
+        else:
+            i += 1
+    return out
+
+
+def test_stay_points_match_reference_scan(spark):
+    from data_model_spark.operators.trajectory import stay_points
+
+    rows = []
+    truth = {}
+    for u in range(5):
+        x, y = _walk(u, 120)
+        ts = [i * 3_600_000_000 + (u + i) % 7 * 60_000_000 for i in range(120)]
+        sq = list(range(1, 121))
+        rows += [(u, sq[i], ts[i], int(x[i]), int(y[i])) for i in range(120)]
+        truth[u] = _stay_reference(
+            [int(v) for v in x], [int(v) for v in y], ts, sq, 625, 2 * 3_600_000_000
+        )
+    df = spark.createDataFrame(rows, "user_id long, seq long, ts_us long, x long, y long")
+    got = stay_points(df.repartition(16), 625, 2 * 3_600_000_000).collect()
+    by_u = {}
+    for r in got:
+        by_u.setdefault(r.user_id, []).append(
+            (r.start_seq, r.end_seq, r.n_fixes, r.x_sum, r.y_sum, r.dur_us)
+        )
+    for u in range(5):
+        assert sorted(by_u.get(u, [])) == sorted(truth[u]), u
+    assert any(truth.values())  # fixture yields real stays
+
+
+def test_stay_points_handbuilt(spark):
+    from data_model_spark.operators.trajectory import stay_points
+
+    h = 3_600_000_000
+    rows = [
+        (1, 1, 0 * h, 0, 0),
+        (1, 2, 1 * h, 3, 4),    # within d=10 of anchor
+        (1, 3, 2 * h, 6, 0),    # still within
+        (1, 4, 3 * h, 50, 50),  # violator -> stay (1..3), dur 2h
+        (1, 5, 4 * h, 52, 51),  # within of new anchor but dur 1h < 2h
+        (1, 6, 5 * h, 99, 99),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, seq long, ts_us long, x long, y long")
+    got = [tuple(r) for r in stay_points(df, 100, 2 * h).collect()]
+    assert got == [(1, 1, 3, 3, 9, 4, 2 * h)]
