@@ -763,23 +763,22 @@ def cell_heatmap(
                 .bitwiseOR(F.shiftleft(ny.cast("long"), cells._Y_SHIFT))
                 .bitwiseOR(F.pmod(cx + F.lit(dx), F.lit(n)).cast("long"))
             )
+            own = F.col("n") if dx == dy == 0 else F.lit(0)
             terms.append(
                 F.when(
                     (ny >= 0) & (ny < n),
-                    F.struct(nc.alias("tc"), (F.col("n") * w).alias("wn")),
+                    F.struct(
+                        nc.alias("tc"),
+                        (F.col("n") * w).alias("wn"),
+                        own.alias("own"),
+                    ),
                 )
             )
+    # n_own rides the center term of the spread, so ONE aggregation yields
+    # both outputs — no join back to (and no recomputation of) counts
     spread = counts.select(
         "cell", "n", F.explode(F.array(*terms)).alias("t")
     ).filter(F.col("t").isNotNull())
-    heat = spread.groupBy(F.col("t.tc").alias("cell_out")).agg(
-        F.sum("t.wn").alias("heat")
-    )
-    return (
-        heat.join(counts, heat["cell_out"] == counts["cell"], "left")
-        .select(
-            F.col("cell_out").alias("cell"),
-            "heat",
-            F.coalesce("n", F.lit(0)).alias("n_own"),
-        )
+    return spread.groupBy(F.col("t.tc").alias("cell")).agg(
+        F.sum("t.wn").alias("heat"), F.sum("t.own").alias("n_own")
     )
