@@ -146,3 +146,92 @@ FROM agg"""
 def lm_perplexity(spark, sf_dir):
     """Self-trained add-one bigram perplexity for every document."""
     return perplexity(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+
+def pmi_collocations(docs: DataFrame, min_count: int = 5) -> DataFrame:
+    """(w1, w2, c_xy, pmi): pointwise mutual information of adjacent
+    token pairs (Church & Hanks 1990) — the collocation signal next to
+    the perplexity scorer (multi-word expressions, boilerplate phrases).
+
+    pmi = ln( P(xy) / (P(x) P(y)) ) with P from exact corpus counts;
+    computed as ``ln((c_xy * N * N) / (M * c_x * c_y))`` over doubles in
+    a fixed expression order, so both engines evaluate identical IEEE
+    trees.  ``min_count`` drops the unstable low-count tail (standard
+    practice, and it bounds the output by the frequent-bigram set).
+
+    Scale shape: two map-side-combinable count aggregations (bigrams,
+    unigrams), two broadcast-able scalar totals, and two equi-joins of
+    the bigram count table against the (vocabulary-sized) unigram table
+    on w1/w2 keys.  No Python UDFs.
+    """
+    ws = F.split(F.trim(F.lower("text")), " +")
+    toks = docs.select("doc_id", ws.alias("ws"))
+    uni = toks.select(F.explode("ws").alias("w")).groupBy("w").agg(
+        F.count("*").alias("c")
+    )
+    n_tok = uni.agg(F.sum("c").alias("n"))
+    big = (
+        toks.filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws)-1), i -> struct("
+                    "element_at(ws, i) AS w1, element_at(ws, i+1) AS w2))"
+                )
+            ).alias("g")
+        )
+        .groupBy("g.w1", "g.w2")
+        .agg(F.count("*").alias("c_xy"))
+    )
+    m_big = big.agg(F.sum("c_xy").alias("m"))
+    j = (
+        big.filter(F.col("c_xy") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y")), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(m_big))
+    )
+    num = F.col("c_xy").cast("double") * F.col("n") * F.col("n")
+    den = F.col("m").cast("double") * F.col("c_x") * F.col("c_y")
+    return j.select(
+        "w1", "w2", "c_xy", F.round(F.log(num / den), 6).alias("pmi")
+    )
+
+
+_PMI_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS ws
+  FROM documents),
+uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w),
+n_tok AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+big AS (
+  SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
+         CAST(COUNT(*) AS BIGINT) AS c_xy
+  FROM (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                                     i -> ws[i] || ' ' || ws[i + 1])) AS b
+        FROM toks WHERE len(ws) >= 2)
+  GROUP BY 1, 2),
+m_big AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS m FROM big)
+SELECT b.w1, b.w2, b.c_xy,
+       ROUND(LN((CAST(b.c_xy AS DOUBLE) * n.n * n.n)
+                / (CAST(m.m AS DOUBLE) * ux.c * uy.c)), 6) AS pmi
+FROM big b
+JOIN uni ux ON ux.w = b.w1
+JOIN uni uy ON uy.w = b.w2
+CROSS JOIN n_tok n CROSS JOIN m_big m
+WHERE b.c_xy >= 5"""
+
+
+@register("pmi_collocations", _PMI_ORACLE)
+def pmi_collocations_query(spark, sf_dir):
+    """PMI of adjacent token pairs over the corpus, count >= 5; oracle
+    replays the identical count joins and IEEE expression tree."""
+    d = load_table(spark, sf_dir, "documents")
+    return pmi_collocations(d)

@@ -103,6 +103,7 @@ PRIORITY_ORDER: list[str] = [
     "triangle_counts",
     "cell_heatmap",
     "traj_stay_points",
+    "pmi_collocations",
     # -- text suite --
     "token_count",
     "quality_score",

@@ -114,3 +114,36 @@ class TestBM25:
 
         got = {(r.doc_id, r.term): r.bm25 for r in bm25_scores(docs).collect()}
         assert got[(9, "rareword")] > got[(9, "common")]
+
+
+class TestPMI:
+    def test_hand_computed(self, spark):
+        import math
+
+        from data_model_spark.operators.lm import pmi_collocations
+
+        rows = [(i, "alpha beta alpha beta gamma") for i in range(5)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r.w1, r.w2): (r.c_xy, r.pmi) for r in pmi_collocations(docs).collect()}
+        # per doc: bigrams (alpha,beta)x2, (beta,alpha)x1, (beta,gamma)x1
+        n, m = 25, 20
+        c = {"alpha": 10, "beta": 10, "gamma": 5}
+        def pmi(cxy, cx, cy):
+            return round(math.log((cxy * n * n) / (m * c[cx] * c[cy])), 6)
+
+        assert got[("alpha", "beta")] == (10, pmi(10, "alpha", "beta"))
+        assert got[("beta", "alpha")] == (5, pmi(5, "beta", "alpha"))
+        assert got[("beta", "gamma")] == (5, pmi(5, "beta", "gamma"))
+        assert len(got) == 3
+
+    def test_collocation_ranks_above_chance_pair(self, spark):
+        from data_model_spark.operators.lm import pmi_collocations
+
+        # "new york" always adjacent; "the of" co-occur only by chance
+        text = "new york " + "the a of b " * 3
+        docs = spark.createDataFrame(
+            [(i, text + ("the of " if i % 2 else "of the ")) for i in range(10)],
+            "doc_id long, text string",
+        )
+        got = {(r.w1, r.w2): r.pmi for r in pmi_collocations(docs).collect()}
+        assert got[("new", "york")] > got[("the", "a")]
