@@ -104,6 +104,7 @@ PRIORITY_ORDER: list[str] = [
     "cell_heatmap",
     "traj_stay_points",
     "pmi_collocations",
+    "phrase_search",
     # -- text suite --
     "token_count",
     "quality_score",
@@ -198,6 +199,7 @@ def all_queries() -> dict[str, QuerySpec]:
         render,
         reproject,
         sampling,
+        search,
         sessions,
         similarity,
         skyline,
