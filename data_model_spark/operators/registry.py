@@ -105,6 +105,7 @@ PRIORITY_ORDER: list[str] = [
     "traj_stay_points",
     "pmi_collocations",
     "phrase_search",
+    "char_entropy",
     # -- text suite --
     "token_count",
     "quality_score",

@@ -263,3 +263,64 @@ def bm25_scores_query(spark, sf_dir):
     oracle replays the identical formula (same ln, same k1/b literals)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
     return bm25_scores(d)
+
+
+# ---------------------------------------------------------------------------
+# character-entropy quality signal
+# ---------------------------------------------------------------------------
+
+
+def char_entropy(docs):
+    """(doc_id, n_chars_e, entropy_nanonats): Shannon entropy of the
+    per-document character distribution — the cheap gibberish/boilerplate
+    signal next to the repetition and perplexity scores (low entropy =
+    repeated filler; high = encrypted/binary junk).
+
+    Uses the same integer-NANONAT quantization as ``operators/lm.py``:
+    each character's ``-(c/L) * ln(c/L)`` term quantizes to an int64
+    immediately after the transcendental, so the per-document sum is an
+    order-free exact integer — plan- and engine-independent.
+
+    Scale shape: one character explode (JVM ``transform`` over an index
+    sequence, no Python) and one (doc, char) count aggregation, then a
+    per-doc integer sum.
+    """
+    chars = F.expr(
+        "transform(sequence(1, length(text)), i -> substring(text, i, 1))"
+    )
+    per_char = (
+        docs.select("doc_id", F.length("text").alias("L"), F.explode(chars).alias("ch"))
+        .groupBy("doc_id", "L", "ch")
+        .agg(F.count("*").alias("c"))
+    )
+    p = F.col("c").cast("double") / F.col("L")
+    term = F.expr("CAST(ROUND(-(CAST(c AS DOUBLE) / L) * LN(CAST(c AS DOUBLE) / L) * 1e9) AS BIGINT)")
+    return (
+        per_char.select("doc_id", "L", term.alias("t"))
+        .groupBy("doc_id")
+        .agg(F.first("L").alias("n_chars_e"), F.sum("t").alias("entropy_nanonats"))
+    )
+
+
+@register(
+    "char_entropy",
+    """WITH chars AS (
+         SELECT doc_id, length(text) AS L,
+                unnest(list_transform(generate_series(1, length(text)),
+                                      i -> substring(text, i, 1))) AS ch
+         FROM documents),
+       pc AS (
+         SELECT doc_id, L, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2, 3),
+       terms AS (
+         SELECT doc_id, L,
+                CAST(ROUND(-(CAST(c AS DOUBLE) / L)
+                           * LN(CAST(c AS DOUBLE) / L) * 1e9) AS BIGINT) AS t
+         FROM pc)
+       SELECT doc_id, CAST(MIN(L) AS BIGINT) AS n_chars_e,
+              CAST(SUM(t) AS BIGINT) AS entropy_nanonats
+       FROM terms GROUP BY doc_id""",
+)
+def char_entropy_query(spark, sf_dir):
+    """Per-document character entropy in exact integer nanonats."""
+    d = load_table(spark, sf_dir, "documents")
+    return char_entropy(d)

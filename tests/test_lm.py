@@ -147,3 +147,30 @@ class TestPMI:
         )
         got = {(r.w1, r.w2): r.pmi for r in pmi_collocations(docs).collect()}
         assert got[("new", "york")] > got[("the", "a")]
+
+
+class TestCharEntropy:
+    def test_hand_computed(self, spark):
+        import math
+
+        from data_model_spark.operators.text import char_entropy
+
+        docs = spark.createDataFrame(
+            [(0, "aaaa"), (1, "abab"), (2, "abcd")], "doc_id long, text string"
+        )
+        got = {r.doc_id: (r.n_chars_e, r.entropy_nanonats)
+               for r in char_entropy(docs).collect()}
+        def ent(probs):
+            return sum(round(-p * math.log(p) * 1e9) for p in probs)
+        assert got[0] == (4, 0)                      # single symbol
+        assert got[1] == (4, ent([0.5, 0.5]))        # ln 2
+        assert got[2] == (4, ent([0.25] * 4))        # ln 4
+        assert got[2][1] > got[1][1] > got[0][1]
+
+    def test_parallelism_independent(self, spark):
+        from data_model_spark.operators.text import char_entropy
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = {tuple(r) for r in char_entropy(docs.coalesce(1)).collect()}
+        b = {tuple(r) for r in char_entropy(docs.repartition(32)).collect()}
+        assert a == b  # exact integer nanonats — bit-identical
