@@ -189,6 +189,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dbscan,
         decontaminate,
         dedup,
+        dsir,
         hull,
         ivf_kmeans,
         lm,
