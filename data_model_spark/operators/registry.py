@@ -208,6 +208,7 @@ def all_queries() -> dict[str, QuerySpec]:
         snapshot,
         sketches,
         spatial_queries,
+        substrings,
         text,
         trajectory,
         triangles,
