@@ -184,6 +184,7 @@ def all_queries() -> dict[str, QuerySpec]:
     then remaining registrations in import order.
     """
     from . import (  # noqa: F401
+        autocorr,
         components,
         consolidate,
         dbscan,
