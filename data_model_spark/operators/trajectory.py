@@ -220,3 +220,151 @@ def traj_stay_points(spark, sf_dir):
         .select("user_id", "seq", "ts_us", "x", "y")
     )
     return stay_points(pos, d2=625, min_dur_us=15 * 3600 * 1_000_000)
+
+
+# ---------------------------------------------------------------------------
+# trajectory similarity join (discrete Hausdorff)
+# ---------------------------------------------------------------------------
+
+
+def hausdorff_join(fixes: DataFrame, d2: int, cell_shift: int = 9) -> DataFrame:
+    """(key_a, key_b, haus_d2): trajectory pairs with discrete Hausdorff
+    distance squared <= ``d2``, exact.
+
+    The classic trajectory similarity join: H(A,B) = max of the two
+    directed distances max_a min_b |a-b|.  Candidates come from a
+    cell-bucketed bbox join — each trajectory's bounding box, dilated by
+    d = ceil(sqrt(d2)), is covered with 2^cell_shift-sized grid cells
+    (arithmetic shift = exact floor division on negative coords), and
+    only pairs sharing a cover cell are refined.  Complete by
+    construction: H(A,B) <= d forces every point of A within d of B, so
+    the dilated boxes intersect and share a cell.
+
+    The refine is the exact all-point-pairs min/max over each CANDIDATE
+    pair only (the standard exact evaluation; quadratic per pair — feed
+    ``simplify_trajectories`` output for long tracks).  All arithmetic is
+    int64, so the join is plan-independent and SQL-replayable; the
+    registered oracle is the independent BRUTE-FORCE join over all
+    trajectory pairs, so a driver match proves candidate completeness,
+    not just refine agreement.
+
+    Scale shape: one bbox aggregation (map-side combinable), a bounded
+    cover explode (pure JVM ``sequence``), one cell-keyed pair join, and
+    two grouped aggregations over candidate point pairs.  Hot cells fan
+    out at most (trajectories-per-cell choose 2) pairs — the same
+    locality contract as ``spatial.radius_join``.
+    """
+    import math
+
+    d = math.isqrt(int(d2))
+    if d * d < d2:
+        d += 1
+    c = cell_shift
+    bb = fixes.groupBy("key").agg(
+        F.min("x").alias("x0"), F.max("x").alias("x1"),
+        F.min("y").alias("y0"), F.max("y").alias("y1"),
+    )
+    cover = bb.select(
+        "key",
+        F.explode(
+            F.expr(
+                f"flatten(transform("
+                f"sequence(shiftright(x0 - {d}, {c}), shiftright(x1 + {d}, {c})),"
+                f" gx -> transform("
+                f"sequence(shiftright(y0 - {d}, {c}), shiftright(y1 + {d}, {c})),"
+                f" gy -> struct(gx AS gx, gy AS gy))))"
+            )
+        ).alias("g"),
+    ).select("key", F.col("g.gx").alias("gx"), F.col("g.gy").alias("gy"))
+    a = cover.select(F.col("key").alias("ka"), "gx", "gy")
+    b = cover.select(F.col("key").alias("kb"), "gx", "gy")
+    pairs = (
+        a.join(b, ["gx", "gy"])
+        .filter(F.col("ka") < F.col("kb"))
+        .select("ka", "kb")
+        .distinct()
+    )
+
+    pts = fixes.select("key", "x", "y")
+    pp = (
+        pairs.join(pts.select(F.col("key").alias("ka"), F.col("x").alias("ax"), F.col("y").alias("ay")), "ka")
+        .join(pts.select(F.col("key").alias("kb"), F.col("x").alias("bx"), F.col("y").alias("by")), "kb")
+        .withColumn(
+            "dd",
+            (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+            + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")),
+        )
+    )
+    h_ab = (
+        pp.groupBy("ka", "kb", "ax", "ay").agg(F.min("dd").alias("md"))
+        .groupBy("ka", "kb").agg(F.max("md").alias("h_ab"))
+    )
+    h_ba = (
+        pp.groupBy("ka", "kb", "bx", "by").agg(F.min("dd").alias("md"))
+        .groupBy("ka", "kb").agg(F.max("md").alias("h_ba"))
+    )
+    return (
+        h_ab.join(h_ba, ["ka", "kb"])
+        .select(
+            F.col("ka").alias("key_a"),
+            F.col("kb").alias("key_b"),
+            F.greatest("h_ab", "h_ba").alias("haus_d2"),
+        )
+        .filter(F.col("haus_d2") <= d2)
+    )
+
+
+_HAUS_D2 = 90000  # d = 300 grid units
+
+# per-user origin offsets spread the walks over a 10x10 macro-grid so the
+# bbox candidate join actually prunes (9x at sf0.01: 1207 of 11175 pairs)
+_OFFSET_POS_CTE = """
+ev AS (SELECT event_id, ts, user_id,
+       (event_id * 37 % 21) - 10 AS dlon, (event_id * 91 % 21) - 10 AS dlat
+       FROM events),
+pos AS (SELECT user_id AS key,
+        (user_id % 10) * 400 + SUM(dlon) OVER w AS x,
+        ((user_id // 10) % 10) * 400 + SUM(dlat) OVER w AS y
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))"""
+
+_HAUS_ORACLE = f"""
+WITH {_OFFSET_POS_CTE[1:]},
+pairs AS (SELECT DISTINCT a.key AS ka, b.key AS kb FROM pos a JOIN pos b ON a.key < b.key),
+ptd AS (
+  SELECT p.ka, p.kb, a.x AS ax, a.y AS ay,
+         MIN((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS md
+  FROM pairs p JOIN pos a ON a.key = p.ka JOIN pos b ON b.key = p.kb
+  GROUP BY 1, 2, 3, 4),
+dira AS (SELECT ka, kb, MAX(md) AS h FROM ptd GROUP BY 1, 2),
+ptd2 AS (
+  SELECT p.ka, p.kb, b.x AS bx, b.y AS by,
+         MIN((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS md
+  FROM pairs p JOIN pos a ON a.key = p.ka JOIN pos b ON b.key = p.kb
+  GROUP BY 1, 2, 3, 4),
+dirb AS (SELECT ka, kb, MAX(md) AS h FROM ptd2 GROUP BY 1, 2)
+SELECT a.ka AS key_a, a.kb AS key_b,
+       CAST(GREATEST(a.h, b.h) AS BIGINT) AS haus_d2
+FROM dira a JOIN dirb b ON a.ka = b.ka AND a.kb = b.kb
+WHERE GREATEST(a.h, b.h) <= {_HAUS_D2}"""
+
+
+def _offset_walks(spark, sf_dir) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    d = ev.withColumn(
+        "dlon", F.pmod(F.col("event_id") * 37, F.lit(21)) - 10
+    ).withColumn("dlat", F.pmod(F.col("event_id") * 91, F.lit(21)) - 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return d.select(
+        F.col("user_id").alias("key"),
+        (F.pmod("user_id", F.lit(10)) * 400 + F.sum("dlon").over(w)).alias("x"),
+        (F.pmod(F.expr("user_id div 10"), F.lit(10)) * 400
+         + F.sum("dlat").over(w)).alias("y"),
+    )
+
+
+@register("hausdorff_pairs", _HAUS_ORACLE)
+def hausdorff_pairs(spark, sf_dir):
+    """Trajectory pairs within Hausdorff distance 300 over the offset
+    per-user walks; the oracle is the brute-force all-pairs join, so the
+    driver match proves bbox-candidate completeness end to end."""
+    return hausdorff_join(_offset_walks(spark, sf_dir), d2=_HAUS_D2)
