@@ -194,6 +194,7 @@ def all_queries() -> dict[str, QuerySpec]:
         hull,
         ivf_kmeans,
         lm,
+        mapmatch,
         multimodal,
         pagerank,
         pipeline_queries,
