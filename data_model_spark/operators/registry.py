@@ -192,6 +192,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dedup,
         dsir,
         hull,
+        hydrology,
         ivf_kmeans,
         lm,
         mapmatch,
