@@ -1,0 +1,105 @@
+"""Distributed BPE tokenizer training (Sennrich, Haddow & Birch, ACL 2016).
+
+The missing half of the shipped BPE-ish *tokenization* (``text.token_count_bpe``
+segments with a fixed pre-tokenizer): actually LEARNING the merge table
+from the corpus.  Classic algorithm: represent each vocabulary word as a
+symbol sequence (characters + ``</w>`` end marker) weighted by corpus
+frequency; repeat K times { count adjacent symbol pairs, merge the most
+frequent pair everywhere (leftmost-first within a word) }.
+
+Spark shape: the corpus collapses to a (word, count) vocabulary first —
+one hash aggregation over the token explode, the standard trick that
+makes each merge iteration O(|vocab|), not O(corpus).  Each iteration is
+then one JVM pair-explode + one map-side-combinable count aggregation;
+only the single winning pair is collected per round (same driver-loop
+contract as ``ivf_kmeans``: k rows per iteration, never data).  The
+merge itself is a pure JVM ``aggregate`` fold over the symbol array —
+leftmost-first non-overlapping, matching the reference implementation —
+so no Python UDF touches the hot path.  ``localCheckpoint`` truncates
+the per-iteration lineage like ``operators/pagerank.py``.
+
+Determinism: ties on pair count break lexicographically (left, then
+right) — bit-identical merge tables at any parallelism.  Iterative +
+data-dependent => rows-only registered query; exactness is pinned by the
+pure-Python reference equality in ``tests/test_bpe.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+END = "</w>"
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _merge_expr(a: str, b: str) -> str:
+    """Fold s -> s with every leftmost-first adjacent (a, b) fused."""
+    qa, qb, qab = _sql_quote(a), _sql_quote(b), _sql_quote(a + b)
+    return (
+        f"aggregate(slice(s, 2, size(s) - 1), array(element_at(s, 1)),"
+        f" (acc, x) -> IF(element_at(acc, -1) = {qa} AND x = {qb},"
+        f" concat(slice(acc, 1, size(acc) - 1), array({qab})),"
+        f" concat(acc, array(x))))"
+    )
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 20) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges from the corpus; returns
+    [(left, right, pair_count), ...] in merge order.  Stops early when no
+    pair occurs twice."""
+    words = (
+        docs.select(F.explode(F.split(F.trim(F.lower("text")), " +")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    syms = words.select(
+        "cnt",
+        F.expr(
+            f"concat(transform(sequence(1, length(w)), i -> substring(w, i, 1)),"
+            f" array({_sql_quote(END)}))"
+        ).alias("s"),
+    ).localCheckpoint()
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        top = (
+            syms.filter(F.size("s") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 1),"
+                        " i -> struct(element_at(s, i) AS l, element_at(s, i + 1) AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0].n < 2:
+            break
+        l, r, n = top[0].l, top[0].r, int(top[0].n)
+        merges.append((l, r, n))
+        syms = syms.select("cnt", F.expr(_merge_expr(l, r)).alias("s")).localCheckpoint()
+    return merges
+
+
+@register("bpe_train_merges", None)  # iterative; reference equality in tests/test_bpe.py
+def bpe_train_merges(spark, sf_dir):
+    """First 20 BPE merges learned from the document corpus: (rank, left,
+    right, pair_count).  Rows-only — the merge loop is data-dependent
+    iteration; tests/test_bpe.py proves merge-table equality with the
+    pure-Python Sennrich reference on the same corpus."""
+    merges = bpe_train(load_table(spark, sf_dir, "documents"), n_merges=20)
+    rows = [(i, l, r, n) for i, (l, r, n) in enumerate(merges)]
+    return spark.createDataFrame(rows, "rank int, left string, right string, pair_count long")

@@ -185,6 +185,7 @@ def all_queries() -> dict[str, QuerySpec]:
     """
     from . import (  # noqa: F401
         autocorr,
+        bpe,
         components,
         consolidate,
         dbscan,

@@ -1,0 +1,74 @@
+"""BPE training tests: pure-Python Sennrich reference equality on the real
+corpus, hand goldens (overlap + end-marker), and parallelism determinism."""
+
+import re
+from collections import Counter
+
+from data_model_spark.operators.bpe import END, bpe_train
+from data_model_spark.sources.tables import load_table
+
+
+def _ref_bpe(texts, n_merges):
+    vocab = Counter()
+    for t in texts:
+        for w in re.split(" +", t.strip().lower()):
+            if w:
+                vocab[w] += 1
+    seqs = {w: list(w) + [END] for w in vocab}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, s in seqs.items():
+            c = vocab[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        # max count, ties lexicographic on (left, right)
+        (l, r), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        merges.append((l, r, n))
+        for w, s in seqs.items():
+            out = [s[0]]
+            for x in s[1:]:
+                if out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            seqs[w] = out
+    return merges
+
+
+def test_matches_reference_on_corpus(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    texts = [r.text for r in docs.select("text").collect()]
+    want = _ref_bpe(texts, 20)
+    got = bpe_train(docs, n_merges=20)
+    assert got == want
+    assert len(got) == 20
+
+
+def test_hand_golden_overlap_and_marker(spark):
+    # "aaab" x3: first merge is (a,a) count 6 (leftmost-first: 'aaa' gives
+    # 2 pairs per word... actually [a,a,a,b,</w>]: pairs (a,a)x2 -> merged
+    # leftmost-first to [aa,a,b,</w>])
+    docs = spark.createDataFrame([(i, "aaab aaab") for i in range(3)],
+                                 "doc_id long, text string")
+    got = bpe_train(docs, n_merges=3)
+    want = _ref_bpe(["aaab aaab"] * 3, 3)
+    assert got == want
+    assert got[0][0] == "a" and got[0][1] == "a"
+
+
+def test_end_marker_distinguishes_final_position(spark):
+    # 'ab' and 'aab': the b</w> merge competes with (a,b); reference decides
+    docs = spark.createDataFrame([(1, "ab ab ab aab aab")], "doc_id long, text string")
+    assert bpe_train(docs, n_merges=4) == _ref_bpe(["ab ab ab aab aab"], 4)
+
+
+def test_deterministic_across_parallelism(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = bpe_train(docs.repartition(1), n_merges=8)
+    b = bpe_train(docs.repartition(13), n_merges=8)
+    assert a == b
