@@ -188,6 +188,7 @@ def all_queries() -> dict[str, QuerySpec]:
         bpe,
         components,
         consolidate,
+        contours,
         dbscan,
         decontaminate,
         dedup,
