@@ -51,17 +51,13 @@ def register(name: str, oracle: str | Callable[[], str] | None):
 # from this list keep registration order after the listed ones; names listed
 # but not registered are ignored (keeps the list robust to refactors).
 PRIORITY_ORDER: list[str] = [
-    # -- spatial suite (R5) --
-    "pip_rect_join",
-    "pip_cell_join",
-    "knn_bruteforce",
+    # window policy for the r4 run: never-driver-checked queries first,
+    # then queries whose behavior changed in r4 (knn_cells self-heal, the
+    # re-tuned dedup/LSH evidence).  r03-green unchanged suites
+    # (pip_*, knn_bruteforce, cell_cover_counts, ann_*, ivf_cell_counts,
+    # emb_neardup_pairs) rotate to the backfill — their rows stand in
+    # CORRECTNESS_r03.
     "knn_cells",
-    "cell_cover_counts",
-    # -- ANN / embedding suite --
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "ivf_cell_counts",
-    "emb_neardup_pairs",
     "emb_neardup_lsh_pairs",
     # -- round-4 re-tuned dedup evidence (non-vacuous oracles) --
     "dedup_exact_pairs",
@@ -106,6 +102,27 @@ PRIORITY_ORDER: list[str] = [
     "pmi_collocations",
     "phrase_search",
     "char_entropy",
+    # -- round-4 second-wave queries (this session) --
+    "dsir_weights",
+    "dup_span_stats",
+    "morans_i",
+    "gi_star_hotspots",
+    "hausdorff_pairs",
+    "map_match",
+    "bpe_train_merges",
+    # next three are rows-only pixel paths queued for the r5 window
+    "flow_dir_tiles",
+    "flow_accum_tiles",
+    "contour_tiles",
+    # -- r03-green unchanged, rotated out of the r4 window --
+    "pip_rect_join",
+    "pip_cell_join",
+    "knn_bruteforce",
+    "cell_cover_counts",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "ivf_cell_counts",
+    "emb_neardup_pairs",
     # -- text suite --
     "token_count",
     "quality_score",
@@ -201,6 +218,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal,
         pagerank,
         pipeline_queries,
+        pq,
         profile,
         relational,
         render,
