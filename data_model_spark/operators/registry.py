@@ -224,6 +224,7 @@ def all_queries() -> dict[str, QuerySpec]:
         render,
         reproject,
         sampling,
+        scd,
         search,
         sessions,
         similarity,
