@@ -91,14 +91,12 @@ PRIORITY_ORDER: list[str] = [
     "skyline_docs",
     "streaming_enrich_join",
     "geohash_points",
-    "traj_simplify",
     "hillshade_tiles",
     "weighted_sample",
     "quadkey_tiles",
     "snapshot_diff",
     "triangle_counts",
     "cell_heatmap",
-    "traj_stay_points",
     "pmi_collocations",
     "phrase_search",
     "char_entropy",
@@ -109,8 +107,12 @@ PRIORITY_ORDER: list[str] = [
     "gi_star_hotspots",
     "hausdorff_pairs",
     "map_match",
+    "pq_codes",
+    "scd2_history",
     "bpe_train_merges",
-    # next three are rows-only pixel paths queued for the r5 window
+    # rows-only pytest-pinned paths queued for the r5 window
+    "traj_simplify",
+    "traj_stay_points",
     "flow_dir_tiles",
     "flow_accum_tiles",
     "contour_tiles",
