@@ -116,6 +116,7 @@ PRIORITY_ORDER: list[str] = [
     "flow_dir_tiles",
     "flow_accum_tiles",
     "contour_tiles",
+    "raster_regions",
     # -- r03-green unchanged, rotated out of the r4 window --
     "pip_rect_join",
     "pip_cell_join",
@@ -173,7 +174,6 @@ PRIORITY_ORDER: list[str] = [
     # image-axis near-dup outranks the third text near-dup for the last
     # window slot (simhash's mechanics are already covered by minhash)
     "phash_neardup_pairs",
-    "joint_neardup_pairs",
     "caption_token_stats",
     "streaming_event_windows",
     "streaming_tiles",
@@ -205,6 +205,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import (  # noqa: F401
         autocorr,
         bpe,
+        ccl,
         components,
         consolidate,
         contours,
