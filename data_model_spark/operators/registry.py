@@ -91,7 +91,7 @@ PRIORITY_ORDER: list[str] = [
     "skyline_docs",
     "streaming_enrich_join",
     "geohash_points",
-    "hillshade_tiles",
+    "convoy_pairs",
     "weighted_sample",
     "quadkey_tiles",
     "snapshot_diff",
@@ -117,6 +117,10 @@ PRIORITY_ORDER: list[str] = [
     "flow_accum_tiles",
     "contour_tiles",
     "raster_regions",
+    # hillshade rotated out for convoy_pairs: oracle-backed evidence
+    # outranks a rows-only first run; hillshade stays pinned by the
+    # tile==global-mosaic pixel-equality pytests
+    "hillshade_tiles",
     # -- r03-green unchanged, rotated out of the r4 window --
     "pip_rect_join",
     "pip_cell_join",

@@ -368,3 +368,151 @@ def hausdorff_pairs(spark, sf_dir):
     per-user walks; the oracle is the brute-force all-pairs join, so the
     driver match proves bbox-candidate completeness end to end."""
     return hausdorff_join(_offset_walks(spark, sf_dir), d2=_HAUS_D2)
+
+
+# ---------------------------------------------------------------------------
+# co-movement (convoy / travel-together) detection
+# ---------------------------------------------------------------------------
+
+
+def comovement(
+    fixes: DataFrame, d2: int, min_run: int, cell_shift: int
+) -> DataFrame:
+    """(key_a, key_b, n_buckets, max_run): pairs of trajectories that are
+    COMPANIONS (squared distance <= ``d2``) in at least ``min_run``
+    CONSECUTIVE time buckets — the pairwise core of convoy / flock
+    detection (Jeung et al., VLDB'08).
+
+    ``fixes`` holds one representative integer position per (key, tb)
+    (take the bucket's last fix upstream).  Candidates come from ONE
+    equi-join on (tb, cell): the lower-key side explodes to its 3x3 cell
+    neighborhood map-side (the ``radius_join`` locality contract), the
+    higher-key side keeps its single containing cell, so every companion
+    pair is found exactly once per bucket — complete because
+    2^cell_shift >= d means companions are at most one cell apart per
+    axis.  The exact int64 refine keeps true companions; consecutive
+    runs come from the standard gaps-and-islands window (tb minus the
+    pair-ordered row number is constant exactly on a run).
+
+    Scale shape: bucket snapping rides the trajectory-key window; the
+    pair join shuffles on (tb, cell) — time-sliced, so a day of 10^12
+    fixes never meets another day's; runs/aggregation shuffle on the
+    surviving pair keys only.  Hot cells fan out like ``radius_join``
+    (AQE skew splitting / res+1 pre-split apply unchanged).
+    """
+    d_ceil = 1 << cell_shift
+    if d_ceil * d_ceil < d2:
+        raise ValueError(
+            f"cell_shift={cell_shift} cells are {d_ceil} units — smaller "
+            f"than sqrt(d2)={d2 ** 0.5:.0f}; companions one ring apart "
+            "would be missed (use a coarser shift)"
+        )
+    c = cell_shift
+    cells = fixes.select(
+        "key", "tb", "x", "y",
+        F.shiftright("x", c).alias("gx"), F.shiftright("y", c).alias("gy"),
+    )
+    a = cells.select(
+        F.col("key").alias("ka"), "tb",
+        F.col("x").alias("ax"), F.col("y").alias("ay"),
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(gx - 1, gx + 1), "
+                "i -> transform(sequence(gy - 1, gy + 1), "
+                "j -> struct(i AS gx, j AS gy))))"
+            )
+        ).alias("g"),
+    ).select("ka", "tb", "ax", "ay", F.col("g.gx").alias("gx"), F.col("g.gy").alias("gy"))
+    b = cells.select(
+        F.col("key").alias("kb"), "tb",
+        F.col("x").alias("bx"), F.col("y").alias("by"), "gx", "gy",
+    )
+    comp = (
+        a.join(b, ["tb", "gx", "gy"])
+        .filter(F.col("ka") < F.col("kb"))
+        .filter(
+            (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+            + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
+            <= F.lit(d2)
+        )
+        .select("ka", "kb", "tb")
+    )
+    w = Window.partitionBy("ka", "kb").orderBy("tb")
+    runs = comp.withColumn("island", F.col("tb") - F.row_number().over(w))
+    per_island = runs.groupBy("ka", "kb", "island").agg(
+        F.count("*").alias("run_len")
+    )
+    return (
+        per_island.groupBy("ka", "kb")
+        .agg(F.sum("run_len").alias("n_buckets"), F.max("run_len").alias("max_run"))
+        .filter(F.col("max_run") >= min_run)
+        .select(
+            F.col("ka").alias("key_a"), F.col("kb").alias("key_b"),
+            "n_buckets", "max_run",
+        )
+    )
+
+
+_CONVOY_D2 = 3600  # d = 60 grid units; cell_shift 6 -> 64-unit cells
+_CONVOY_MIN_RUN = 3
+
+_CONVOY_ORACLE = f"""
+WITH {_OFFSET_POS_CTE[1:].replace("pos AS (SELECT user_id AS key,",
+    "pos AS (SELECT user_id AS key, ts, event_id,")},
+snap AS (SELECT key,
+         CAST(date_diff('day', TIMESTAMP '2024-01-01', ts) AS BIGINT) AS tb,
+         x, y,
+         ROW_NUMBER() OVER (PARTITION BY key, date_diff('day', TIMESTAMP '2024-01-01', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+         FROM pos),
+fix AS (SELECT key, tb, x, y FROM snap WHERE rn = 1),
+comp AS (SELECT a.key AS ka, b.key AS kb, a.tb
+         FROM fix a JOIN fix b ON a.tb = b.tb AND a.key < b.key
+         AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= {_CONVOY_D2}),
+isl AS (SELECT ka, kb, tb,
+        tb - ROW_NUMBER() OVER (PARTITION BY ka, kb ORDER BY tb) AS island
+        FROM comp),
+per_isl AS (SELECT ka, kb, island, count(*) AS run_len
+            FROM isl GROUP BY 1, 2, 3)
+SELECT ka AS key_a, kb AS key_b,
+       CAST(SUM(run_len) AS BIGINT) AS n_buckets,
+       CAST(MAX(run_len) AS BIGINT) AS max_run
+FROM per_isl GROUP BY 1, 2 HAVING MAX(run_len) >= {_CONVOY_MIN_RUN}"""
+
+
+def _bucketed_walks(spark, sf_dir) -> DataFrame:
+    """Last position of each user's offset walk per UTC day bucket."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    d = ev.withColumn(
+        "dlon", F.pmod(F.col("event_id") * 37, F.lit(21)) - 10
+    ).withColumn("dlat", F.pmod(F.col("event_id") * 91, F.lit(21)) - 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pos = d.select(
+        F.col("user_id").alias("key"), "ts", "event_id",
+        (F.pmod("user_id", F.lit(10)) * 400 + F.sum("dlon").over(w)).alias("x"),
+        (F.pmod(F.expr("user_id div 10"), F.lit(10)) * 400
+         + F.sum("dlat").over(w)).alias("y"),
+    ).withColumn(
+        "tb", F.datediff(F.to_date("ts"), F.lit("2024-01-01")).cast("long")
+    )
+    wb = Window.partitionBy("key", "tb").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        pos.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("key", "tb", "x", "y")
+    )
+
+
+@register("convoy_pairs", _CONVOY_ORACLE)
+def convoy_pairs(spark, sf_dir):
+    """User pairs travelling together (within 60 units at day-bucket
+    granularity) for >= 3 consecutive days over the offset walks; the
+    oracle is the brute-force per-bucket pairs join plus the identical
+    gaps-and-islands windows, so a driver match proves 3x3-ring
+    candidate completeness AND run assembly."""
+    return comovement(
+        _bucketed_walks(spark, sf_dir),
+        d2=_CONVOY_D2, min_run=_CONVOY_MIN_RUN, cell_shift=6,
+    )
