@@ -77,7 +77,7 @@ PRIORITY_ORDER: list[str] = [
     "focal_mean",
     "band_ndi",
     "change_detect",
-    "zonal_stats_poly",
+    "sssp_khop",
     "joint_neardup_pairs",
     "radius_pairs",
     "dbscan_clusters",
@@ -117,10 +117,12 @@ PRIORITY_ORDER: list[str] = [
     "flow_accum_tiles",
     "contour_tiles",
     "raster_regions",
-    # hillshade rotated out for convoy_pairs: oracle-backed evidence
-    # outranks a rows-only first run; hillshade stays pinned by the
-    # tile==global-mosaic pixel-equality pytests
+    # hillshade/zonal_stats_poly rotated out for convoy_pairs/sssp_khop:
+    # oracle-backed evidence outranks a rows-only first run; both stay
+    # pinned by global-mosaic pixel-equality pytests (zonal_stats still
+    # evidences the zonal family inside the window)
     "hillshade_tiles",
+    "zonal_stats_poly",
     # -- r03-green unchanged, rotated out of the r4 window --
     "pip_rect_join",
     "pip_cell_join",
@@ -238,6 +240,7 @@ def all_queries() -> dict[str, QuerySpec]:
         skyline,
         snapshot,
         sketches,
+        sssp,
         spatial_queries,
         substrings,
         text,

@@ -1,0 +1,139 @@
+"""K-hop-bounded single-source shortest paths (distributed Bellman-Ford).
+
+Like ``components``/``pagerank`` this is web-scale pipeline surface the
+engine adds beyond the raster reference: shortest-path distance is the
+standard link-graph proximity signal (crawl frontier scheduling, spam
+distance a la TrustRank).  The semantics are **exact by definition**:
+``dist_K(v)`` is the minimum total weight over paths of at most K edges
+from the source — the Bellman-Ford invariant — so the answer does not
+depend on convergence detection; with K >= the graph's hop diameter it
+equals true SSSP (pinned against a sequential Dijkstra in
+``tests/test_sssp.py``).
+
+Determinism contract: weights and distances are int64; each round is
+``min(dist, min over in-edges(dist_u + w))`` — pure integer min/plus,
+commutative and associative, so the result is bit-identical at any
+parallelism and the DuckDB oracle replays the identical unrolled rounds.
+
+Scale shape: per round ONE equi-join of edges against the frontier
+distance table (keyed on src — broadcastable while the reached set is
+small, shuffle otherwise; Catalyst/AQE picks per round since sizes are
+materialized by the localCheckpoint) and one map-side-combinable
+``groupBy(dst).min``; the distance table is node-sized, never edge-sized.
+``localCheckpoint`` per round truncates lineage exactly like
+``components``/``pagerank``.  K is a fixed small constant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+_INF = (1 << 63) - 1
+
+
+def sssp_khop(
+    edges: DataFrame,
+    source,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """(node, dist): min path weight from ``source`` over <= ``k`` edges.
+
+    ``edges`` is a directed weighted edge list (int64 non-negative
+    weights; symmetrize upstream for undirected graphs).  Only nodes
+    reached within k hops appear.
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"),
+        F.col(weight).cast("long").alias("w"),
+    )
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(source, 0)], "node long, dist long")
+    for _ in range(k):
+        cand = (
+            e.join(dist, e["src"] == dist["node"])
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("nd"))
+            .groupBy("node")
+            .agg(F.min("nd").alias("nd"))
+        )
+        dist = (
+            dist.join(cand, "node", "full_outer")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce("dist", F.lit(_INF)), F.coalesce("nd", F.lit(_INF))
+                ).alias("dist"),
+            )
+            .localCheckpoint()
+        )
+    return dist
+
+
+# ---------------------------------------------------------------------------
+# registered query: weighted symmetrized trade graph, 6 rounds
+# ---------------------------------------------------------------------------
+
+_K = 6
+
+_EDGES_CTE = """
+trade AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+wtrade AS (
+  SELECT cust, supp + 1000000 AS supp, 1 + (cust + supp) % 97 AS w FROM trade),
+edges AS (
+  SELECT cust AS src, supp AS dst, w FROM wtrade
+  UNION ALL SELECT supp, cust, w FROM wtrade)"""
+
+
+def _sssp_oracle(k: int) -> str:
+    parts = [
+        f"WITH {_EDGES_CTE[1:]},",
+        """src AS (SELECT MIN(src) AS s FROM edges),
+d0 AS (SELECT (SELECT s FROM src) AS node, CAST(0 AS BIGINT) AS dist)""",
+    ]
+    for i in range(k):
+        parts.append(f""",
+c{i} AS (SELECT e.dst AS node, MIN(d.dist + e.w) AS nd
+         FROM edges e JOIN d{i} d ON d.node = e.src GROUP BY e.dst),
+d{i + 1} AS (SELECT COALESCE(d.node, c.node) AS node,
+           CAST(LEAST(COALESCE(d.dist, 9223372036854775807),
+                 COALESCE(c.nd, 9223372036854775807)) AS BIGINT) AS dist
+           FROM d{i} d FULL OUTER JOIN c{i} c ON c.node = d.node)""")
+    parts.append(f"\nSELECT node, dist FROM d{k}")
+    return "".join(parts)
+
+
+def _weighted_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    wtrade = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+        .select(
+            "cust",
+            (F.col("sk") + 1000000).alias("supp"),
+            (1 + F.pmod(F.col("cust") + F.col("sk"), F.lit(97))).alias("w"),
+        )
+    )
+    return wtrade.select(
+        F.col("cust").alias("src"), F.col("supp").alias("dst"), "w"
+    ).union(wtrade.select("supp", "cust", "w"))
+
+
+@register("sssp_khop", _sssp_oracle(_K))
+def sssp_khop_query(spark, sf_dir):
+    """6-hop-bounded shortest distances from the min customer node over
+    the weighted symmetrized trade graph (w = 1 + (cust+supp) % 97);
+    bit-exact vs the SQL-unrolled Bellman-Ford oracle (1600 nodes at
+    sf0.01; the graph's hop diameter is 4, so this IS true SSSP there)."""
+    edges = _weighted_trade_edges(spark, sf_dir)
+    source = edges.agg(F.min("src")).collect()[0][0]
+    return sssp_khop(edges, source, k=_K)
