@@ -109,7 +109,7 @@ PRIORITY_ORDER: list[str] = [
     "map_match",
     "pq_codes",
     "scd2_history",
-    "bpe_train_merges",
+    "otsu_events",
     # rows-only pytest-pinned paths queued for the r5 window
     "traj_simplify",
     "traj_stay_points",
@@ -123,6 +123,8 @@ PRIORITY_ORDER: list[str] = [
     # evidences the zonal family inside the window)
     "hillshade_tiles",
     "zonal_stats_poly",
+    "bpe_train_merges",
+    "otsu_mosaic",
     # -- r03-green unchanged, rotated out of the r4 window --
     "pip_rect_join",
     "pip_cell_join",
@@ -244,6 +246,7 @@ def all_queries() -> dict[str, QuerySpec]:
         spatial_queries,
         substrings,
         text,
+        threshold,
         trajectory,
         triangles,
         validate,
