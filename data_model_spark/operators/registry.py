@@ -74,7 +74,7 @@ PRIORITY_ORDER: list[str] = [
     "idw_surface",
     "zonal_stats",
     "temporal_composite",
-    "focal_mean",
+    "w1_source_drift",
     "band_ndi",
     "change_detect",
     "sssp_khop",
@@ -125,6 +125,7 @@ PRIORITY_ORDER: list[str] = [
     "zonal_stats_poly",
     "bpe_train_merges",
     "otsu_mosaic",
+    "focal_mean",
     # -- r03-green unchanged, rotated out of the r4 window --
     "pip_rect_join",
     "pip_cell_join",
@@ -220,6 +221,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dbscan,
         decontaminate,
         dedup,
+        drift,
         dsir,
         hull,
         hydrology,
