@@ -15,8 +15,10 @@ threshold) across the WHOLE mosaic, not per tile:
    large-star/small-star rounds) merges the node graph; singleton labels
    keep their own node id, regions get the min reachable node id.
 
-Node ids pack (tile_x, tile_y, local label) into int64 (20/20/20 bits,
-bounds checked) — injective, so the merge is exact.  The whole pipeline
+Node ids pack (layer, tile_x, tile_y, local label) into int64
+(7/20/20/16 bits, bounds checked) — injective ACROSS (var, level)
+layers, which routinely cover the same tile coords — so the merge is
+exact.  The whole pipeline
 is integer arithmetic end to end; ``tests/test_ccl.py`` proves the
 region partition equals a sequential global union-find on ramps, stripes
 crossing seams, and random mosaics.
@@ -90,10 +92,18 @@ def label_tile(mask: np.ndarray) -> tuple[np.ndarray, int]:
     return out, dense
 
 
-def _node(tx: int, ty: int, lab: np.ndarray | int):
-    if not (0 <= tx <= _B20 and 0 <= ty <= _B20):
-        raise ValueError(f"tile coords out of packable range: {(tx, ty)}")
-    return (np.int64(tx) << 40) | (np.int64(ty) << 20) | np.int64(lab)
+def _node(gi: int, tx: int, ty: int, lab: np.ndarray | int):
+    """Pack (group, tile_x, tile_y, local label) into a positive int64:
+    7 + 20 + 20 + 16 bits.  ``gi`` keys the (var, level) layer — two
+    layers routinely cover the SAME tile coords, and their local labels
+    must never union (bug caught by the multi-band mosaic: b04/b07
+    fragments at one tile coord merged before gi was packed in)."""
+    if not (0 <= gi <= 127 and 0 <= tx <= _B20 and 0 <= ty <= _B20):
+        raise ValueError(f"group/tile out of packable range: {(gi, tx, ty)}")
+    return (
+        (np.int64(gi) << 56) | (np.int64(tx) << 36)
+        | (np.int64(ty) << 16) | np.int64(lab)
+    )
 
 
 _LOCAL_SCHEMA = T.StructType(
@@ -104,17 +114,40 @@ _LOCAL_SCHEMA = T.StructType(
         T.StructField("ik", T.StringType(), False),      # border rows: interface key
         T.StructField("pos", T.IntegerType(), False),
         T.StructField("side", T.StringType(), False),
+        # per-label geometry in GLOBAL pixel coords (label rows; 0 on
+        # border rows): bbox corners and coordinate sums for centroids
+        T.StructField("minx", T.LongType(), False),
+        T.StructField("maxx", T.LongType(), False),
+        T.StructField("miny", T.LongType(), False),
+        T.StructField("maxy", T.LongType(), False),
+        T.StructField("sx", T.LongType(), False),
+        T.StructField("sy", T.LongType(), False),
     ]
 )
 
 
-def raster_regions(tiles: DataFrame, threshold: int) -> DataFrame:
-    """(region, px, n_labels): global 4-connected foreground regions.
+def _labeled_frames(tiles: DataFrame, threshold: int):
+    """(labels_df, comps_df): the per-tile label rows (with geometry
+    sums) and the stitched component mapping — shared by
+    ``raster_regions`` and ``raster_region_stats``.
 
-    ``region`` is the min packed (tile, label) node id of the component;
-    ``px`` its exact pixel count; ``n_labels`` the number of per-tile
-    fragments it stitches (1 = never crossed a tile border).
+    Global pixel coordinates: gx = tile_x*T + col, gy = tile_y*T +
+    (T-1-row) — row 0 is a tile's NORTH edge (it adjoins tile_y+1), so
+    gy grows north like tile_y.  Per-tile coordinate sums stay exact in
+    float64 bincount weights (<= 65536 px * 2^28 coord < 2^53) and are
+    summed across tiles in decimal(38,0) — a 10^12-pixel region's sum
+    overflows int64.
+
+    Each (var, level) layer is an independent labeling domain: its index
+    ``gi`` is packed into the node id (the driver-side distinct is a
+    tiny metadata collect), because different layers routinely cover the
+    same tile coords and interface keys alone only scope the EDGES.
     """
+    groups = sorted(
+        (r["var"], r["level"])
+        for r in tiles.select("var", "level").distinct().collect()
+    )
+    gi_of = {g: i for i, g in enumerate(groups)}
 
     def local(batches):
         for pdf in batches:
@@ -124,12 +157,33 @@ def raster_regions(tiles: DataFrame, threshold: int) -> DataFrame:
                 mask = canvas >= threshold
                 labels, n = label_tile(mask)
                 tx, ty = int(row.tile_x), int(row.tile_y)
+                gi = gi_of[(row.var, row.level)]
+                if n > 0xFFFF:
+                    raise ValueError(f"{n} local labels exceed 16-bit packing")
                 if n:
                     cnt = np.bincount(labels.ravel(), minlength=n + 1)
+                    ys, xs = np.nonzero(labels)
+                    labs = labels[ys, xs]
+                    gxs = tx * TILE_PX + xs
+                    gys = ty * TILE_PX + (TILE_PX - 1 - ys)
+                    sx = np.bincount(labs, weights=gxs, minlength=n + 1)
+                    sy = np.bincount(labs, weights=gys, minlength=n + 1)
+                    big = 1 << 40
+                    mnx = np.full(n + 1, big, dtype=np.int64)
+                    mxx = np.full(n + 1, -1, dtype=np.int64)
+                    mny = np.full(n + 1, big, dtype=np.int64)
+                    mxy = np.full(n + 1, -1, dtype=np.int64)
+                    np.minimum.at(mnx, labs, gxs)
+                    np.maximum.at(mxx, labs, gxs)
+                    np.minimum.at(mny, labs, gys)
+                    np.maximum.at(mxy, labs, gys)
                     for lab in range(1, n + 1):
                         recs.append(
-                            {"kind": "label", "node": int(_node(tx, ty, lab)),
-                             "px": int(cnt[lab]), "ik": "", "pos": 0, "side": ""}
+                            {"kind": "label", "node": int(_node(gi, tx, ty, lab)),
+                             "px": int(cnt[lab]), "ik": "", "pos": 0, "side": "",
+                             "minx": int(mnx[lab]), "maxx": int(mxx[lab]),
+                             "miny": int(mny[lab]), "maxy": int(mxy[lab]),
+                             "sx": int(sx[lab]), "sy": int(sy[lab])}
                         )
                 # borders: east/west interfaces keyed by the boundary x;
                 # north (canvas row 0, adjoins tile_y+1) / south keyed by
@@ -142,8 +196,10 @@ def raster_regions(tiles: DataFrame, threshold: int) -> DataFrame:
                 ):
                     for pos in np.flatnonzero(vec):
                         recs.append(
-                            {"kind": "border", "node": int(_node(tx, ty, vec[pos])),
-                             "px": 0, "ik": ik, "pos": int(pos), "side": side}
+                            {"kind": "border", "node": int(_node(gi, tx, ty, vec[pos])),
+                             "px": 0, "ik": ik, "pos": int(pos), "side": side,
+                             "minx": 0, "maxx": 0, "miny": 0, "maxy": 0,
+                             "sx": 0, "sy": 0}
                         )
             yield pd.DataFrame.from_records(recs) if recs else pd.DataFrame(
                 {f.name: pd.Series(dtype="object") for f in _LOCAL_SCHEMA.fields}
@@ -153,7 +209,7 @@ def raster_regions(tiles: DataFrame, threshold: int) -> DataFrame:
         "var", "level", "tile_x", "tile_y", "data"
     ).mapInPandas(local, _LOCAL_SCHEMA).localCheckpoint()
 
-    labels = local_out.filter(F.col("kind") == "label").select("node", "px")
+    labels = local_out.filter(F.col("kind") == "label").drop("kind", "ik", "pos", "side")
     borders = local_out.filter(F.col("kind") == "border")
     a = borders.filter(F.col("side") == "a").select(
         F.col("ik").alias("ik"), F.col("pos").alias("pos"), F.col("node").alias("na")
@@ -165,10 +221,50 @@ def raster_regions(tiles: DataFrame, threshold: int) -> DataFrame:
 
     comps = connected_components(edges, "na", "nb")
     lbl = labels.join(comps, labels["node"] == comps["node"], "left").select(
-        labels["node"].alias("n"), F.coalesce("comp", labels["node"]).alias("region"), "px"
-    )
-    return lbl.groupBy("region").agg(
+        F.coalesce("comp", labels["node"]).alias("region"), labels["*"]
+    ).drop("node")
+    return lbl
+
+
+def raster_regions(tiles: DataFrame, threshold: int) -> DataFrame:
+    """(region, px, n_labels): global 4-connected foreground regions.
+
+    ``region`` is the min packed (tile, label) node id of the component;
+    ``px`` its exact pixel count; ``n_labels`` the number of per-tile
+    fragments it stitches (1 = never crossed a tile border).
+    """
+    return _labeled_frames(tiles, threshold).groupBy("region").agg(
         F.sum("px").alias("px"), F.count("*").alias("n_labels")
+    )
+
+
+def raster_region_stats(tiles: DataFrame, threshold: int) -> DataFrame:
+    """(region, px, n_labels, minx, maxx, miny, maxy, cx, cy): regions
+    with their global-pixel bounding box and centroid — the attribute
+    half of GDAL-style polygonize.
+
+    bbox corners are exact int64 min/max reductions over the stitched
+    fragments; the centroid is the single IEEE division of the exact
+    decimal(38,0) coordinate sums by the exact pixel count — both
+    associative reductions, so stitching order (and parallelism) cannot
+    change the answer.
+    """
+    lbl = _labeled_frames(tiles, threshold)
+    return lbl.groupBy("region").agg(
+        F.sum("px").alias("px"),
+        F.count("*").alias("n_labels"),
+        F.min("minx").alias("minx"),
+        F.max("maxx").alias("maxx"),
+        F.min("miny").alias("miny"),
+        F.max("maxy").alias("maxy"),
+        (
+            F.sum(F.col("sx").cast("decimal(38,0)")).cast("double")
+            / F.sum("px").cast("double")
+        ).alias("cx"),
+        (
+            F.sum(F.col("sy").cast("decimal(38,0)")).cast("double")
+            / F.sum("px").cast("double")
+        ).alias("cy"),
     )
 
 
@@ -196,3 +292,34 @@ def raster_regions_query(spark, sf_dir):
     out = raster_regions(_merged_tiles(spark), threshold=1500)
     # stable rows for the driver: distribution by (px, n_labels)
     return out.groupBy("px", "n_labels").agg(F.count("*").alias("n_regions"))
+
+def reference_region_stats(
+    G: np.ndarray, threshold: int, tx0: int, ty_max: int
+) -> set[tuple]:
+    """{(px, minx, maxx, miny, maxy, sx, sy)} of the global mosaic's
+    regions (sequential truth).  ``G``'s row 0 is the NORTH edge of the
+    tile row ``ty_max``; column 0 starts tile column ``tx0``."""
+    labels, n = label_tile(G >= threshold)
+    out = set()
+    T_ = TILE_PX
+    for lab in range(1, n + 1):
+        rs, cs = np.nonzero(labels == lab)
+        gx = tx0 * T_ + cs
+        ty = ty_max - rs // T_
+        gy = ty * T_ + (T_ - 1 - (rs % T_))
+        out.add((
+            int(rs.size), int(gx.min()), int(gx.max()),
+            int(gy.min()), int(gy.max()), int(gx.sum()), int(gy.sum()),
+        ))
+    return out
+
+
+@register("raster_region_stats", None)  # pixel path; tests/test_ccl.py
+def raster_region_stats_query(spark, sf_dir):
+    """Polygonize attributes of the value >= 1500 regions of the merged
+    level-0 mosaic: exact global-pixel bounding boxes and IEEE centroids
+    per region.  Rows-only; bbox/centroid equality with the sequential
+    global union-find is pinned in tests/test_ccl.py."""
+    from .hydrology import _merged_tiles
+
+    return raster_region_stats(_merged_tiles(spark), threshold=1500)

@@ -117,6 +117,7 @@ PRIORITY_ORDER: list[str] = [
     "flow_accum_tiles",
     "contour_tiles",
     "raster_regions",
+    "raster_region_stats",
     # hillshade/zonal_stats_poly rotated out for convoy_pairs/sssp_khop:
     # oracle-backed evidence outranks a rows-only first run; both stay
     # pinned by global-mosaic pixel-equality pytests (zonal_stats still

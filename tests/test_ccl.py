@@ -7,7 +7,9 @@ import numpy as np
 
 from data_model_spark.operators.ccl import (
     label_tile,
+    raster_region_stats,
     raster_regions,
+    reference_region_stats,
     reference_regions,
 )
 from data_model_spark.operators.tiling import TILE_PX
@@ -123,3 +125,61 @@ def test_registered_threshold_selects_mixed_mask():
     px = synth_pixels("img-000000", 512, 512)
     frac = float((px >= 1500).mean())
     assert 0.01 < frac < 0.99, frac
+
+
+def test_region_stats_match_global_reference(spark):
+    n = TILE_PX
+    rng = np.random.default_rng(21)
+    # 2x2 mosaic at tile coords (5..6, 8..9) with seam-crossing blobs
+    canv = {
+        (tx, ty): (rng.random((n, n)) < 0.40).astype(np.uint16) * 70
+        for tx in (5, 6)
+        for ty in (8, 9)
+    }
+    got = {
+        (r.px, r.minx, r.maxx, r.miny, r.maxy,
+         int(round(r.cx * r.px)), int(round(r.cy * r.px)))
+        for r in raster_region_stats(_tiles_df(spark, canv), 50).collect()
+    }
+    want = reference_region_stats(_mosaic(canv), 50, tx0=5, ty_max=9)
+    assert got == want
+
+
+def test_region_stats_seam_centroid_exact(spark):
+    # one 2-tile horizontal bar crossing the vertical seam: exact bbox
+    # and centroid are hand-computable
+    n = TILE_PX
+    A = np.zeros((n, n), dtype=np.uint16)
+    B = np.zeros((n, n), dtype=np.uint16)
+    A[10, n - 4 :] = 9  # gx 0*n + (n-4..n-1), gy = n-1-10
+    B[10, :6] = 9       # gx 1*n + (0..5)
+    rows = raster_region_stats(
+        _tiles_df(spark, {(0, 0): A, (1, 0): B}), 5
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    xs = list(range(n - 4, n)) + list(range(n, n + 6))
+    assert (r.px, r.n_labels) == (10, 2)
+    assert (r.minx, r.maxx) == (n - 4, n + 5)
+    assert r.miny == r.maxy == n - 1 - 10
+    assert r.cx == sum(xs) / 10 and r.cy == n - 11
+
+
+def test_layers_never_merge(spark):
+    """Two vars covering the SAME tile coords are independent labeling
+    domains (regression: pre-gi packing, their labels collided and
+    cross-band regions silently merged)."""
+    n = TILE_PX
+    Z = np.zeros((n, n), dtype=np.uint16)
+    Z[5, :] = 9  # one full-width bar per tile
+    rows = [
+        (var, 0, tx, 0, Z.astype(">u2").tobytes())
+        for var in ("b04", "b07")
+        for tx in (0, 1)
+    ]
+    df = spark.createDataFrame(
+        rows, "var string, level int, tile_x long, tile_y long, data binary"
+    )
+    out = raster_regions(df, 5).collect()
+    # each var: ONE region of 2 stitched bars (2*n px) — not one of 4
+    assert sorted((r.px, r.n_labels) for r in out) == [(2 * n, 2), (2 * n, 2)]
