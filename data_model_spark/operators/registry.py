@@ -110,6 +110,8 @@ PRIORITY_ORDER: list[str] = [
     "pq_codes",
     "scd2_history",
     "otsu_events",
+    # oracle-backed r4 additions past the window — first in line for r5
+    "kcore_nodes",
     # rows-only pytest-pinned paths queued for the r5 window
     "traj_simplify",
     "traj_stay_points",
@@ -227,6 +229,7 @@ def all_queries() -> dict[str, QuerySpec]:
         hull,
         hydrology,
         ivf_kmeans,
+        kcore,
         lm,
         mapmatch,
         multimodal,
