@@ -128,6 +128,7 @@ PRIORITY_ORDER: list[str] = [
     "zonal_stats_poly",
     "bpe_train_merges",
     "otsu_mosaic",
+    "equalize_mosaic",
     "focal_mean",
     # -- r03-green unchanged, rotated out of the r4 window --
     "pip_rect_join",

@@ -162,3 +162,80 @@ def otsu_mosaic(spark, sf_dir):
     from .hydrology import _merged_tiles
 
     return otsu_threshold(histogram_tiles(_merged_tiles(spark)))
+
+
+# ---------------------------------------------------------------------------
+# global histogram equalization (two-pass transform)
+# ---------------------------------------------------------------------------
+
+
+def equalize_lut(hist_rows: list[tuple], levels: int) -> np.ndarray:
+    """The classic equalization lookup table from (v, cnt) pairs:
+    lut[v] = round((cdf(v) - cdf_min) * (levels-1) / (N - cdf_min)),
+    round-half-up in pure integers.  65536-entry int64 array."""
+    acc = np.zeros(65536, dtype=np.int64)
+    for v, cnt in hist_rows:
+        acc[v] = cnt
+    cdf = np.cumsum(acc)
+    n = int(cdf[-1])
+    if n == 0:
+        raise ValueError("empty histogram")
+    nz = np.flatnonzero(acc)
+    cdf_min = int(cdf[nz[0]])
+    den = n - cdf_min
+    if den == 0:  # single-valued image: map to 0
+        return np.zeros(65536, dtype=np.int64)
+    num = (cdf - cdf_min) * (levels - 1)
+    return np.clip((2 * num + den) // (2 * den), 0, levels - 1)
+
+
+def equalize_tiles(tiles: DataFrame, levels: int = 256) -> DataFrame:
+    """Histogram-equalize every tile against the GLOBAL mosaic CDF —
+    the canonical two-pass image transform: pass 1 aggregates the exact
+    histogram (<= 65536 rows no matter the data volume), whose LUT is a
+    driver-side metadata collect broadcast into pass 2's vectorized
+    per-tile remap.  Emits per-tile integer fingerprints (sum/min/max of
+    the remapped pixels) — the remapped bytes stay inside the task.
+
+    Determinism: the LUT is pure integer round-half-up from exact
+    counts; the remap is a table lookup — bit-identical at any
+    parallelism (pinned vs a sequential NumPy reference on the full
+    mosaic in tests/test_threshold.py).
+    """
+    hist_rows = [(r.v, r.cnt) for r in histogram_tiles(tiles).collect()]
+    lut = equalize_lut(hist_rows, levels)
+    spark = tiles.sparkSession
+    blut = spark.sparkContext.broadcast(lut)
+
+    def remap(batches):
+        import pandas as pd
+
+        t = blut.value
+        for pdf in batches:
+            out = {"var": [], "tile_x": [], "tile_y": [],
+                   "eq_sum": [], "eq_min": [], "eq_max": []}
+            for row in pdf.itertuples(index=False):
+                eq = t[decode_image(row.data, "raw-u16", TILE_PX, TILE_PX)]
+                out["var"].append(row.var)
+                out["tile_x"].append(row.tile_x)
+                out["tile_y"].append(row.tile_y)
+                out["eq_sum"].append(int(eq.sum()))
+                out["eq_min"].append(int(eq.min()))
+                out["eq_max"].append(int(eq.max()))
+            yield pd.DataFrame(out)
+
+    return tiles.select("var", "tile_x", "tile_y", "data").mapInPandas(
+        remap,
+        "var string, tile_x long, tile_y long, eq_sum long, eq_min long, eq_max long",
+    )
+
+
+@register("equalize_mosaic", None)  # pixel path; tests/test_threshold.py
+def equalize_mosaic(spark, sf_dir):
+    """Global histogram equalization of the merged level-0 mosaic to 256
+    display levels: per-tile integer fingerprints of the remapped
+    pixels.  Rows-only; bit-equality with the sequential NumPy reference
+    on the full mosaic is pinned in tests/test_threshold.py."""
+    from .hydrology import _merged_tiles
+
+    return equalize_tiles(_merged_tiles(spark), levels=256)

@@ -101,3 +101,64 @@ def test_deterministic_across_parallelism(spark):
     a = sorted(map(tuple, otsu_scan(df.repartition(1)).collect()))
     b = sorted(map(tuple, otsu_scan(df.repartition(11)).collect()))
     assert a == b and len(a) > 100
+
+
+def test_equalize_lut_properties():
+    from data_model_spark.operators.threshold import equalize_lut
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(10, 5000, 30000)
+    acc = np.bincount(vals, minlength=65536)
+    lut = equalize_lut(
+        [(int(v), int(acc[v])) for v in np.flatnonzero(acc)], 256
+    )
+    assert lut.min() >= 0 and lut.max() == 255
+    assert (np.diff(lut) >= 0).all()  # monotone
+    nz = np.flatnonzero(acc)
+    assert lut[nz[0]] == 0  # darkest occupied bin maps to 0
+
+
+def test_equalize_matches_numpy_reference(spark):
+    from data_model_spark.codecs import decode_image, encode_image
+    from data_model_spark.operators.threshold import (
+        equalize_lut,
+        equalize_tiles,
+    )
+    from data_model_spark.operators.tiling import TILE_PX
+
+    rng = np.random.default_rng(5)
+    tiles, canvases = [], {}
+    for tx in range(3):
+        z = (rng.normal(2000, 600, (TILE_PX, TILE_PX))).clip(0, 65535).astype(np.uint16)
+        canvases[tx] = z
+        tiles.append(("b01", tx, 0, encode_image(z, "raw-u16")))
+    df = spark.createDataFrame(
+        tiles, "var string, tile_x long, tile_y long, data binary"
+    )
+    got = {
+        (r.tile_x): (r.eq_sum, r.eq_min, r.eq_max)
+        for r in equalize_tiles(df, 256).collect()
+    }
+    # sequential: global histogram over ALL tiles, then per-tile remap
+    allpx = np.concatenate([z.ravel() for z in canvases.values()])
+    acc = np.bincount(allpx, minlength=65536)
+    lut = equalize_lut(
+        [(int(v), int(acc[v])) for v in np.flatnonzero(acc)], 256
+    )
+    for tx, z in canvases.items():
+        eq = lut[z]
+        assert got[tx] == (int(eq.sum()), int(eq.min()), int(eq.max())), tx
+
+
+def test_equalize_single_value_image(spark):
+    from data_model_spark.codecs import encode_image
+    from data_model_spark.operators.threshold import equalize_tiles
+    from data_model_spark.operators.tiling import TILE_PX
+
+    z = np.full((TILE_PX, TILE_PX), 777, dtype=np.uint16)
+    df = spark.createDataFrame(
+        [("b01", 0, 0, encode_image(z, "raw-u16"))],
+        "var string, tile_x long, tile_y long, data binary",
+    )
+    r = equalize_tiles(df, 256).collect()[0]
+    assert (r.eq_sum, r.eq_min, r.eq_max) == (0, 0, 0)
