@@ -112,6 +112,8 @@ PRIORITY_ORDER: list[str] = [
     "otsu_events",
     # oracle-backed r4 additions past the window — first in line for r5
     "kcore_nodes",
+    "interval_overlap_join",
+    "fuzzy_name_pairs",
     # rows-only pytest-pinned paths queued for the r5 window
     "traj_simplify",
     "traj_stay_points",
@@ -227,8 +229,10 @@ def all_queries() -> dict[str, QuerySpec]:
         dedup,
         drift,
         dsir,
+        fuzzy,
         hull,
         hydrology,
+        intervals,
         ivf_kmeans,
         kcore,
         lm,
