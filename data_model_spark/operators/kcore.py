@@ -39,17 +39,21 @@ def kcore_peel(
     rounds over a SYMMETRIC edge list, with their residual degree."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     for _ in range(rounds):
-        keep = (
-            e.groupBy("src").agg(F.count("*").alias("deg"))
-            .filter(F.col("deg") >= k)
-            .select(F.col("src").alias("node"))
-        )
-        e = (
-            e.join(keep, e["src"] == keep["node"], "left_semi")
-            .join(keep, e["dst"] == keep["node"], "left_semi")
-            .localCheckpoint()
-        )
+        e = _peel_round(e, k).localCheckpoint()
     return e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+
+
+def _peel_round(e: DataFrame, k: int) -> DataFrame:
+    """One simultaneous peel round (exposed so the plan gate can assert
+    the combinable degree count and semi-joins pre-checkpoint)."""
+    keep = (
+        e.groupBy("src").agg(F.count("*").alias("deg"))
+        .filter(F.col("deg") >= k)
+        .select(F.col("src").alias("node"))
+    )
+    return e.join(keep, e["src"] == keep["node"], "left_semi").join(
+        keep, e["dst"] == keep["node"], "left_semi"
+    )
 
 
 def kcore_reference(edges: list[tuple], k: int) -> dict:

@@ -56,23 +56,25 @@ def sssp_khop(
     spark = edges.sparkSession
     dist = spark.createDataFrame([(source, 0)], "node long, dist long")
     for _ in range(k):
-        cand = (
-            e.join(dist, e["src"] == dist["node"])
-            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("nd"))
-            .groupBy("node")
-            .agg(F.min("nd").alias("nd"))
-        )
-        dist = (
-            dist.join(cand, "node", "full_outer")
-            .select(
-                "node",
-                F.least(
-                    F.coalesce("dist", F.lit(_INF)), F.coalesce("nd", F.lit(_INF))
-                ).alias("dist"),
-            )
-            .localCheckpoint()
-        )
+        dist = _relax_round(e, dist).localCheckpoint()
     return dist
+
+
+def _relax_round(e: DataFrame, dist: DataFrame) -> DataFrame:
+    """One Bellman-Ford round (exposed so the plan gate can assert the
+    map-side-combinable min without the checkpoint collapsing the plan)."""
+    cand = (
+        e.join(dist, e["src"] == dist["node"])
+        .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("nd"))
+        .groupBy("node")
+        .agg(F.min("nd").alias("nd"))
+    )
+    return dist.join(cand, "node", "full_outer").select(
+        "node",
+        F.least(
+            F.coalesce("dist", F.lit(_INF)), F.coalesce("nd", F.lit(_INF))
+        ).alias("dist"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -155,3 +155,59 @@ class TestRound3Additions:
         plan = plan_of(spark, "token_count_bpe", execute=True)
         assert ("WholeStageCodegen" in plan or "*(1)" in plan)
         assert "BatchEvalPython" not in plan
+
+
+class TestRound4Additions:
+    def test_interval_join_no_cartesian(self, spark):
+        plan = plan_of(spark, "interval_overlap_join")
+        assert "CartesianProduct" not in plan and "SortMergeJoin" in plan or \
+            "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+    def test_fuzzy_join_no_cartesian_and_pruned_scan(self, spark):
+        plan = plan_of(spark, "fuzzy_name_pairs")
+        assert "CartesianProduct" not in plan
+        read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        # 2-column projection of the 8-column customer table
+        assert read and "c_name" in read[0] and "c_acctbal" not in read[0]
+
+    def test_convoy_join_keyed_on_bucket_and_cell(self, spark):
+        plan = plan_of(spark, "convoy_pairs")
+        assert "CartesianProduct" not in plan
+
+    def test_sssp_round_min_partial_and_no_cartesian(self, spark):
+        # inspect ONE round pre-checkpoint (the checkpoint collapses the
+        # final plan to Scan ExistingRDD)
+        from data_model_spark.operators.sssp import (
+            _relax_round,
+            _weighted_trade_edges,
+        )
+
+        e = _weighted_trade_edges(spark, SF)
+        dist = spark.createDataFrame([(1, 0)], "node long, dist long")
+        plan = _relax_round(e, dist)._jdf.queryExecution().executedPlan().toString()
+        assert "partial_min" in plan  # map-side combine before the dst shuffle
+        assert "CartesianProduct" not in plan
+
+    def test_w1_lattice_and_sizes_broadcast(self, spark):
+        plan = plan_of(spark, "w1_source_drift")
+        assert plan.count("BroadcastHashJoin") >= 2  # lattice + sizes
+        assert "CartesianProduct" not in plan
+
+    def test_otsu_totals_broadcast(self, spark):
+        plan = plan_of(spark, "otsu_events")
+        assert "BroadcastNestedLoopJoin" in plan  # 1-row totals crossJoin
+        # bounded single-partition stages only: the <=65536-row cum
+        # window and the 1-row totals aggregate
+        assert 1 <= plan.count("Exchange SinglePartition") <= 2
+
+    def test_kcore_round_count_partial_and_semi_joins(self, spark):
+        from data_model_spark.operators.kcore import (
+            _peel_round,
+            _sparse_trade_edges,
+        )
+
+        e = _sparse_trade_edges(spark, SF)
+        plan = _peel_round(e, 8)._jdf.queryExecution().executedPlan().toString()
+        assert "partial_count" in plan
+        assert plan.count("LeftSemi") >= 2
+        assert "CartesianProduct" not in plan
