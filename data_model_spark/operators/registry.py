@@ -114,6 +114,7 @@ PRIORITY_ORDER: list[str] = [
     "kcore_nodes",
     "interval_overlap_join",
     "fuzzy_name_pairs",
+    "funnel_depths",
     # rows-only pytest-pinned paths queued for the r5 window
     "traj_simplify",
     "traj_stay_points",
@@ -229,6 +230,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dedup,
         drift,
         dsir,
+        funnel,
         fuzzy,
         hull,
         hydrology,
