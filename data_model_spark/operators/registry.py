@@ -123,6 +123,7 @@ PRIORITY_ORDER: list[str] = [
     "contour_tiles",
     "raster_regions",
     "raster_region_stats",
+    "cost_distance_tiles",
     # hillshade/zonal_stats_poly rotated out for convoy_pairs/sssp_khop:
     # oracle-backed evidence outranks a rows-only first run; both stay
     # pinned by global-mosaic pixel-equality pytests (zonal_stats still
@@ -225,6 +226,7 @@ def all_queries() -> dict[str, QuerySpec]:
         components,
         consolidate,
         contours,
+        costdist,
         dbscan,
         decontaminate,
         dedup,
