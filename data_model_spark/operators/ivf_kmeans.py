@@ -15,10 +15,19 @@ argmin cascades).  So every quantity here is an integer:
   (both engines floor identically; float32 inputs scale exactly in double);
 * a centroid is kept as the exact rational ``(sum_vector, count)`` — sums
   of int64 are associative, so Spark's partition order cannot change them;
-* nearest-centroid uses the scaled distance
-  ``d2(x, c) = sum_i (n_c * xq[i] - s_c[i])^2`` — exact int64 (bounds: with
-  |x| <= ~0.6, scale 1024, n <= 4096 the summand is < 2^53 and the 64-dim
-  sum < 2^62), ties broken by cent_id;
+* nearest-centroid uses the count-normalized key
+  ``key(x, c) = (||s_c||^2 - 2 * n_c * (x . s_c)) / n_c^2``, which orders
+  centroids exactly like the true squared distance to the mean
+  ``||x - s_c/n_c||^2`` (drop the per-x constant ``||x||^2``, divide the
+  exact-int64 remainder by ``n_c^2``).  The numerator is exact int64 and
+  below 2^53 (dim 64, |xq| <= ~2600, n <= 256 => |numerator| < 5e12), so
+  the double division is the identical correctly-rounded IEEE value in
+  Spark, DuckDB, and NumPy; ties break by cent_id.  (An earlier revision
+  compared the un-normalized ``sum_i (n_c * xq[i] - s_c[i])^2`` =
+  ``n_c^2 * dist^2`` across centroids, which weights each candidate by its
+  population squared — at sf0.01 that collapsed all 500 vectors into one
+  cell.  Both engines shared the bias so the oracle still matched; the
+  normalized key is what makes the operator actual k-means.);
 * Lloyd's iterations run a FIXED count (no float convergence test), and an
   emptied cell keeps its previous (sum, count).
 
@@ -54,15 +63,24 @@ def quantize(vectors: DataFrame, dim: int = DIM) -> DataFrame:
     )
 
 
-def _dist2_expr():
-    """Exact scaled distance to a centroid row (s ARRAY<BIGINT>, n BIGINT)."""
-    return F.aggregate(
-        F.zip_with(
-            F.col("xq"), F.col("s"), lambda x, sv: (F.col("n") * x - sv) * (F.col("n") * x - sv)
-        ),
+def _dist_key_expr():
+    """Count-normalized nearest-centroid key for a row (s ARRAY<BIGINT>, n BIGINT).
+
+    ``(||s||^2 - 2 * n * (xq . s)) / n^2`` — same order as the true squared
+    distance to the mean s/n; exact-int64 numerator (< 2^53), identical
+    IEEE division cross-engine.
+    """
+    dot = F.aggregate(
+        F.zip_with(F.col("xq"), F.col("s"), lambda x, sv: x * sv),
         F.lit(0).cast("long"),
         lambda acc, t: acc + t,
     )
+    ss = F.aggregate(
+        F.col("s"), F.lit(0).cast("long"), lambda acc, sv: acc + sv * sv
+    )
+    return (ss - F.lit(2) * F.col("n") * dot).cast("double") / (
+        F.col("n") * F.col("n")
+    ).cast("double")
 
 
 def _assign(vectors_q: DataFrame, cents: list[tuple[int, list[int], int]]) -> DataFrame:
@@ -74,10 +92,10 @@ def _assign(vectors_q: DataFrame, cents: list[tuple[int, list[int], int]]) -> Da
         "cent_id INT, s ARRAY<BIGINT>, n BIGINT",
     )
     scored = vectors_q.crossJoin(F.broadcast(cent_df)).withColumn(
-        "d2", _dist2_expr()
+        "dkey", _dist_key_expr()
     )
     return scored.groupBy("vec_id").agg(
-        F.min_by("cent_id", F.struct("d2", "cent_id")).alias("cell"),
+        F.min_by("cent_id", F.struct("dkey", "cent_id")).alias("cell"),
         F.first("xq").alias("xq"),
     )
 
@@ -147,8 +165,9 @@ def ivf_kmeans_assign(
 
 def _kmeans_oracle(sample_max_id: int = 256, k: int = 8, iters: int = 3, dim: int = DIM) -> str:
     d2 = (
-        f"list_sum(list_transform(generate_series(1, {dim}), "
-        f"i -> (c.n * s.xq[i] - c.s[i]) * (c.n * s.xq[i] - c.s[i])))"
+        f"(CAST(list_sum(list_transform(c.s, v -> v * v)) "
+        f"- 2 * c.n * list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> s.xq[i] * c.s[i])) AS DOUBLE) / CAST(c.n * c.n AS DOUBLE))"
     )
     parts = [
         f"""v AS (

@@ -111,6 +111,7 @@ PRIORITY_ORDER: list[str] = [
     "scd2_history",
     "otsu_events",
     # oracle-backed r4 additions past the window — first in line for r5
+    "semdedup_keep",
     "kcore_nodes",
     "interval_overlap_join",
     "fuzzy_name_pairs",
@@ -252,6 +253,7 @@ def all_queries() -> dict[str, QuerySpec]:
         sampling,
         scd,
         search,
+        semdedup,
         sessions,
         similarity,
         skyline,

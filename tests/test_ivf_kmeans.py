@@ -14,8 +14,10 @@ def ref_assign(xq, cents):
     for x in xq:
         best = None
         for cid, s, n in cents:
-            d2 = int(((n * x - s) ** 2).sum())
-            key = (d2, cid)
+            num = int((s.astype(np.int64) ** 2).sum()) - 2 * int(n) * int(
+                (x.astype(np.int64) * s.astype(np.int64)).sum()
+            )
+            key = (float(num) / float(n * n), cid)
             if best is None or key < best[0]:
                 best = (key, cid)
         out.append(best[1])
