@@ -283,6 +283,13 @@ def knn_join(
     if grow > 0:
         import math
 
+        from ..cache import track
+
+        # the proof pass below runs the ranking job for its stats and the
+        # final result reads it again (semi-join + union) — persist so the
+        # candidate join + window computes once, not per consumer
+        out = track(out)
+
         # guaranteed covered radius of the explored ring, per query: any
         # point OUTSIDE the ring is >= `ring` full cells away in some axis;
         # lat cells are 180/2^res deg (exact meters); the longitude bound is
