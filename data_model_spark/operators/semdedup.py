@@ -61,7 +61,9 @@ def semdedup(
     ``keep`` is false iff the vector sits in a within-cell cosine>=threshold
     duplicate component and is not that component's minimum id.
     """
-    cells = ivf_kmeans_assign(emb, sample_max_id, k, iters, dim)
+    # persisted: the assignment plan feeds both sides of the pair self-join
+    # AND the final verdict join — un-persisted it would compute three times
+    cells = track(ivf_kmeans_assign(emb, sample_max_id, k, iters, dim))
     with_emb = cells.join(
         emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("e")),
         "vec_id",
