@@ -51,20 +51,135 @@ def register(name: str, oracle: str | Callable[[], str] | None):
 # from this list keep registration order after the listed ones; names listed
 # but not registered are ignored (keeps the list robust to refactors).
 PRIORITY_ORDER: list[str] = [
-    # window policy for the r4 run: never-driver-checked queries first,
-    # then queries whose behavior changed in r4 (knn_cells self-heal, the
-    # re-tuned dedup/LSH evidence).  r03-green unchanged suites
-    # (pip_*, knn_bruteforce, cell_cover_counts, ann_*, ivf_cell_counts,
-    # emb_neardup_pairs) rotate to the backfill — their rows stand in
-    # CORRECTNESS_r03.
+    # window policy for the r5 run: the 19 queries that have NEVER received
+    # a driver CORRECTNESS row (r4 second wave, positions 51+ last round)
+    # go first — VERDICT r4 item #1.  New r5 queries follow, then backfill
+    # ordered by evidence staleness: the 43 queries whose latest green row
+    # is CORRECTNESS_r02 outrank r3/r4-green rows.
+    # -- never driver-checked (oracle-backed first) --
+    "semdedup_keep",
+    "kcore_nodes",
+    "interval_overlap_join",
+    "fuzzy_name_pairs",
+    "funnel_depths",
+    "bpe_train_merges",
+    # -- never driver-checked (rows-only, pytest-pinned) --
+    "traj_simplify",
+    "traj_stay_points",
+    "flow_dir_tiles",
+    "flow_accum_tiles",
+    "contour_tiles",
+    "raster_regions",
+    "raster_region_stats",
+    "cost_distance_tiles",
+    "hillshade_tiles",
+    "otsu_mosaic",
+    "equalize_mosaic",
+    "zonal_stats_poly",
+    "focal_mean",
+    # -- new round-5 queries (added this session) --
+    "zonal_stats_fp",
+    "tile_render_fp",
+    "zarr_store_meta",
+    "ann_recall_planted",
+    # -- stalest evidence backfill: latest green row is r2 --
+    "asof_event_order",
+    "asof_range",
+    "anti_join_refs",
+    "bbox_agg",
+    "block_avg",
+    "bool_or_agg",
+    "broadcast_dim",
+    "caption_token_stats",
+    "center_pick",
+    "cf_scale_offset",
+    "clamped_avg",
+    "compliance_counts",
+    "cond_avg",
+    "dispatch_case",
+    "epsg_parse",
+    "except_paths",
+    "filter_in_list",
+    "filter_prefix",
+    "gcp_dedup",
+    "global_topk",
+    "grouping_cube",
+    "grouping_rollup",
+    "inject_join",
+    "json_pred",
+    "map_ops",
+    "nan_canon",
+    "null_avg",
+    "pyramid_cascade",
+    "ref_integrity",
+    "semi_anti",
+    "stride_filter",
+    "summary_counts",
+    "topk_window",
+    "two_phase_avg",
+    "union_bbox",
+    "union_pivot",
+    "validity_pred",
+    "audio_features",
+    "image_features",
+    "image_thumbnails",
+    "streaming_event_windows",
+    "streaming_tiles",
+    "video_frame_sample",
+    # -- r3-green backfill --
+    "pip_rect_join",
+    "pip_cell_join",
+    "knn_bruteforce",
+    "cell_cover_counts",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "ivf_cell_counts",
+    "emb_neardup_pairs",
+    "token_count",
+    "quality_score",
+    "lang_id",
+    "doc_fingerprint",
+    "doc_fingerprint_md5",
+    "gcp_warp",
+    "gcp_overview_gcps",
+    "path_parse",
+    "image_validation",
+    "layout_validate",
+    "pyramid_layout_meta",
+    "store_root_bbox",
+    "tile_point_query",
+    "tile_bbox_query",
+    "product_detect",
+    "flagship_multiband",
+    "resume_tile_write",
+    "wav_audio_features",
+    "y4m_frame_sample",
+    "dedup_components",
+    "dedup_canonical",
+    "ivf_kmeans_assign",
+    "stratified_sample",
+    "stratified_topn",
+    "curation_keep",
+    "length_profile",
+    "vocab_topk",
+    "streaming_dedup",
+    "sessionize",
+    "streaming_sessions",
+    "cohort_retention",
+    "token_count_bpe",
+    "image_size_profile",
+    "decontaminate",
+    "repetition_stats",
+    "consolidate_s2",
+    "dedup_exact",
+    "phash_neardup_pairs",
+    # -- r4-green backfill (freshest evidence, lowest priority) --
     "knn_cells",
     "emb_neardup_lsh_pairs",
-    # -- round-4 re-tuned dedup evidence (non-vacuous oracles) --
     "dedup_exact_pairs",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_pairs",
-    # -- round-4 new queries --
     "coord_attr_templates",
     "tile_render",
     "cell_compact",
@@ -100,7 +215,6 @@ PRIORITY_ORDER: list[str] = [
     "pmi_collocations",
     "phrase_search",
     "char_entropy",
-    # -- round-4 second-wave queries (this session) --
     "dsir_weights",
     "dup_span_stats",
     "morans_i",
@@ -110,107 +224,6 @@ PRIORITY_ORDER: list[str] = [
     "pq_codes",
     "scd2_history",
     "otsu_events",
-    # oracle-backed r4 additions past the window — first in line for r5
-    "semdedup_keep",
-    "kcore_nodes",
-    "interval_overlap_join",
-    "fuzzy_name_pairs",
-    "funnel_depths",
-    # rows-only pytest-pinned paths queued for the r5 window
-    "traj_simplify",
-    "traj_stay_points",
-    "flow_dir_tiles",
-    "flow_accum_tiles",
-    "contour_tiles",
-    "raster_regions",
-    "raster_region_stats",
-    "cost_distance_tiles",
-    # hillshade/zonal_stats_poly rotated out for convoy_pairs/sssp_khop:
-    # oracle-backed evidence outranks a rows-only first run; both stay
-    # pinned by global-mosaic pixel-equality pytests (zonal_stats still
-    # evidences the zonal family inside the window)
-    "hillshade_tiles",
-    "zonal_stats_poly",
-    "bpe_train_merges",
-    "otsu_mosaic",
-    "equalize_mosaic",
-    "focal_mean",
-    # -- r03-green unchanged, rotated out of the r4 window --
-    "pip_rect_join",
-    "pip_cell_join",
-    "knn_bruteforce",
-    "cell_cover_counts",
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "ivf_cell_counts",
-    "emb_neardup_pairs",
-    # -- text suite --
-    "token_count",
-    "quality_score",
-    "lang_id",
-    "doc_fingerprint",
-    "doc_fingerprint_md5",
-    # -- warp / reprojection (R1-R2) --
-    "gcp_warp",
-    "gcp_overview_gcps",
-    # -- path / validation / layout (F8, P7, S7, F5) --
-    "path_parse",
-    "image_validation",
-    "layout_validate",
-    "pyramid_layout_meta",
-    "store_root_bbox",
-    "tile_point_query",
-    "tile_bbox_query",
-    # -- new queries (round 3+) --
-    "product_detect",
-    "flagship_multiband",
-    # r3-green backfill below this point (rotated out of the 50-slot window
-    # in r4 to make room for the 21 never-checked round-4 queries;
-    # resume_tile_write et al. carry green CORRECTNESS_r03 rows)
-    "resume_tile_write",
-    "wav_audio_features",
-    "y4m_frame_sample",
-    "dedup_components",
-    "dedup_canonical",
-    "ivf_kmeans_assign",
-    "stratified_sample",
-    "stratified_topn",
-    "curation_keep",
-    "length_profile",
-    "vocab_topk",
-    "streaming_dedup",
-    "sessionize",
-    "streaming_sessions",
-    "cohort_retention",
-    "token_count_bpe",
-    "image_size_profile",
-    "decontaminate",
-    "repetition_stats",
-    # -- load-bearing verified backfill --
-    "consolidate_s2",
-    "dedup_exact",
-    # image-axis near-dup outranks the third text near-dup for the last
-    # window slot (simhash's mechanics are already covered by minhash)
-    "phash_neardup_pairs",
-    "caption_token_stats",
-    "streaming_event_windows",
-    "streaming_tiles",
-    "image_features",
-    "audio_features",
-    "video_frame_sample",
-    "block_avg",
-    "cond_avg",
-    "two_phase_avg",
-    "pyramid_cascade",
-    "grouping_rollup",
-    "asof_range",
-    "broadcast_dim",
-    "topk_window",
-    "compliance_counts",
-    "cf_scale_offset",
-    "union_bbox",
-    "nan_canon",
-    "gcp_dedup",
 ]
 
 
