@@ -151,12 +151,14 @@ def canonical_docs(
     ``comps`` is the (node, comp) output of ``connected_components``;
     documents absent from it are singletons and are kept.  Output adds
     ``kept_as`` (the id a dropped doc deduplicates to — itself when kept)
-    and boolean ``keep``.  The comps side is the near-dup cluster table —
-    tiny relative to the corpus — so the join broadcasts.
+    and boolean ``keep``.  The comps side grows with the corpus dup rate
+    (30-60% of a web corpus can be in a dup cluster), so the join is NOT
+    hint-forced: AQE broadcasts it when it measures small and falls back
+    to shuffle when it doesn't — a forced broadcast would OOM at scale.
     """
     c = comps.select(F.col("node").alias(id_col), "comp")
     return (
-        docs.join(F.broadcast(c), id_col, "left")
+        docs.join(c, id_col, "left")
         .select(
             id_col,
             F.coalesce("comp", F.col(id_col)).alias("kept_as"),

@@ -774,13 +774,15 @@ def joint_neardup(
         .agg(F.count("*").alias("inter"))
     )
     cj = (
+        # sizes is per-image (grows with the corpus): no forced broadcast —
+        # AQE broadcasts when it measures small, shuffles otherwise
         cpairs.join(
-            F.broadcast(sizes.withColumnRenamed("image_id", "img_a")
-                        .withColumnRenamed("n", "na")), "img_a"
+            sizes.withColumnRenamed("image_id", "img_a")
+            .withColumnRenamed("n", "na"), "img_a"
         )
         .join(
-            F.broadcast(sizes.withColumnRenamed("image_id", "img_b")
-                        .withColumnRenamed("n", "nb")), "img_b"
+            sizes.withColumnRenamed("image_id", "img_b")
+            .withColumnRenamed("n", "nb"), "img_b"
         )
         .withColumn(
             "jaccard_raw",

@@ -151,9 +151,12 @@ def cohort_retention(events: DataFrame) -> DataFrame:
     calendar/timezone semantics to disagree on).  cohort = a user's first
     active week; n_users = distinct users of that cohort active at
     cohort + offset.  Two aggregations: distinct (user, week) activity,
-    then a broadcast join of the (tiny) per-user cohort table, then the
-    matrix rollup — the 10^12-row shape, since both shuffles key on
-    user/cohort.
+    then a join of the per-user cohort table, then the matrix rollup —
+    the 10^12-row shape, since both shuffles key on user/cohort.  The
+    cohort table has one row per distinct user, so it grows with the
+    data: the join is NOT hint-forced (AQE broadcasts it when small,
+    shuffles on user_id — the clustering both sides already share —
+    when not).
     """
     # floor division, not `div` (which truncates toward zero): pre-1970
     # timestamps — dirty data a curation pass must survive — have negative
@@ -167,7 +170,7 @@ def cohort_retention(events: DataFrame) -> DataFrame:
     active = events.select("user_id", wk.alias("wk")).distinct()
     cohort = active.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
     return (
-        active.join(F.broadcast(cohort), "user_id")
+        active.join(cohort, "user_id")
         .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
         .agg(F.count_distinct("user_id").alias("n_users"))
     )

@@ -75,8 +75,10 @@ def snapshot_diff(
         )
         .select("rng")
     )
-    da = pa.join(F.broadcast(dirty), "rng", "left_semi")
-    db = pb.join(F.broadcast(dirty), "rng", "left_semi")
+    # dirty grows with the churn between snapshots (a full rewrite makes it
+    # every range): no forced broadcast — AQE picks broadcast when small
+    da = pa.join(dirty, "rng", "left_semi")
+    db = pb.join(dirty, "rng", "left_semi")
     joined = da.select("id", "fp_a").join(
         db.select(F.col("id").alias("id_b"), "fp_b"),
         F.col("id") == F.col("id_b"),

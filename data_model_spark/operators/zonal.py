@@ -82,7 +82,9 @@ def zonal_stats(
     tile_m = TILE_PX * px_m
     t = tiles.filter(F.col("level") == level)
 
-    # zone -> intersecting tile keys (integer ranges, broadcastable)
+    # zone -> intersecting tile keys (integer ranges).  Size = total
+    # zone-tile intersections, which grows with zone extent × level: no
+    # forced broadcast — AQE broadcasts when it measures small.
     zt = (
         zones.withColumn(
             "tile_x", F.explode(F.sequence(F.expr(f"x0 div {tile_m}"), F.expr(f"(x1 - 1) div {tile_m}")))
@@ -92,7 +94,7 @@ def zonal_stats(
         )
         .filter((F.col("x1") > F.col("x0")) & (F.col("y1") > F.col("y0")))
     )
-    joined = t.join(F.broadcast(zt), ["tile_x", "tile_y"])
+    joined = t.join(zt, ["tile_x", "tile_y"])
 
     # clipped pixel window of this zone inside this tile, in canvas indices:
     # columns (x grows east), rows (canvas row 0 is the tile's north edge)
@@ -280,8 +282,9 @@ def zonal_stats_poly(
                 {f.name: pd.Series(dtype="object") for f in _ASSIGN_SCHEMA.fields}
             )
 
+    # assign grows with zone-tile intersections: AQE-chosen join, not forced
     assign = cand.mapInPandas(classify, _ASSIGN_SCHEMA)
-    joined = t.join(F.broadcast(assign), ["tile_x", "tile_y"])
+    joined = t.join(assign, ["tile_x", "tile_y"])
 
     interior = joined.filter(F.col("full")).select(
         "zone_id",

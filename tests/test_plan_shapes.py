@@ -144,10 +144,22 @@ class TestRound3Additions:
         df = QUERIES["sessionize"].spark_fn(spark, SF)
         assert count_exchanges(df) == 1
 
-    def test_cohort_retention_broadcasts_cohorts(self, spark):
-        plan = plan_of(spark, "cohort_retention")
-        assert "BroadcastHashJoin" in plan
-        assert "CartesianProduct" not in plan
+    def test_cohort_retention_join_not_hint_forced(self, spark):
+        # the per-user cohort table grows with the data, so the join must
+        # NOT carry a broadcast HINT: at test scale the cost model still
+        # picks broadcast (size-estimated — fine), but at 10^12 rows the
+        # same code must be free to shuffle.  Hints survive into the
+        # analyzed logical plan; assert none is present.
+        df = QUERIES["cohort_retention"].spark_fn(spark, SF)
+        logical = df._jdf.queryExecution().analyzed().toString()
+        assert "Hint" not in logical
+        assert "CartesianProduct" not in plan_of(spark, "cohort_retention")
+
+    def test_canonical_docs_join_not_hint_forced(self, spark):
+        # VERDICT r4 #2: comps grows with the dup rate — no forced broadcast
+        df = QUERIES["dedup_canonical"].spark_fn(spark, SF)
+        logical = df._jdf.queryExecution().analyzed().toString()
+        assert "Hint" not in logical
 
     def test_bpe_token_count_stays_in_codegen(self, spark):
         # '*(n)' prefixes are the codegen markers in shuffle-free plans
