@@ -32,6 +32,37 @@ def cmd_convert(args) -> int:
     from .sources import images as img_src
 
     spark = _spark("dms-convert")
+    if args.zarr_input:
+        # the reference's first action on real data (cli.py:174-179):
+        # point `convert` at a Zarr store.  Chunks are already lossless
+        # raw arrays, so the PSNR gate does not apply; the store's own
+        # geo attributes anchor the tile cut.
+        from .sources.zarr_store import zarr_tiles
+
+        frags = zarr_tiles(spark, args.zarr_input, min_dimension=args.min_dimension)
+        merged = tiling.merge_tiles(frags).persist()
+        levels = sorted(
+            r.level for r in merged.select("level").distinct().collect()
+        )
+        sink = ResumableTileWrite(
+            args.output,
+            args.checkpoint or args.output + "_ckpt",
+            layout=args.layout,
+        )
+        results = sink.run(spark, merged, levels, max_retries=args.max_retries)
+        print(
+            json.dumps(
+                {
+                    "zarr_input": args.zarr_input,
+                    "n_merged_tiles": merged.count(),
+                    "levels_written": results["written"],
+                    "levels_skipped": results["skipped"],
+                    "levels_revalidated": results["revalidated"],
+                    "output": args.output,
+                }
+            )
+        )
+        return 0
     if args.input:
         images = spark.read.parquet(args.input)
     else:
@@ -93,6 +124,13 @@ def cmd_validate(args) -> int:
 def cmd_info(args) -> int:
     from pyspark.sql import functions as F
 
+    if args.zarr:
+        # reference `info` prints the store hierarchy (cli.py:1166-1206);
+        # pure-metadata walk, no Spark session needed
+        from .sources.zarr_store import store_info
+
+        print(json.dumps(store_info(args.path)))
+        return 0
     spark = _spark("dms-info")
     df = spark.read.parquet(args.path)
     summary = (
@@ -131,6 +169,11 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("convert", help="image table -> checkpointed tile pyramid")
     c.add_argument("output", help="output tile-table path (partitioned parquet)")
     c.add_argument("--input", help="images parquet path (default: synthesize)")
+    c.add_argument(
+        "--zarr-input",
+        help="Zarr v3 store path: convert its 2-D uint16 arrays instead of "
+        "an image table (geo anchors from array attributes x0/y0_top/pixel_m)",
+    )
     c.add_argument("--n-images", type=int, default=64, help="synthetic image count")
     c.add_argument("--min-dimension", type=int, default=64)
     c.add_argument("--min-psnr-db", type=float, default=40.0)
@@ -154,6 +197,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     i = sub.add_parser("info", help="summarize a written tile pyramid")
     i.add_argument("path")
+    i.add_argument(
+        "--zarr", action="store_true", help="PATH is a Zarr v3 store: print its hierarchy"
+    )
     i.set_defaults(fn=cmd_info)
     return p
 

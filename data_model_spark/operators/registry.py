@@ -280,6 +280,7 @@ def all_queries() -> dict[str, QuerySpec]:
         trajectory,
         triangles,
         validate,
+        zarr_queries,
     )
 
     ordered: dict[str, QuerySpec] = {}

@@ -80,11 +80,20 @@ def tiles_for_image(
     pixel_m: float = img_src.PIXEL_SIZE_M,
     min_dimension: int = 64,
     var_name: str = "b02",
+    level_numbers: list[int] | None = None,
 ) -> list[dict]:
     """Cut one image's pyramid against the global tile grid (pure NumPy).
 
     Returns one record per (level, intersecting global tile).  North-up:
     image row 0 is the northern edge at ``anchor_y + h*pixel_m``.
+
+    ``level_numbers`` overrides the per-image level enumeration — used when
+    this image is one CHUNK of a larger array (the Zarr ingestion path)
+    and the pyramid depth must come from the ARRAY's dims, not the
+    chunk's.  Per-chunk floor-division dims compose exactly to the
+    whole-array cut when 2^level divides the chunk shape (chunk offsets
+    and interior sizes are then 2^level-aligned, and edge chunks drop
+    exactly the same remainder pixels the whole-array floor drops).
     """
     h, w = decoded.shape
     top = anchor_y + h * pixel_m
@@ -101,9 +110,18 @@ def tiles_for_image(
     cascade_ok = variable_type(var_name) == "reflectance"
     acc = None  # int64 pixel-sum accumulator at the previous level
     prev_lw = prev_lh = None
-    for lv in gridlib.overview_levels(w, h, min_dimension=min_dimension):
-        level = lv["level"]
-        lw, lh = lv["width"], lv["height"]
+    if level_numbers is None:
+        level_dims = [
+            (lv["level"], lv["width"], lv["height"])
+            for lv in gridlib.overview_levels(w, h, min_dimension=min_dimension)
+        ]
+    else:
+        level_dims = [
+            (lv, w // (1 << lv), h // (1 << lv)) for lv in sorted(level_numbers)
+        ]
+    for level, lw, lh in level_dims:
+        if lw == 0 or lh == 0:
+            continue  # chunk fully inside the global floor-dropped remainder
         if level == 0:
             arr = decoded
             acc = decoded.astype(np.int64)
