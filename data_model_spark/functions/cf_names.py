@@ -301,4 +301,119 @@ CF_STANDARD_NAMES: tuple[str, ...] = (
     "quality_flag",
     "status_flag",
     "number_of_observations",
+    # -- r5 snapshot extension: second transcription pass over the
+    # published table (anomalies, squares, tendencies, clear-sky fluxes,
+    # stresses, carbon cycle, waves/tides, density variants) --
+    "air_temperature_anomaly",
+    "air_pressure_anomaly",
+    "surface_temperature_anomaly",
+    "square_of_air_temperature",
+    "square_of_eastward_wind",
+    "square_of_northward_wind",
+    "square_of_sea_surface_temperature",
+    "atmosphere_boundary_layer_thickness",
+    "geopotential",
+    "surface_geopotential",
+    "visibility_in_air",
+    "freezing_level_altitude",
+    "atmosphere_absolute_vorticity",
+    "ertel_potential_vorticity",
+    "tendency_of_air_temperature",
+    "tendency_of_air_pressure",
+    "tendency_of_specific_humidity",
+    "tendency_of_eastward_wind",
+    "tendency_of_northward_wind",
+    "mass_fraction_of_water_in_air",
+    "mole_fraction_of_water_vapor_in_air",
+    "cloud_liquid_water_mixing_ratio",
+    "cloud_ice_mixing_ratio",
+    "atmosphere_mass_content_of_water",
+    "canopy_water_amount",
+    "lwe_thickness_of_canopy_water_amount",
+    "surface_snow_melt_amount",
+    "lwe_snowfall_rate",
+    "surface_downwelling_shortwave_flux_in_air_assuming_clear_sky",
+    "surface_downwelling_longwave_flux_in_air_assuming_clear_sky",
+    "surface_upwelling_shortwave_flux_in_air_assuming_clear_sky",
+    "toa_outgoing_shortwave_flux_assuming_clear_sky",
+    "toa_outgoing_longwave_flux_assuming_clear_sky",
+    "surface_diffuse_downwelling_shortwave_flux_in_air",
+    "surface_direct_downwelling_shortwave_flux_in_air",
+    "downwelling_photosynthetic_photon_flux_in_air",
+    "brightness_temperature",
+    "toa_brightness_temperature",
+    "surface_downward_eastward_stress",
+    "surface_downward_northward_stress",
+    "downward_eastward_momentum_flux_in_air",
+    "upward_heat_flux_in_air",
+    "surface_downward_heat_flux_in_sea_water",
+    "sea_water_sigma_t",
+    "sea_water_sigma_theta",
+    "sea_water_potential_density",
+    "barotropic_eastward_sea_water_velocity",
+    "barotropic_northward_sea_water_velocity",
+    "baroclinic_eastward_sea_water_velocity",
+    "baroclinic_northward_sea_water_velocity",
+    "ocean_barotropic_streamfunction",
+    "sea_surface_salinity",
+    "sea_water_velocity_to_direction",
+    "northward_ocean_heat_transport",
+    "ocean_volume",
+    "cell_area",
+    "cell_thickness",
+    "sea_water_alkalinity_expressed_as_mole_equivalent",
+    "mole_concentration_of_dissolved_inorganic_carbon_in_sea_water",
+    "surface_partial_pressure_of_carbon_dioxide_in_sea_water",
+    "sea_surface_wave_zero_upcrossing_period",
+    "sea_surface_wave_maximum_height",
+    "sea_surface_height_amplitude_due_to_geocentric_ocean_tide",
+    "sea_surface_height_above_geopotential_datum",
+    "depth_below_geoid",
+    "sea_ice_freeboard",
+    "tendency_of_sea_ice_area_fraction_due_to_dynamics",
+    "water_potential_evaporation_flux",
+    "water_potential_evaporation_amount",
+    "volume_fraction_of_condensed_water_in_soil_at_field_capacity",
+    "volume_fraction_of_condensed_water_in_soil_at_wilting_point",
+    "soil_hydraulic_conductivity_at_saturation",
+    "gross_primary_productivity_of_biomass_expressed_as_carbon",
+    "net_primary_productivity_of_biomass_expressed_as_carbon",
+    "surface_upward_mole_flux_of_carbon_dioxide",
+    "surface_downward_mole_flux_of_carbon_dioxide",
+    "burned_area",
+    "mole_fraction_of_nitrous_oxide_in_air",
+    "mass_concentration_of_ozone_in_air",
+    "mass_concentration_of_pm1_ambient_aerosol_particles_in_air",
 )
+
+
+def parse_cf_table_file(path: str) -> tuple[str, ...]:
+    """Parse a LOCAL copy of the full CF table (the air-gapped completeness
+    path: download ``cf-standard-name-table.xml`` once, ship it with the
+    job).  Accepts the published XML (``<entry id="...">``) or a plain
+    newline-separated name list."""
+    import re
+
+    with open(path, encoding="utf-8") as f:
+        content = f.read()
+    names = re.findall(r'<entry id="([^"]+)">', content)
+    if not names:  # plain-text fallback: one name per line
+        names = [ln.strip() for ln in content.splitlines()
+                 if ln.strip() and not ln.lstrip().startswith("#")]
+    if not names:
+        raise ValueError(f"no CF entries parsed from {path}")
+    return tuple(dict.fromkeys(names))
+
+
+def effective_cf_names() -> tuple[str, ...]:
+    """Snapshot ∪ optional full local table (env ``DMS_CF_TABLE_PATH``).
+
+    The union — never a replacement — so a stale local file can only ADD
+    valid names, matching the snapshot's reject-only-unknown contract.
+    """
+    import os
+
+    extra = os.environ.get("DMS_CF_TABLE_PATH")
+    if not extra:
+        return CF_STANDARD_NAMES
+    return tuple(dict.fromkeys(CF_STANDARD_NAMES + parse_cf_table_file(extra)))

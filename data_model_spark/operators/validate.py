@@ -31,8 +31,13 @@ from .registry import register
 # CF standard-name validation: vendored snapshot of the published table
 # (functions/cf_names.py) instead of the reference's import-time HTTP fetch
 # (common.py:107-167) — deterministic on air-gapped clusters, never silently
-# disabled, refreshable via cf_names.fetch_cf_standard_names().
-from ..functions.cf_names import CF_STANDARD_NAMES as CF_NAMES
+# disabled.  The FULL table plugs in via a local file (DMS_CF_TABLE_PATH,
+# union semantics) or cf_names.fetch_cf_standard_names() online refresh;
+# read once per process so the Spark rules and the DuckDB oracle always
+# agree on the same set.
+from ..functions.cf_names import effective_cf_names
+
+CF_NAMES = effective_cf_names()
 
 # PROJJSON CRS document structure (reference data_api/geozarr/projjson.py —
 # pydantic models of the OGC PROJJSON schema).  The structural rules below
