@@ -907,6 +907,86 @@ def zonal_stats_poly_q(spark, sf_dir):
     )
 
 
+def _zonal_fp_oracle() -> str:
+    """Direct-kernel VALUES replay of ``zonal_stats`` (the otsu_mosaic
+    pattern, VERDICT r4 #5): regenerate the 48 codec-roundtripped scenes,
+    place them into per-(var, tile) canvases with plain floor arithmetic
+    (level 0 only, no engine cut code), then clip every zone window
+    against every EXISTING canvas — canvas semantics, so zone pixels over
+    unfilled canvas areas count toward n_px exactly as the engine's
+    metadata fast path counts them.  All sums are integer-valued doubles
+    (< 2^53), so px_sum and px_mean = px_sum/n_px are IEEE-identical
+    across engines regardless of accumulation order."""
+    import math
+
+    from ..codecs import decode_image, encode_image
+    from ..sources import images as img_src
+
+    TILE_PX, PX_M = 256, 10
+    tile_m = TILE_PX * PX_M
+    canvases: dict[tuple, np.ndarray] = {}
+    for i in range(48):
+        w, h = img_src.image_dims(i)
+        var = img_src.band_for(i)
+        fmt = img_src.image_fmt(i)
+        raw = img_src.synth_pixels(f"img_{i:012d}", w, h)
+        dec = decode_image(encode_image(raw, fmt), fmt, w, h)
+        ax, ay = img_src.scene_anchor(i)
+        top = ay + h * PX_M
+        for ty in range(
+            math.floor((top - h * PX_M + 1e-9) / tile_m),
+            math.floor((top - 1e-9) / tile_m) + 1,
+        ):
+            for tx in range(
+                math.floor(ax / tile_m),
+                math.floor((ax + w * PX_M - 1e-9) / tile_m) + 1,
+            ):
+                t_left, t_top = tx * tile_m, (ty + 1) * tile_m
+                c0 = max(0, round((t_left - ax) / PX_M))
+                c1 = min(w, round((t_left + tile_m - ax) / PX_M))
+                r0 = max(0, round((top - t_top) / PX_M))
+                r1 = min(h, round((top - (t_top - tile_m)) / PX_M))
+                if c1 <= c0 or r1 <= r0:
+                    continue
+                cv = canvases.setdefault(
+                    (var, tx, ty), np.zeros((TILE_PX, TILE_PX), np.uint16)
+                )
+                oy = r0 + round((t_top - top) / PX_M)
+                ox = c0 + round((ax - t_left) / PX_M)
+                cv[oy : oy + (r1 - r0), ox : ox + (c1 - c0)] = dec[r0:r1, c0:c1]
+    acc: dict[tuple, tuple[int, float]] = {}
+    for (var, tx, ty), cv in canvases.items():
+        for zid, (x0, y0, x1, y1) in _ZONES.items():
+            if x1 <= x0 or y1 <= y0:
+                continue
+            c0 = max(0, -((-(x0 - tx * tile_m)) // PX_M))
+            c1 = min(TILE_PX, (x1 - tx * tile_m) // PX_M)
+            r0 = max(0, -((-((ty + 1) * tile_m - y1)) // PX_M))
+            r1 = min(TILE_PX, ((ty + 1) * tile_m - y0) // PX_M)
+            if c1 <= c0 or r1 <= r0:
+                continue
+            blk = cv[r0:r1, c0:c1].astype(np.float64)
+            n, s = acc.get((zid, var), (0, 0.0))
+            acc[(zid, var)] = (n + blk.size, s + float(blk.sum()))
+    vals = ", ".join(
+        f"('{z}', '{v}', {n}, {s!r})" for (z, v), (n, s) in sorted(acc.items())
+    )
+    return f"""
+WITH v(zone_id, var, n_px, px_sum) AS (VALUES {vals})
+SELECT zone_id, var, CAST(n_px AS BIGINT) AS n_px,
+       CAST(px_sum AS DOUBLE) AS px_sum,
+       ROUND(px_sum / n_px, 6) AS px_mean
+FROM v"""
+
+
+@register("zonal_stats_fp", _zonal_fp_oracle)
+def zonal_stats_fp(spark, sf_dir):
+    """``zonal_stats``'s oracle twin: same distributed two-path plan,
+    hash-checked against the direct-kernel replay above — the driver-
+    visible upgrade of the tests/test_zonal.py pixel-equality pin."""
+    return zonal_stats(spark, sf_dir)
+
+
 @register("focal_mean", None)  # pixel path; exactness in tests/test_focal.py
 def focal_mean(spark, sf_dir):
     """3x3 focal mean over the merged tile raster via halo exchange.
