@@ -20,7 +20,10 @@ argmin cascades).  So every quantity here is an integer:
   centroids exactly like the true squared distance to the mean
   ``||x - s_c/n_c||^2`` (drop the per-x constant ``||x||^2``, divide the
   exact-int64 remainder by ``n_c^2``).  The numerator is exact int64 and
-  below 2^53 (dim 64, |xq| <= ~2600, n <= 256 => |numerator| < 5e12), so
+  below 2^53: |numerator| <= 192 * n^2 * Q^2 with dim 64 and |xq| <= Q
+  (~2600 here), i.e. ~8.5e13 at n = 256 — exact while the training-sample
+  size n stays <= ~2600, which ``ivf_kmeans_assign`` asserts (the bound is
+  a public contract of ``sample_max_id``, not an internal detail), so
   the double division is the identical correctly-rounded IEEE value in
   Spark, DuckDB, and NumPy; ties break by cent_id.  (An earlier revision
   compared the un-normalized ``sum_i (n_c * xq[i] - s_c[i])^2`` =
@@ -153,6 +156,15 @@ def ivf_kmeans_assign(
 
     Output: (vec_id, cell) for every vector.
     """
+    # exact-double guarantee of the assignment key (module docstring):
+    # |numerator| <= 192 * n^2 * Q^2 must stay under 2^53, which with the
+    # quantization bound Q ~= 2600 caps the training sample at ~2600 rows
+    if sample_max_id > 2600:
+        raise ValueError(
+            f"sample_max_id={sample_max_id} exceeds the integer-exactness "
+            "bound (~2600): the nearest-centroid key would overflow 2^53 "
+            "and Spark/DuckDB bit-identity is no longer guaranteed"
+        )
     vq = quantize(vectors, dim)
     cents = kmeans_train(vq.filter(F.col("vec_id") < sample_max_id), k, iters, dim)
     return _assign(vq, cents).select("vec_id", "cell")

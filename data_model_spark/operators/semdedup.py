@@ -74,7 +74,10 @@ def semdedup(
     b = with_emb.select(
         "cell", F.col("vec_id").alias("id_b"), F.col("e").alias("emb_b")
     )
-    edges = track(
+    # no persist: connected_components' first move is .distinct()
+    # .localCheckpoint(eager=True), so edges has exactly one consumer and a
+    # cache would hold executor memory without ever being re-read
+    edges = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(F.round(cosine_expr("emb_a", "emb_b"), 6) >= threshold)

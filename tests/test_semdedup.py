@@ -1,5 +1,7 @@
 """SemDeDup: Spark verdicts vs a NumPy union-find replay of the same rule."""
 
+import math
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -26,7 +28,12 @@ def ref_verdicts(ids, emb, cells, threshold):
         for j in range(i + 1, len(ids)):
             if cells[ids[i]] != cells[ids[j]]:
                 continue
-            cos = round(float(emb[i] @ emb[j] / (norm[i] * norm[j])), 6)
+            # HALF_UP to the 6th decimal, matching Spark F.round and DuckDB
+            # ROUND — Python round() is half-to-even and could disagree on
+            # an exact midpoint at the threshold
+            cos = math.floor(
+                float(emb[i] @ emb[j] / (norm[i] * norm[j])) * 1e6 + 0.5
+            ) / 1e6
             if cos >= threshold:
                 ra, rb = find(int(ids[i])), find(int(ids[j]))
                 if ra != rb:
