@@ -51,6 +51,26 @@ class TestJoinStrategy:
         plan = plan_of(spark, "knn_cells")
         assert "BroadcastHashJoin" in plan
 
+    def test_knn_grow_proof_is_plan_side(self, spark):
+        # VERDICT r4 #6: the grow proof predicate runs as column arithmetic
+        # + anti-join of the proven set — per-query stats stay on the
+        # executors.  Force a grow round (one query, k bigger than the
+        # ring-1 candidate set) and assert the proven-set semi-join made it
+        # into the final plan instead of a driver-collected id list.
+        from data_model_spark.operators import spatial as S
+
+        pts = spark.createDataFrame(
+            [(i, 10.0 + i * 0.9, 46.0) for i in range(8)],
+            "point_id long, lon double, lat double",
+        )
+        qs = spark.createDataFrame(
+            [(0, 10.0, 46.0)], "query_id long, lon double, lat double"
+        )
+        df = S.knn_join(pts, qs, k=6, res=7, ring=1, grow=2)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" in plan and "Union" in plan
+        assert df.count() == 6  # the grow rounds found all 6
+
     def test_semi_anti_planned_as_joins(self, spark):
         plan = plan_of(spark, "semi_anti")
         assert "LeftSemi" in plan or "LeftAnti" in plan
