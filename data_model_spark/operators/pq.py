@@ -172,6 +172,62 @@ def adc_topk(
     return scored.orderBy("adc_d2", "vec_id").limit(topk)
 
 
+def adc_topk_multi(
+    vectors: DataFrame, query_ids: list[int], topk: int = 10, **kw
+) -> DataFrame:
+    """(query_id, vec_id, adc_d2, rank): batch ADC — train ONCE, score every
+    query through one broadcast LUT join + per-query window, instead of
+    ``adc_topk``'s per-query retrain.  LUT size = |Q| * m * k rows (the
+    query set is the broadcast-small side, as in the kNN operators)."""
+    from pyspark.sql.window import Window
+
+    m, sub_dim = kw.get("m", M_SUB), kw.get("sub_dim", SUB_DIM)
+    k, iters = kw.get("k", K_CENT), kw.get("iters", ITERS)
+    sample_max_id = kw.get("sample_max_id", SAMPLE_MAX_ID)
+    books_out: list = []
+    codes = pq_codes(vectors, sample_max_id, m, sub_dim, k, iters, _books_out=books_out)
+    books = books_out[0]
+    vq = quantize(vectors, m * sub_dim)
+    qrows = (
+        vq.filter(F.col("vec_id").isin([int(q) for q in query_ids]))
+        .select("vec_id", "xq")
+        .collect()
+    )  # bounded by the query set — the documented broadcast-small side
+    lut = []
+    for qr in qrows:
+        q = [int(v) for v in qr["xq"]]
+        for j, cents in enumerate(books):
+            qs = q[j * sub_dim : (j + 1) * sub_dim]
+            for cid, c in cents:
+                lut.append(
+                    (int(qr["vec_id"]), j, cid,
+                     sum((qi - ci) ** 2 for qi, ci in zip(qs, c)))
+                )
+    lut_df = vectors.sparkSession.createDataFrame(
+        lut, "query_id long, j int, cid int, d long"
+    )
+    stacked = codes.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("j"), F.col(f"c{j}").alias("cid"))
+                for j in range(m)
+            ])
+        ).alias("p"),
+    ).select("vec_id", F.col("p.j").alias("j"), F.col("p.cid").alias("cid"))
+    scored = (
+        stacked.join(F.broadcast(lut_df), ["j", "cid"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("adc_d2"))
+        .filter(F.col("query_id") != F.col("vec_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle: m subspaces x ITERS snapped-Lloyd steps unrolled as DuckDB CTEs
 # ---------------------------------------------------------------------------

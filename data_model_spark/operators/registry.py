@@ -260,6 +260,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline_queries,
         pq,
         profile,
+        recall,
         relational,
         render,
         reproject,
