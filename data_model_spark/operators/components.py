@@ -39,6 +39,11 @@ from ..sources.tables import load_table
 from .dedup import jaccard_pairs
 from .registry import register
 
+#: optional (tag, round, seconds, size) callback — set ONLY by
+#: scripts/graph_scaling_bench.py to record per-round timings; never
+#: active in production paths
+ROUND_HOOK = None
+
 
 def _swap(e: DataFrame) -> DataFrame:
     return e.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -120,9 +125,14 @@ def connected_components(
     sig = signature(e)
     if sig[0] == 0:
         return e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
-    for _ in range(max_iter):
+    import time as _time
+
+    for _round in range(max_iter):
+        _t0 = _time.perf_counter()
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
         sig2 = signature(e2)
+        if ROUND_HOOK is not None:  # scaling-bench instrumentation only
+            ROUND_HOOK("cc", _round, _time.perf_counter() - _t0, sig2[0])
         e = e2
         if sig2 == sig:
             break

@@ -72,7 +72,12 @@ def pagerank_fixedpoint(
 
     base = (SCALE // n) * (100 - damping_pct) // 100
     ranks = nodes.select("node", F.lit(SCALE // n).alias("rank"))
-    for _ in range(iterations):
+    import time as _time
+
+    from . import components as _cmp
+
+    for _round in range(iterations):
+        _t0 = _time.perf_counter()
         contrib = (
             ed.join(ranks, ed["src"] == ranks["node"])
             .select("dst", F.expr("rank DIV deg").alias("c"))
@@ -89,6 +94,9 @@ def pagerank_fixedpoint(
             )
             .localCheckpoint(eager=False)
         )
+        if _cmp.ROUND_HOOK is not None:  # scaling-bench instrumentation
+            n_r = ranks.count()  # forces the round; lazy otherwise
+            _cmp.ROUND_HOOK("pr", _round, _time.perf_counter() - _t0, n_r)
     return ranks
 
 
