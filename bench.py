@@ -181,6 +181,13 @@ def main() -> None:
         "dbscan_clusters",
         "polygon_overlay",
         "lm_perplexity",
+        # r5 additions: the other iterative-graph heavy hitters (VERDICT
+        # r4 #7 visibility) and the new zarr / recall surfaces
+        "semdedup_keep",
+        "pagerank_trade",
+        "zarr_store_meta",
+        "ann_recall_planted",
+        "geozarr_store_rt",
     ]
     from data_model_spark.cache import unpersist_tracked
 

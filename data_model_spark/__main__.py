@@ -32,6 +32,31 @@ def cmd_convert(args) -> int:
     from .sources import images as img_src
 
     spark = _spark("dms-convert")
+    if args.to_zarr:
+        # write-side parity with the reference's convert OUTPUT (a GeoZarr
+        # store, conversion/geozarr.py:974-1183): tile pyramid -> Zarr v3
+        from .operators.zarr_sink import write_geozarr
+        from .sources.zarr_store import store_info
+
+        if args.zarr_input:
+            from .sources.zarr_store import zarr_tiles
+
+            frags = zarr_tiles(
+                spark, args.zarr_input, min_dimension=args.min_dimension
+            )
+        else:
+            images = (
+                spark.read.parquet(args.input)
+                if args.input
+                else img_src.generate_images_df(spark, args.n_images)
+            )
+            frags = tiling.build_tiles(
+                images, min_dimension=args.min_dimension, repartition=False
+            )
+        merged = tiling.merge_tiles(frags)
+        n_chunks = write_geozarr(merged, args.output).count()
+        print(json.dumps({"n_chunks": n_chunks, **store_info(args.output)}))
+        return 0
     if args.zarr_input:
         # the reference's first action on real data (cli.py:174-179):
         # point `convert` at a Zarr store.  Chunks are already lossless
@@ -173,6 +198,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--zarr-input",
         help="Zarr v3 store path: convert its 2-D uint16 arrays instead of "
         "an image table (geo anchors from array attributes x0/y0_top/pixel_m)",
+    )
+    c.add_argument(
+        "--to-zarr",
+        action="store_true",
+        help="write OUTPUT as a GeoZarr-shaped Zarr v3 store (multiscales "
+        "metadata, one chunk per merged tile) instead of parquet tiles",
     )
     c.add_argument("--n-images", type=int, default=64, help="synthetic image count")
     c.add_argument("--min-dimension", type=int, default=64)

@@ -82,6 +82,7 @@ PRIORITY_ORDER: list[str] = [
     "tile_render_fp",
     "zarr_store_meta",
     "ann_recall_planted",
+    "geozarr_store_rt",
     # -- stalest evidence backfill: latest green row is r2 --
     "asof_event_order",
     "asof_range",
@@ -282,6 +283,7 @@ def all_queries() -> dict[str, QuerySpec]:
         triangles,
         validate,
         zarr_queries,
+        zarr_sink,
     )
 
     ordered: dict[str, QuerySpec] = {}

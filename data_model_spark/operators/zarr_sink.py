@@ -1,0 +1,285 @@
+"""GeoZarr-shaped Zarr v3 store SINK: merged tile table -> on-disk store.
+
+Closes the reference's full convert loop on the output side: the
+reference's ``convert`` WRITES a GeoZarr store (band-by-band datasets
+with multiscales + CF/STAC attributes, ``conversion/geozarr.py:974-1183``,
+attribute round-trips pinned by its metadata tests).  The engine's
+equivalent writes the merged tile table as a Zarr v3 hierarchy:
+
+    <root>/zarr.json                      group, multiscales attributes
+    <root>/<var>/zarr.json               per-band group
+    <root>/<var>/<level>/zarr.json       2-D uint16 array, 256x256 chunks
+    <root>/<var>/<level>/c/<cy>/<cx>     one chunk object PER MERGED TILE
+
+Chunk == tile: the write is embarrassingly parallel (``mapInPandas``
+writes each partition's tiles as independent chunk objects, no shuffle —
+the tile table is already the unit of parallelism), and absent tiles are
+absent chunks = ``fill_value`` per the spec, so sparse coverage costs
+nothing.  Geo-anchoring (x0 / y0_top / pixel_m) and the CF-style
+dimension names land in array attributes, which makes the written store
+round-trip through the INGESTION path (``sources/zarr_store.zarr_tiles``)
+— read-back equality is the e2e gate in tests/test_zarr_sink.py.
+
+At 10^12 tiles the driver-side work is one bounded agg (per-(var, level)
+tile extents — vars x levels rows) for the metadata documents; every
+chunk byte moves executor-side.
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources import zarr_store as Z
+from .registry import register
+from .tiling import TILE_PX
+
+_MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("var", T.StringType(), False),
+        T.StructField("level", T.IntegerType(), False),
+        T.StructField("cy", T.LongType(), False),
+        T.StructField("cx", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("crc32", T.LongType(), False),
+    ]
+)
+
+
+def write_geozarr(
+    tiles: DataFrame,
+    path: str,
+    pixel_m: float = 10.0,
+    epsg: int = 32632,
+    gzip_level: int | None = 5,
+) -> DataFrame:
+    """Write the merged tile table as a Zarr v3 store; return the manifest.
+
+    ``tiles``: (var, level, tile_x, tile_y, data raw-u16 256x256, ...).
+    The manifest DataFrame (one row per written chunk) is the write-side
+    lineage — the same role the resumable sink's checkpoint rows play.
+    """
+    # bounded driver-side metadata pass: per-(var, level) tile extents
+    extents = (
+        tiles.groupBy("var", "level")
+        .agg(
+            F.min("tile_x").alias("tx0"),
+            F.max("tile_x").alias("tx1"),
+            F.min("tile_y").alias("ty0"),
+            F.max("tile_y").alias("ty1"),
+        )
+        .collect()
+    )
+    if not extents:
+        raise ValueError("empty tile table")
+    Z.write_group(path, {"note": "written by data_model_spark zarr_sink"})
+    ext = {}
+    by_var: dict[str, list] = {}
+    for r in extents:
+        ext[(r["var"], int(r["level"]))] = (
+            int(r["tx0"]), int(r["tx1"]), int(r["ty0"]), int(r["ty1"])
+        )
+        by_var.setdefault(r["var"], []).append(int(r["level"]))
+    for var, levels in sorted(by_var.items()):
+        # per-band group with the reference's multiscales shape: one entry
+        # per level, finest first (conversion/geozarr.py's layout contract)
+        ms = []
+        for lv in sorted(levels):
+            tx0, tx1, ty0, ty1 = ext[(var, lv)]
+            px = pixel_m * (1 << lv)
+            ms.append(
+                {
+                    "asset": str(lv),
+                    "scale": [px, px],
+                    "translation": [tx0 * TILE_PX * px, (ty1 + 1) * TILE_PX * px],
+                    "width": (tx1 - tx0 + 1) * TILE_PX,
+                    "height": (ty1 - ty0 + 1) * TILE_PX,
+                }
+            )
+        Z.write_group(
+            os.path.join(path, var),
+            {"multiscales": {"tile_matrix_set": f"EPSG:{epsg}", "layout": ms}},
+        )
+        for lv in sorted(levels):
+            tx0, tx1, ty0, ty1 = ext[(var, lv)]
+            px = pixel_m * (1 << lv)
+            h = (ty1 - ty0 + 1) * TILE_PX
+            w = (tx1 - tx0 + 1) * TILE_PX
+            # array node metadata only — chunk objects are written by the
+            # executors below; write_array would also write (empty) chunks,
+            # so emit the zarr.json directly through the same helper on a
+            # zero-size... instead: reuse write_array's doc by hand
+            _write_array_meta(
+                os.path.join(path, var, str(lv)),
+                (h, w),
+                attributes={
+                    "band": var,
+                    "x0": tx0 * TILE_PX * px,
+                    "y0_top": (ty1 + 1) * TILE_PX * px,
+                    "pixel_m": px,
+                    "proj:code": f"EPSG:{epsg}",
+                    "standard_name": "toa_bidirectional_reflectance",
+                },
+                gzip=gzip_level is not None,
+            )
+
+    b_ext = tiles.sparkSession.sparkContext.broadcast(ext)
+    root = os.path.abspath(path)
+
+    def write_chunks(batches):
+        for pdf in batches:
+            recs = []
+            for row in pdf.itertuples(index=False):
+                tx0, tx1, ty0, ty1 = b_ext.value[(row.var, int(row.level))]
+                cy = ty1 - int(row.tile_y)  # north-up: row 0 = max tile_y
+                cx = int(row.tile_x) - tx0
+                raw = bytes(row.data)
+                payload = (
+                    zlib.compress(raw, gzip_level) if gzip_level is not None else raw
+                )
+                key = os.path.join(
+                    root, row.var, str(int(row.level)), "c", str(cy), str(cx)
+                )
+                os.makedirs(os.path.dirname(key), exist_ok=True)
+                tmp = f"{key}.tmp{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    f.write(payload)
+                os.replace(tmp, key)  # atomic publish, re-run idempotent
+                recs.append(
+                    {
+                        "var": row.var,
+                        "level": int(row.level),
+                        "cy": cy,
+                        "cx": cx,
+                        "n_bytes": len(payload),
+                        "crc32": zlib.crc32(raw),
+                    }
+                )
+            yield pd.DataFrame.from_records(recs) if recs else pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in _MANIFEST_SCHEMA.fields}
+            )
+
+    return tiles.select("var", "level", "tile_x", "tile_y", "data").mapInPandas(
+        write_chunks, _MANIFEST_SCHEMA
+    )
+
+
+def _write_array_meta(
+    path: str, shape: tuple[int, int], attributes: dict, gzip: bool
+) -> None:
+    """Array ``zarr.json`` without touching chunk objects.
+
+    Endianness is declared BIG: the engine's ``raw-u16`` tile codec is
+    big-endian, so the sink publishes tile bytes as-is (zero-copy) and
+    lets the spec-compliant ``bytes`` codec configuration carry the fact;
+    the reader (``zarr_store._decode_chunk``) honors either endian.
+    """
+    import json
+
+    codecs = [{"name": "bytes", "configuration": {"endian": "big"}}]
+    if gzip:
+        codecs.append({"name": "gzip", "configuration": {"level": 5}})
+    doc = {
+        "zarr_format": Z.ZARR_FORMAT,
+        "node_type": "array",
+        "shape": list(shape),
+        "data_type": "uint16",
+        "chunk_grid": {
+            "name": "regular",
+            "configuration": {"chunk_shape": [TILE_PX, TILE_PX]},
+        },
+        "chunk_key_encoding": {
+            "name": "default",
+            "configuration": {"separator": "/"},
+        },
+        "fill_value": 0,
+        "codecs": codecs,
+        "attributes": attributes,
+        "dimension_names": ["y", "x"],
+    }
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "zarr.json"), "w") as f:
+        json.dump(doc, f, sort_keys=True)
+
+
+# ---------------------------------------------------------------------------
+# registered query: write the flagship mosaic as GeoZarr, read it BACK
+# through the ingestion reader, fingerprint per (var, level) — the oracle
+# replays the expected sums/tile-counts from scene geometry alone
+# ---------------------------------------------------------------------------
+
+_N_IMG = 26  # two full band cycles (matches flagship_multiband)
+
+
+def _rt_oracle() -> str:
+    from .pipeline_queries import _pyramid_vals
+
+    vals = _pyramid_vals((f"img_{i:012d}", i) for i in range(_N_IMG))
+    return f"""
+WITH v(var, level, ax, top, lw, lh, px, sumv, minv, maxv) AS (VALUES
+  {", ".join(vals)}),
+g AS (SELECT *, 256.0 * px AS tm FROM v)
+SELECT var, CAST(level AS INTEGER) AS level,
+       CAST(SUM((FLOOR((ax + lw * px - 1e-9) / tm) - FLOOR(ax / tm) + 1)
+              * (FLOOR((top - 1e-9) / tm) - FLOOR((top - lh * px + 1e-9) / tm) + 1))
+            AS BIGINT) AS n_chunks,
+       ROUND(SUM(sumv), 3) AS sum_value
+FROM g GROUP BY var, level"""
+
+
+@register("geozarr_store_rt", _rt_oracle)
+def geozarr_store_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full write->read round-trip: flagship mosaic -> GeoZarr store on
+    disk -> distributed chunk scan of the WRITTEN FILES -> per-(band,
+    level) fingerprints, hash-checked against the direct-kernel pyramid
+    replay (which never sees the store).  Equality proves the sink's
+    chunk placement, codec chain and metadata anchor the exact mosaic."""
+    import shutil
+    import tempfile
+
+    from ..sources.images import generate_images_df
+    from . import tiling
+
+    base = tempfile.mkdtemp(prefix="dms_geozarr_rt_")
+    try:
+        store = os.path.join(base, "out.zarr")
+        images = generate_images_df(spark, _N_IMG)
+        merged = tiling.merge_tiles(
+            tiling.build_tiles(images, min_dimension=64, repartition=False)
+        )
+        write_geozarr(merged, store).count()  # materialize the write
+        nodes = Z.open_store(store)
+        out = None
+        for p, m in sorted(nodes.items()):
+            if m["node_type"] != "array":
+                continue
+            var, lv = p.split("/")
+            df = (
+                Z.chunks_df(spark, store, p)
+                .agg(
+                    F.count("*").alias("n_chunks"),
+                    F.round(F.sum("px_sum"), 3).alias("sum_value"),
+                )
+                .select(
+                    F.lit(var).alias("var"),
+                    F.lit(int(lv)).alias("level"),
+                    "n_chunks",
+                    "sum_value",
+                )
+            )
+            out = df if out is None else out.unionByName(df)
+        # self-contained local relation: the temp store is removed below
+        rows = [tuple(r) for r in out.collect()]
+        from ..sources.tables import local_df
+
+        return local_df(
+            spark, rows, "var string, level int, n_chunks long, sum_value double"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
