@@ -22,16 +22,20 @@ N_IMAGES="${SPARK_GRAFT_SCALE_IMAGES:-4096}"
 ROUNDS="${SPARK_GRAFT_SCALE_ROUNDS:-3}"
 mkdir -p BENCH
 
-echo "== machine ceiling probe ==" >&2
-CEILING_JSON=$(python scripts/machine_ceiling.py)
-echo "$CEILING_JSON" >&2
-
 RUNS_FILE=$(mktemp)
+CEIL_FILE=$(mktemp)
 # headline pair 2 vs 8, interleaved ROUNDS times (the sandbox host's memory
 # bandwidth swings 3-5x on minute timescales from hypervisor neighbors —
 # zero CPU steal, pure-compute probes stable — so medians over several
-# interleaved rounds are the only honest wall-clock estimator here)
+# interleaved rounds are the only honest wall-clock estimator here).
+# A hardware-ceiling probe runs BEFORE EACH ROUND so every paired job
+# ratio can be normalized against what the box itself could scale in
+# that same window (scaling_report.py per-round normalization).
 for round in $(seq 1 "$ROUNDS"); do
+  echo "== ceiling probe round $round ==" >&2
+  python scripts/machine_ceiling.py \
+    | python -c "import json,sys; d=json.load(sys.stdin); d['round']='$round'; print(json.dumps(d))" \
+    | tee -a "$CEIL_FILE" >&2
   for cores in 2 8; do
     echo "== round $round local[$cores] ==" >&2
     SPARK_GRAFT_SCALE_IMAGES="$N_IMAGES" python scripts/scaling_bench.py "$cores" "$round" 2>/dev/null | tail -1 >> "$RUNS_FILE"
@@ -45,4 +49,4 @@ for round in 1 2; do
   rm -rf "/dev/shm/spark-local-32"
 done
 
-python scripts/scaling_report.py "$RUNS_FILE" "$CEILING_JSON"
+python scripts/scaling_report.py "$RUNS_FILE" "$CEIL_FILE"

@@ -1,9 +1,12 @@
 """Generate BENCH/BASELINE.md from scaling runs + hardware probes.
 
-Usage: python scripts/scaling_report.py RUNS_FILE 'CEILING_JSON'
+Usage: python scripts/scaling_report.py RUNS_FILE CEILING
 RUNS_FILE: one scaling_bench.py JSON line per run (cores 2/8 interleaved
-rounds + 32-core context runs). Writes BENCH/BASELINE.md and
-BENCH/scaling_raw.json.
+rounds + 32-core context runs). CEILING: either a literal JSON object
+(legacy single probe) or a path to a JSONL file of machine_ceiling.py
+probes tagged with "round" — one per interleaved round, taken in the same
+noise window as that round's 2-core and 8-core runs. Writes
+BENCH/BASELINE.md and BENCH/scaling_raw.json.
 
 Efficiency accounting (BASELINE.json: efficiency = T_N / (4 * T_4N)):
 * overall — median of PAIRED per-round ratios (each round's 2-core and
@@ -25,7 +28,18 @@ import sys
 
 def main() -> None:
     runs = [json.loads(line) for line in open(sys.argv[1]) if line.strip()]
-    ceil = json.loads(sys.argv[2])
+    if sys.argv[2].lstrip().startswith("{"):
+        probes = [json.loads(sys.argv[2])]
+    else:
+        probes = [json.loads(line) for line in open(sys.argv[2]) if line.strip()]
+    # context-table ceiling: column-wise medians across all probes (robust
+    # to a single noise-hit probe, same estimator as the phase table)
+    ceil = {
+        k: round(statistics.median(p[k] for p in probes), 3)
+        for k in probes[0]
+        if k != "round"
+    }
+    ceil_by_round = {p.get("round"): p for p in probes}
 
     by = {}
     for r in runs:
@@ -62,9 +76,16 @@ def main() -> None:
     # 4x did 4x threads actually deliver on pure compute (no Spark, no
     # allocation)?  The job cannot scale better than the box does; the
     # ceiling-normalized number is the plan's quality independent of which
-    # noise window the protocol happened to land in.
+    # noise window the protocol happened to land in.  With per-round probes
+    # each paired ratio is normalized against ITS OWN window's ceiling.
     ceil_eff = round(ceil["t2_s"] / (4 * ceil["t8_s"]), 3)
-    e_norm = round(e_overall / ceil_eff, 3) if ceil_eff else None
+    per_round = []  # (round, job_ratio, ceiling_eff, normalized)
+    for a, b in paired:
+        ratio = a["total_s"] / (4 * b["total_s"])
+        p = ceil_by_round.get(a.get("round"))
+        c_eff = (p["t2_s"] / (4 * p["t8_s"])) if p else ceil_eff
+        per_round.append((a.get("round"), ratio, c_eff, ratio / c_eff))
+    e_norm = round(statistics.median(x[3] for x in per_round), 3)
 
     L = []
     A = L.append
@@ -98,9 +119,19 @@ def main() -> None:
       + ("**(>= 0.8: PASS)**" if e_compute >= 0.8 else "(FAIL)")
       + " — the Arrow-vectorized pixel stages, the work that grows with data")
     A(f"- **Same-window hardware ceiling** = {ceil_eff} (pure-compute 2->8"
-      f" scaling of THIS box during THIS protocol run); ceiling-normalized"
+      f" scaling of THIS box, median of per-round probes); ceiling-normalized"
       f" job efficiency = **{e_norm}** — the fraction of the achievable"
       " scaling the plan delivers, independent of the host's noise window")
+    if any(x[0] is not None for x in per_round):
+        A("")
+        A("### Per-round window-matched normalization\n")
+        A("(a machine_ceiling.py probe runs immediately before each round's")
+        A("2-core/8-core pair; each job ratio is divided by what pure NumPy")
+        A("compute scaled 2->8 in that same window)\n")
+        A("| round | job T2/(4*T8) | hardware ceiling (same window) | normalized |")
+        A("|---|---|---|---|")
+        for rd, ratio, c_eff, norm in per_round:
+            A(f"| {rd} | {ratio:.3f} | {c_eff:.3f} | {norm:.3f} |")
     A(f"- Shuffle/write phases sped up {bw_speedup}x from 2->8 cores — at the")
     A("  machine's memory-bandwidth ceiling, see below.\n")
 
@@ -182,6 +213,12 @@ def main() -> None:
             {
                 "all_runs": runs,
                 "machine_ceiling": ceil,
+                "ceiling_probes": probes,
+                "per_round_normalized": [
+                    {"round": rd, "job_ratio": round(r, 3),
+                     "ceiling_eff": round(c, 3), "normalized": round(n, 3)}
+                    for rd, r, c, n in per_round
+                ],
                 "efficiency_overall_2_8": e_overall,
                 "efficiency_compute_2_8": e_compute,
                 "bw_phase_speedup_2_8": bw_speedup,
