@@ -188,6 +188,8 @@ def main() -> None:
         "zarr_store_meta",
         "ann_recall_planted",
         "geozarr_store_rt",
+        "quantized_recall",
+        "hard_negatives",
     ]
     from data_model_spark.cache import unpersist_tracked
 

@@ -83,6 +83,8 @@ PRIORITY_ORDER: list[str] = [
     "zarr_store_meta",
     "ann_recall_planted",
     "geozarr_store_rt",
+    "quantized_recall",
+    "hard_negatives",
     # -- stalest evidence backfill: latest green row is r2 --
     "asof_event_order",
     "asof_range",
@@ -241,6 +243,7 @@ def all_queries() -> dict[str, QuerySpec]:
         components,
         consolidate,
         contours,
+        contrastive,
         costdist,
         dbscan,
         decontaminate,
