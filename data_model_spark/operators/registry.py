@@ -85,6 +85,16 @@ PRIORITY_ORDER: list[str] = [
     "geozarr_store_rt",
     "quantized_recall",
     "hard_negatives",
+    "flow_dir_fp",
+    "flow_accum_fp",
+    "focal_mean_fp",
+    "hillshade_fp",
+    "contour_fp",
+    "cost_distance_fp",
+    "otsu_mosaic_fp",
+    "equalize_fp",
+    "raster_regions_fp",
+    "raster_region_stats_fp",
     # -- stalest evidence backfill: latest green row is r2 --
     "asof_event_order",
     "asof_range",
@@ -259,6 +269,7 @@ def all_queries() -> dict[str, QuerySpec]:
         kcore,
         lm,
         mapmatch,
+        mosaic_fp,
         multimodal,
         pagerank,
         pipeline_queries,

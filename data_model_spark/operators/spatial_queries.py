@@ -917,43 +917,11 @@ def _zonal_fp_oracle() -> str:
     metadata fast path counts them.  All sums are integer-valued doubles
     (< 2^53), so px_sum and px_mean = px_sum/n_px are IEEE-identical
     across engines regardless of accumulation order."""
-    import math
-
-    from ..codecs import decode_image, encode_image
-    from ..sources import images as img_src
+    from .replay import merged_canvases
 
     TILE_PX, PX_M = 256, 10
     tile_m = TILE_PX * PX_M
-    canvases: dict[tuple, np.ndarray] = {}
-    for i in range(48):
-        w, h = img_src.image_dims(i)
-        var = img_src.band_for(i)
-        fmt = img_src.image_fmt(i)
-        raw = img_src.synth_pixels(f"img_{i:012d}", w, h)
-        dec = decode_image(encode_image(raw, fmt), fmt, w, h)
-        ax, ay = img_src.scene_anchor(i)
-        top = ay + h * PX_M
-        for ty in range(
-            math.floor((top - h * PX_M + 1e-9) / tile_m),
-            math.floor((top - 1e-9) / tile_m) + 1,
-        ):
-            for tx in range(
-                math.floor(ax / tile_m),
-                math.floor((ax + w * PX_M - 1e-9) / tile_m) + 1,
-            ):
-                t_left, t_top = tx * tile_m, (ty + 1) * tile_m
-                c0 = max(0, round((t_left - ax) / PX_M))
-                c1 = min(w, round((t_left + tile_m - ax) / PX_M))
-                r0 = max(0, round((top - t_top) / PX_M))
-                r1 = min(h, round((top - (t_top - tile_m)) / PX_M))
-                if c1 <= c0 or r1 <= r0:
-                    continue
-                cv = canvases.setdefault(
-                    (var, tx, ty), np.zeros((TILE_PX, TILE_PX), np.uint16)
-                )
-                oy = r0 + round((t_top - top) / PX_M)
-                ox = c0 + round((ax - t_left) / PX_M)
-                cv[oy : oy + (r1 - r0), ox : ox + (c1 - c0)] = dec[r0:r1, c0:c1]
+    canvases = merged_canvases(48)
     acc: dict[tuple, tuple[int, float]] = {}
     for (var, tx, ty), cv in canvases.items():
         for zid, (x0, y0, x1, y1) in _ZONES.items():
