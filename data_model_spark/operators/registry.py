@@ -95,6 +95,12 @@ PRIORITY_ORDER: list[str] = [
     "equalize_fp",
     "raster_regions_fp",
     "raster_region_stats_fp",
+    "image_features_fp",
+    "image_thumbnails_fp",
+    "image_validation_fp",
+    "audio_features_fp",
+    "video_frame_sample_fp",
+    "zonal_stats_poly_fp",
     # -- stalest evidence backfill: latest green row is r2 --
     "asof_event_order",
     "asof_range",
@@ -269,6 +275,7 @@ def all_queries() -> dict[str, QuerySpec]:
         kcore,
         lm,
         mapmatch,
+        media_fp,
         mosaic_fp,
         multimodal,
         pagerank,
