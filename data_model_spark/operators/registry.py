@@ -101,6 +101,8 @@ PRIORITY_ORDER: list[str] = [
     "audio_features_fp",
     "video_frame_sample_fp",
     "zonal_stats_poly_fp",
+    "traj_simplify_fp",
+    "traj_stay_points_fp",
     # -- stalest evidence backfill: latest green row is r2 --
     "asof_event_order",
     "asof_range",

@@ -127,6 +127,45 @@ def traj_simplify(spark, sf_dir):
     return simplify_trajectories(pos, tol=15)
 
 
+def stay_scan(
+    key: int,
+    xs: np.ndarray,
+    ys: np.ndarray,
+    ts: np.ndarray,
+    sq: np.ndarray,
+    d2: int,
+    min_dur_us: int,
+) -> list[dict]:
+    """The Li et al. anchor scan for ONE seq-sorted track (pure NumPy) —
+    module-level so the distributed ``stay_points`` kernel and the
+    ``traj_stay_points_fp`` sequential oracle replay share one
+    implementation."""
+    n = len(xs)
+    recs: list[dict] = []
+    i = 0
+    while i < n - 1:
+        dx = xs[i + 1 :] - xs[i]
+        dy = ys[i + 1 :] - ys[i]
+        viol = np.flatnonzero(dx * dx + dy * dy > d2)
+        j = n - 1 if viol.size == 0 else i + int(viol[0])  # last in-range
+        if j > i and ts[j] - ts[i] >= min_dur_us:
+            recs.append(
+                {
+                    "key": key,
+                    "start_seq": int(sq[i]),
+                    "end_seq": int(sq[j]),
+                    "n_fixes": int(j - i + 1),
+                    "x_sum": int(xs[i : j + 1].sum()),
+                    "y_sum": int(ys[i : j + 1].sum()),
+                    "dur_us": int(ts[j] - ts[i]),
+                }
+            )
+            i = j + 1
+        else:
+            i += 1
+    return recs
+
+
 def stay_points(
     fixes: DataFrame,
     d2: int,
@@ -168,33 +207,15 @@ def stay_points(
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("seq")
-        xs = pdf["x"].to_numpy(np.int64)
-        ys = pdf["y"].to_numpy(np.int64)
-        ts = pdf["ts_us"].to_numpy(np.int64)
-        sq = pdf["seq"].to_numpy(np.int64)
-        n = len(pdf)
-        recs = []
-        i = 0
-        while i < n - 1:
-            dx = xs[i + 1 :] - xs[i]
-            dy = ys[i + 1 :] - ys[i]
-            viol = np.flatnonzero(dx * dx + dy * dy > d2)
-            j = n - 1 if viol.size == 0 else i + int(viol[0])  # last in-range
-            if j > i and ts[j] - ts[i] >= min_dur_us:
-                recs.append(
-                    {
-                        "key": int(pdf["key"].iloc[0]),
-                        "start_seq": int(sq[i]),
-                        "end_seq": int(sq[j]),
-                        "n_fixes": int(j - i + 1),
-                        "x_sum": int(xs[i : j + 1].sum()),
-                        "y_sum": int(ys[i : j + 1].sum()),
-                        "dur_us": int(ts[j] - ts[i]),
-                    }
-                )
-                i = j + 1
-            else:
-                i += 1
+        recs = stay_scan(
+            int(pdf["key"].iloc[0]),
+            pdf["x"].to_numpy(np.int64),
+            pdf["y"].to_numpy(np.int64),
+            pdf["ts_us"].to_numpy(np.int64),
+            pdf["seq"].to_numpy(np.int64),
+            d2,
+            min_dur_us,
+        )
         cols = ["key", "start_seq", "end_seq", "n_fixes", "x_sum", "y_sum", "dur_us"]
         return pd.DataFrame.from_records(recs, columns=cols)
 
@@ -220,6 +241,121 @@ def traj_stay_points(spark, sf_dir):
         .select("user_id", "seq", "ts_us", "x", "y")
     )
     return stay_points(pos, d2=625, min_dur_us=15 * 3600 * 1_000_000)
+
+
+# ---------------------------------------------------------------------------
+# oracle twins on a seeded sf-independent fixture
+#
+# The sf-fixture queries above are honestly rows-only (their input rides
+# the driver's events table; DP / the anchor scan are data-dependent
+# recursion DuckDB cannot express).  These twins run the SAME operators
+# over a deterministic spark.range walk — alternating 20-fix moving /
+# stationary blocks, so both the simplification and the stay detection
+# are non-vacuous — and hash-check against sequential replays through
+# the shared ``dp_mask`` / ``stay_scan`` kernels.
+# ---------------------------------------------------------------------------
+
+_FIX_USERS, _FIX_LEN, _FIX_BLOCK = 12, 120, 20
+_HOUR_US = 3_600_000_000
+
+
+def _traj_fixture(spark) -> DataFrame:
+    ids = spark.range(_FIX_USERS * _FIX_LEN)
+    seq = F.col("id") % _FIX_LEN + 1
+    move = ((seq - 1) / _FIX_BLOCK).cast("long") % 2 == 0
+    d = ids.select(
+        (F.col("id") / _FIX_LEN).cast("long").alias("user_id"),
+        seq.alias("seq"),
+        ((F.pmod(F.col("id") * 37, F.lit(21)) - 10)
+         * F.when(move, 1).otherwise(0)).alias("dlon"),
+        ((F.pmod(F.col("id") * 91, F.lit(21)) - 10)
+         * F.when(move, 1).otherwise(0)).alias("dlat"),
+    )
+    w = Window.partitionBy("user_id").orderBy("seq")
+    return d.select(
+        "user_id",
+        "seq",
+        F.sum("dlon").over(w).alias("x"),
+        F.sum("dlat").over(w).alias("y"),
+        (F.col("seq") * _HOUR_US).alias("ts_us"),
+    )
+
+
+def _fixture_walks_np():
+    for u in range(_FIX_USERS):
+        gid = np.arange(_FIX_LEN, dtype=np.int64) + u * _FIX_LEN
+        seq = np.arange(1, _FIX_LEN + 1, dtype=np.int64)
+        mv = (((seq - 1) // _FIX_BLOCK) % 2 == 0).astype(np.int64)
+        x = (((gid * 37) % 21 - 10) * mv).cumsum()
+        y = (((gid * 91) % 21 - 10) * mv).cumsum()
+        yield u, seq, x, y
+
+
+def _traj_simplify_oracle() -> str:
+    from .mosaic_fp import _values_sql
+
+    rows = []
+    for u, seq, x, y in _fixture_walks_np():
+        keep = dp_mask(x, y, 15)
+        rows.extend(
+            (u, int(seq[i]), int(x[i]), int(y[i])) for i in np.flatnonzero(keep)
+        )
+    return _values_sql(
+        [
+            ("user_id", "BIGINT"),
+            ("seq", "BIGINT"),
+            ("x", "BIGINT"),
+            ("y", "BIGINT"),
+        ],
+        rows,
+    )
+
+
+@register("traj_simplify_fp", _traj_simplify_oracle)
+def traj_simplify_fp(spark, sf_dir):
+    """``traj_simplify``'s oracle twin: the same integer-exact DP
+    ``applyInPandas`` operator over the seeded block-walk fixture,
+    hash-checked against the sequential ``dp_mask`` replay."""
+    return simplify_trajectories(_traj_fixture(spark), tol=15)
+
+
+def _traj_stays_oracle() -> str:
+    from .mosaic_fp import _values_sql
+
+    rows = []
+    for u, seq, x, y in _fixture_walks_np():
+        for r in stay_scan(
+            u, x, y, seq * _HOUR_US, seq, 625, 15 * _HOUR_US
+        ):
+            rows.append(
+                (
+                    r["key"], r["start_seq"], r["end_seq"], r["n_fixes"],
+                    r["x_sum"], r["y_sum"], r["dur_us"],
+                )
+            )
+    return _values_sql(
+        [
+            ("user_id", "BIGINT"),
+            ("start_seq", "BIGINT"),
+            ("end_seq", "BIGINT"),
+            ("n_fixes", "BIGINT"),
+            ("x_sum", "BIGINT"),
+            ("y_sum", "BIGINT"),
+            ("dur_us", "BIGINT"),
+        ],
+        rows,
+    )
+
+
+@register("traj_stay_points_fp", _traj_stays_oracle)
+def traj_stay_points_fp(spark, sf_dir):
+    """``traj_stay_points``'s oracle twin: same anchor-scan operator over
+    the block-walk fixture (every stationary block is a stay point, so
+    the oracle is structurally non-vacuous), replayed via the shared
+    ``stay_scan`` kernel."""
+    return stay_points(
+        _traj_fixture(spark), d2=625, min_dur_us=15 * _HOUR_US
+    )
 
 
 # ---------------------------------------------------------------------------
