@@ -558,6 +558,92 @@ def _region_stats_oracle() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# tile-table consumer contracts (R4 point/bbox lookups)
+# ---------------------------------------------------------------------------
+
+
+def _bbox_query_oracle() -> str:
+    # level-0 crop window of tile_bbox_query: x 600000..605120,
+    # y 5090000..5092560 at 2560 m tiles
+    tile_m = replay.TILE_PX * replay.PX_M
+    tx0, tx1 = 600000 // tile_m, int((605120 - 1e-9) // tile_m)
+    ty0, ty1 = 5090000 // tile_m, int((5092560 - 1e-9) // tile_m)
+    keys = [
+        (tx, ty)
+        for (_, tx, ty) in replay.merged_canvases(_HALO_N)
+        if tx0 <= tx <= tx1 and ty0 <= ty <= ty1
+    ]
+    row = (
+        0,
+        len(keys),
+        min(k[0] for k in keys),
+        max(k[0] for k in keys),
+        min(k[1] for k in keys),
+        max(k[1] for k in keys),
+    )
+    return _values_sql(
+        [
+            ("level", "INTEGER"),
+            ("n_tiles", "BIGINT"),
+            ("tx_min", "BIGINT"),
+            ("tx_max", "BIGINT"),
+            ("ty_min", "BIGINT"),
+            ("ty_max", "BIGINT"),
+        ],
+        [row],
+    )
+
+
+@register("tile_bbox_query_fp", _bbox_query_oracle)
+def tile_bbox_query_fp(spark, sf_dir):
+    """``tile_bbox_query``'s oracle twin: the partition-pruned key-range
+    crop vs the replayed level-0 tile key set."""
+    from .spatial_queries import tile_bbox_query
+
+    return tile_bbox_query(spark, sf_dir)
+
+
+def _point_query_oracle() -> str:
+    # the level-0 tile containing (600100, 5090100); one output row per
+    # var storing that tile, with merge metadata (fragment count + union
+    # of placed windows) replayed from the placement stream
+    tile_m = replay.TILE_PX * replay.PX_M
+    qx, qy = 600100.0, 5090100.0
+    tx, ty = int(qx // tile_m), int(qy // tile_m)
+    n = replay.TILE_PX
+    frags: dict[str, int] = {}
+    filled: dict[str, np.ndarray] = {}
+    for var, ptx, pty, oy, ox, block in replay.placements(_HALO_N):
+        if (ptx, pty) != (tx, ty):
+            continue
+        frags[var] = frags.get(var, 0) + 1
+        m = filled.setdefault(var, np.zeros((n, n), dtype=bool))
+        m[oy : oy + block.shape[0], ox : ox + block.shape[1]] = True
+    rows = [
+        (0, tx, ty, frags[var], int(filled[var].sum())) for var in sorted(frags)
+    ]
+    return _values_sql(
+        [
+            ("level", "INTEGER"),
+            ("tile_x", "BIGINT"),
+            ("tile_y", "BIGINT"),
+            ("n_sources", "INTEGER"),
+            ("filled_px", "BIGINT"),
+        ],
+        rows,
+    )
+
+
+@register("tile_point_query_fp", _point_query_oracle)
+def tile_point_query_fp(spark, sf_dir):
+    """``tile_point_query``'s oracle twin: key-pruned point lookup with
+    merge metadata vs the replayed fragment placements."""
+    from .spatial_queries import tile_point_query
+
+    return tile_point_query(spark, sf_dir)
+
+
 @register("raster_region_stats_fp", _region_stats_oracle)
 def raster_region_stats_fp(spark, sf_dir):
     """``raster_region_stats``'s oracle twin: per-region bbox/centroid

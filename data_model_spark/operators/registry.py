@@ -103,6 +103,8 @@ PRIORITY_ORDER: list[str] = [
     "zonal_stats_poly_fp",
     "traj_simplify_fp",
     "traj_stay_points_fp",
+    "tile_bbox_query_fp",
+    "tile_point_query_fp",
     # -- stalest evidence backfill: latest green row is r2 --
     "asof_event_order",
     "asof_range",

@@ -34,16 +34,16 @@ _NEIGHBOR_STRIPS: list[tuple[int, int]] = [
 ]
 
 
-@lru_cache(maxsize=4)
-def merged_canvases(n_images: int) -> dict[tuple, np.ndarray]:
-    """{(var, tile_x, tile_y): uint16 (256, 256)} — level-0 merged canvases
-    of the first ``n_images`` synthetic scenes.  Treat as read-only (the
-    cache shares the dict across callers)."""
+def placements(n_images: int):
+    """Yield every level-0 scene->tile fragment placement of the first
+    ``n_images`` synthetic scenes: (var, tile_x, tile_y, oy, ox, block)
+    with ``block`` the codec-roundtripped uint16 pixel window landing at
+    canvas[oy:oy+bh, ox:ox+bw].  Scenes stream in ascending index — the
+    merge overwrite order."""
     from ..codecs import decode_image, encode_image
     from ..sources import images as img_src
 
     tile_m = TILE_PX * PX_M
-    canvases: dict[tuple, np.ndarray] = {}
     for i in range(n_images):
         w, h = img_src.image_dims(i)
         var = img_src.band_for(i)
@@ -67,12 +67,22 @@ def merged_canvases(n_images: int) -> dict[tuple, np.ndarray]:
                 r1 = min(h, round((top - (t_top - tile_m)) / PX_M))
                 if c1 <= c0 or r1 <= r0:
                     continue
-                cv = canvases.setdefault(
-                    (var, tx, ty), np.zeros((TILE_PX, TILE_PX), np.uint16)
-                )
                 oy = r0 + round((t_top - top) / PX_M)
                 ox = c0 + round((ax - t_left) / PX_M)
-                cv[oy : oy + (r1 - r0), ox : ox + (c1 - c0)] = dec[r0:r1, c0:c1]
+                yield var, tx, ty, oy, ox, dec[r0:r1, c0:c1]
+
+
+@lru_cache(maxsize=4)
+def merged_canvases(n_images: int) -> dict[tuple, np.ndarray]:
+    """{(var, tile_x, tile_y): uint16 (256, 256)} — level-0 merged canvases
+    of the first ``n_images`` synthetic scenes.  Treat as read-only (the
+    cache shares the dict across callers)."""
+    canvases: dict[tuple, np.ndarray] = {}
+    for var, tx, ty, oy, ox, block in placements(n_images):
+        cv = canvases.setdefault(
+            (var, tx, ty), np.zeros((TILE_PX, TILE_PX), np.uint16)
+        )
+        cv[oy : oy + block.shape[0], ox : ox + block.shape[1]] = block
     return canvases
 
 
