@@ -94,6 +94,43 @@ def bpe_train(docs: DataFrame, n_merges: int = 20) -> list[tuple[str, str, int]]
     return merges
 
 
+def ref_bpe(texts, n_merges):
+    """Sequential Sennrich reference (shared kernel: the pytest equality
+    check and the ``bpe_train_fp`` oracle both replay through this)."""
+    import re
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in re.split(" +", t.strip().lower()):
+            if w:
+                vocab[w] += 1
+    seqs = {w: list(w) + [END] for w in vocab}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, s in seqs.items():
+            c = vocab[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        # max count, ties lexicographic on (left, right)
+        (l, r), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        merges.append((l, r, n))
+        for w, s in seqs.items():
+            out = [s[0]]
+            for x in s[1:]:
+                if out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            seqs[w] = out
+    return merges
+
+
 @register("bpe_train_merges", None)  # iterative; reference equality in tests/test_bpe.py
 def bpe_train_merges(spark, sf_dir):
     """First 20 BPE merges learned from the document corpus: (rank, left,
@@ -103,3 +140,65 @@ def bpe_train_merges(spark, sf_dir):
     merges = bpe_train(load_table(spark, sf_dir, "documents"), n_merges=20)
     rows = [(i, l, r, n) for i, (l, r, n) in enumerate(merges)]
     return spark.createDataFrame(rows, "rank int, left string, right string, pair_count long")
+
+
+# ---------------------------------------------------------------------------
+# oracle twin on a seeded sf-independent fixture (the traj_simplify_fp
+# pattern: the SAME distributed trainer over a deterministic corpus,
+# hash-checked against the sequential ref_bpe replay)
+# ---------------------------------------------------------------------------
+
+# Sennrich's own worked example vocabulary, extended so merged symbols
+# keep participating in later merges (cascading multi-char units) and
+# tie-breaks actually fire; doc i carries word j iff (i*7 + j*j) % 4 < 2
+# — a fixed arithmetic schedule, so Python and Spark see byte-identical
+# texts without any RNG.
+_FIX_WORDS = [
+    "low", "lower", "lowest", "new", "newer", "newest", "wide", "wider",
+    "widest", "bananas", "banana", "bandana", "abab", "ababab",
+]
+_FIX_DOCS = 48
+_FIX_MERGES = 16
+
+
+def _fixture_texts() -> list[str]:
+    return [
+        " ".join(
+            w for j, w in enumerate(_FIX_WORDS) if (i * 7 + j * j) % 4 < 2
+        )
+        for i in range(_FIX_DOCS)
+    ]
+
+
+def _bpe_fp_oracle() -> str:
+    from .mosaic_fp import _values_sql
+
+    rows = [
+        (i, l, r, n)
+        for i, (l, r, n) in enumerate(ref_bpe(_fixture_texts(), _FIX_MERGES))
+    ]
+    # lhs/rhs, not left/right: those are reserved words in DuckDB's parser
+    return _values_sql(
+        [
+            ("rank", "INTEGER"),
+            ("lhs", "VARCHAR"),
+            ("rhs", "VARCHAR"),
+            ("pair_count", "BIGINT"),
+        ],
+        rows,
+    )
+
+
+@register("bpe_train_fp", _bpe_fp_oracle)
+def bpe_train_fp(spark, sf_dir):
+    """``bpe_train_merges``'s oracle twin: the identical iterative
+    pair-count/merge plan (JVM pair explode + fold, one winner collected
+    per round) over the seeded fixture corpus, hash-checked against the
+    sequential Sennrich replay."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_fixture_texts())],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, n_merges=_FIX_MERGES)
+    rows = [(i, l, r, n) for i, (l, r, n) in enumerate(merges)]
+    return spark.createDataFrame(rows, "rank int, lhs string, rhs string, pair_count long")

@@ -80,6 +80,7 @@ PRIORITY_ORDER: list[str] = [
     # -- new round-5 queries (added this session) --
     "zonal_stats_fp",
     "tile_render_fp",
+    "bpe_train_fp",
     "zarr_store_meta",
     "ann_recall_planted",
     "geozarr_store_rt",

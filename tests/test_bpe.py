@@ -1,43 +1,10 @@
 """BPE training tests: pure-Python Sennrich reference equality on the real
-corpus, hand goldens (overlap + end-marker), and parallelism determinism."""
+corpus, hand goldens (overlap + end-marker), and parallelism determinism.
+The sequential reference lives in the operator module (``ref_bpe``) so the
+``bpe_train_fp`` oracle replays through the same kernel."""
 
-import re
-from collections import Counter
-
-from data_model_spark.operators.bpe import END, bpe_train
+from data_model_spark.operators.bpe import bpe_train, ref_bpe as _ref_bpe
 from data_model_spark.sources.tables import load_table
-
-
-def _ref_bpe(texts, n_merges):
-    vocab = Counter()
-    for t in texts:
-        for w in re.split(" +", t.strip().lower()):
-            if w:
-                vocab[w] += 1
-    seqs = {w: list(w) + [END] for w in vocab}
-    merges = []
-    for _ in range(n_merges):
-        pc = Counter()
-        for w, s in seqs.items():
-            c = vocab[w]
-            for i in range(len(s) - 1):
-                pc[(s[i], s[i + 1])] += c
-        if not pc:
-            break
-        # max count, ties lexicographic on (left, right)
-        (l, r), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
-        if n < 2:
-            break
-        merges.append((l, r, n))
-        for w, s in seqs.items():
-            out = [s[0]]
-            for x in s[1:]:
-                if out[-1] == l and x == r:
-                    out[-1] = l + r
-                else:
-                    out.append(x)
-            seqs[w] = out
-    return merges
 
 
 def test_matches_reference_on_corpus(spark, sf_dir):
