@@ -81,6 +81,7 @@ PRIORITY_ORDER: list[str] = [
     "zonal_stats_fp",
     "tile_render_fp",
     "bpe_train_fp",
+    "gcp_warp_fp",
     "zarr_store_meta",
     "ann_recall_planted",
     "geozarr_store_rt",

@@ -207,3 +207,90 @@ def gcp_overview_gcps(spark, sf_dir):
         "line long, pixel long, latitude double, longitude double, height double",
     )
     return overview_gcps(g, 2.0)
+
+
+# ---------------------------------------------------------------------------
+# oracle twin: the full warp, driver-hash-checked
+#
+# ``gcp_warp`` is rows-only because its per-pol summary sums doubles whose
+# accumulation order Spark does not fix.  The twin runs the IDENTICAL
+# distributed warp (same synthetic scene, same ``reproject_gcp`` plan) but
+# fingerprints with order-independent quantities only: counts, integer
+# row/col sums, per-element HALF_UP value millis (integer sum), and
+# min/max extents — all replayable bit-exactly by a sequential pass
+# through the same ``functions/warp.py`` kernel.
+# ---------------------------------------------------------------------------
+
+
+def _warp_fp_agg(out: DataFrame) -> DataFrame:
+    vmilli = F.round(out["value"] * F.lit(1000.0), 0).cast("long")
+    return (
+        out.groupBy("pol")
+        .agg(
+            F.count("*").alias("n_valid"),
+            F.sum("row").alias("row_sum"),
+            F.sum("col").alias("col_sum"),
+            F.sum(vmilli).alias("value_milli_sum"),
+            F.round(F.min("lat"), 6).alias("lat_min"),
+            F.round(F.max("lat"), 6).alias("lat_max"),
+            F.round(F.min("lon"), 6).alias("lon_min"),
+            F.round(F.max("lon"), 6).alias("lon_max"),
+        )
+        .orderBy("pol")
+    )
+
+
+def _gcp_warp_fp_oracle() -> str:
+    from .mosaic_fp import _r, _values_sql
+
+    gc = synth_s1_gcps()
+    g_line, g_pixel = gc["line"].to_numpy(), gc["pixel"].to_numpy()
+    g_lat, g_lon = gc["latitude"].to_numpy(), gc["longitude"].to_numpy()
+    line, pixel = np.divmod(np.arange(S1_H * S1_W, dtype=np.int64), S1_W)
+    rows_out = []
+    for pol in ("VH", "VV"):
+        grd = s1_value(pixel, line) if pol == "VH" else s1_value(line, pixel)
+        src = np.full((S1_H, S1_W), S1_NODATA, dtype=np.float64)
+        src[line, pixel] = grd
+        out, lons, lats = warp.warp_gcp(
+            src, g_line, g_pixel, g_lat, g_lon, nodata=S1_NODATA, order=1
+        )
+        rr, cc = np.nonzero(out != S1_NODATA)
+        vals = out[rr, cc]
+        rows_out.append(
+            (
+                pol,
+                int(rr.size),
+                int(rr.astype(np.int64).sum()),
+                int(cc.astype(np.int64).sum()),
+                int(sum(int(_r(float(v) * 1000.0, 0)) for v in vals)),
+                _r(float(lats[rr].min()), 6),
+                _r(float(lats[rr].max()), 6),
+                _r(float(lons[cc].min()), 6),
+                _r(float(lons[cc].max()), 6),
+            )
+        )
+    return _values_sql(
+        [
+            ("pol", "VARCHAR"),
+            ("n_valid", "BIGINT"),
+            ("row_sum", "BIGINT"),
+            ("col_sum", "BIGINT"),
+            ("value_milli_sum", "BIGINT"),
+            ("lat_min", "DOUBLE"),
+            ("lat_max", "DOUBLE"),
+            ("lon_min", "DOUBLE"),
+            ("lon_max", "DOUBLE"),
+        ],
+        rows_out,
+    )
+
+
+@register("gcp_warp_fp", _gcp_warp_fp_oracle)
+def gcp_warp_fp(spark, sf_dir):
+    """``gcp_warp``'s oracle twin: identical distributed warp plan over the
+    synthetic S1 scene, hash-checked against the sequential ``warp_gcp``
+    replay via order-independent integer/extent fingerprints."""
+    meas = synth_s1_measurements(spark)
+    out = reproject_gcp(meas, synth_s1_gcps(), S1_W, S1_H, nodata=S1_NODATA)
+    return _warp_fp_agg(out)

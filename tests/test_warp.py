@@ -223,3 +223,37 @@ class TestSparkReproject:
             exp[["latitude", "longitude"]].to_numpy(),
             atol=1e-8,
         )
+
+
+class TestWarpFingerprintTwin:
+    """gcp_warp_fp oracle-builder pins (Spark-vs-DuckDB equality is the
+    parity gate's job — these guard the replay's non-vacuousness)."""
+
+    def test_oracle_rows_nonvacuous(self):
+        import duckdb
+
+        df = duckdb.sql(rp._gcp_warp_fp_oracle()).fetchdf()
+        assert list(df["pol"]) == ["VH", "VV"]
+        # both pols warp the full scene footprint...
+        assert (df["n_valid"] > 0.9 * rp.S1_W * rp.S1_H).all()
+        # ...but carry DIFFERENT pixel values (transposed pattern), so a
+        # pol mixup cannot hash-match
+        assert df["value_milli_sum"].nunique() == 2
+
+    def test_twin_matches_oracle_endtoend(self, spark):
+        import duckdb
+
+        got = (
+            rp.gcp_warp_fp(spark, "/root/testdata/sf0.001")
+            .toPandas()
+            .sort_values("pol")
+            .reset_index(drop=True)
+        )
+        want = (
+            duckdb.sql(rp._gcp_warp_fp_oracle())
+            .fetchdf()
+            .sort_values("pol")
+            .reset_index(drop=True)
+        )
+        for c in want.columns:
+            assert list(got[c]) == list(want[c]), c
