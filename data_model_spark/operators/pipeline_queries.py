@@ -517,3 +517,96 @@ def streaming_enrich_join(spark, sf_dir):
     from ..streaming.enrich import stream_interval_join
 
     return stream_interval_join(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# oracle twins for the two engine-internal pipelines
+#
+# Both pipelines' OUTPUTS are deterministic functions of the synthetic
+# 32-image catalog: the resumable sink's per-(band, level) merged tile
+# counts and the AvailableNow drain's per-level fragment counts are pure
+# scene geometry.  The twins run the IDENTICAL side-effecting pipelines
+# and hash-check against a sequential floor-arithmetic replay of the tile
+# grid (same formulas `_pyramid_sql` uses, extended to the cross-scene
+# tile-key union the merge step produces) — so resume/streaming, the last
+# rows-only family, gets driver-visible hash coverage too.
+# ---------------------------------------------------------------------------
+
+
+def _tile_geometry_replay(n_img: int):
+    """(units, frags): merged tile-key sets per (var, level) and fragment
+    counts per level, replayed from scene anchors + overview levels."""
+    import math
+
+    from ..functions import gridlib
+    from ..sources import images as img_src
+
+    units: dict[tuple, set] = {}
+    frags: dict[int, int] = {}
+    for i in range(n_img):
+        w, h = img_src.image_dims(i)
+        var = img_src.band_for(i)
+        ax, ay = img_src.scene_anchor(i)
+        top = ay + h * img_src.PIXEL_SIZE_M
+        for lv in gridlib.overview_levels(w, h, min_dimension=64):
+            level, lw, lh = lv["level"], lv["width"], lv["height"]
+            px = 10.0 * 2**level
+            tm = 256.0 * px
+            tx0 = math.floor(ax / tm)
+            tx1 = math.floor((ax + lw * px - 1e-9) / tm)
+            ty0 = math.floor((top - lh * px + 1e-9) / tm)
+            ty1 = math.floor((top - 1e-9) / tm)
+            s = units.setdefault((var, level), set())
+            s.update(
+                (tx, ty)
+                for tx in range(tx0, tx1 + 1)
+                for ty in range(ty0, ty1 + 1)
+            )
+            frags[level] = frags.get(level, 0) + (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
+    return units, frags
+
+
+def _resume_fp_oracle() -> str:
+    from .mosaic_fp import _values_sql
+
+    units, _ = _tile_geometry_replay(_N_IMG)
+    rows = [
+        (var, level, True, True, len(keys))
+        for (var, level), keys in sorted(units.items())
+    ]
+    return _values_sql(
+        [
+            ("var", "VARCHAR"),
+            ("level", "INTEGER"),
+            ("run1_written", "BOOLEAN"),
+            ("run2_skipped", "BOOLEAN"),
+            ("n_tiles", "INTEGER"),
+        ],
+        rows,
+    )
+
+
+@register("resume_tile_write_fp", _resume_fp_oracle)
+def resume_tile_write_fp(spark, sf_dir):
+    """``resume_tile_write``'s oracle twin: the identical double-run
+    checkpointed sink; written/skipped contract booleans plus merged tile
+    counts hash-checked against the tile-key-union geometry replay."""
+    return resume_tile_write(spark, sf_dir)
+
+
+def _streaming_fp_oracle() -> str:
+    from .mosaic_fp import _values_sql
+
+    _, frags = _tile_geometry_replay(_N_IMG)
+    return _values_sql(
+        [("level", "INTEGER"), ("n_fragments", "BIGINT")],
+        sorted(frags.items()),
+    )
+
+
+@register("streaming_tiles_fp", _streaming_fp_oracle)
+def streaming_tiles_fp(spark, sf_dir):
+    """``streaming_tiles``'s oracle twin: the identical Trigger.AvailableNow
+    drain; per-level fragment counts hash-checked against the
+    per-scene intersect-count geometry replay."""
+    return streaming_tiles(spark, sf_dir)

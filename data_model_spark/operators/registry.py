@@ -82,6 +82,8 @@ PRIORITY_ORDER: list[str] = [
     "tile_render_fp",
     "bpe_train_fp",
     "gcp_warp_fp",
+    "resume_tile_write_fp",
+    "streaming_tiles_fp",
     "zarr_store_meta",
     "ann_recall_planted",
     "geozarr_store_rt",
