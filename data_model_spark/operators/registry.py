@@ -85,6 +85,7 @@ PRIORITY_ORDER: list[str] = [
     "resume_tile_write_fp",
     "streaming_tiles_fp",
     "zarr_store_meta",
+    "zarr_sharded_rt",
     "ann_recall_planted",
     "geozarr_store_rt",
     "quantized_recall",

@@ -125,3 +125,131 @@ def zarr_store_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = Z.chunks_df(spark, root, apath).drop("data")
         out = df if out is None else out.unionByName(df)
     return out
+
+
+# ---------------------------------------------------------------------------
+# sharded store round-trip (sharding_indexed, ZEP 2)
+#
+# Same contract as ``zarr_store_meta`` over a SHARDED fixture: per-shard
+# fingerprints of the distributed decode vs a pure-NumPy replay.  The
+# fixture covers both index locations, gzip and raw inner chains, edge
+# shards on both axes, and one deliberately MISSING inner chunk (knocked
+# out of shard (0,0) after the write) so the fill_value path is part of
+# the hash, not just a unit test.
+# ---------------------------------------------------------------------------
+
+_SHARD_FIXTURE_VERSION = "v1"
+
+#: (path, shape, inner_chunk, shard_shape, gzip_level, index_location)
+_SHARD_ARRAYS = [
+    ("measurements/b02s", (300, 500), (32, 32), (128, 128), 5, "end"),
+    ("measurements/scls", (97, 211), (16, 16), (64, 64), None, "start"),
+]
+
+#: inner chunk (1,1) of shard (0,0) of the FIRST array is removed
+_MISSING = ("measurements/b02s", (0, 0), (1, 1))
+
+
+def _knockout_inner(root: str) -> None:
+    """Re-encode one shard with one inner chunk omitted (missing sentinel)."""
+    apath, (sy, sx), kill = _MISSING
+    spec = next(s for s in _SHARD_ARRAYS if s[0] == apath)
+    _, shape, inner, shard, gz, loc = spec
+    arr = _synth(shape)
+    block = Z._pad_block(arr, (sy, sx), shard, 0)
+    inner_grid = tuple(s // c for s, c in zip(shard, inner))
+    payloads = {
+        iidx: (
+            None
+            if iidx == kill
+            else Z._encode_block(Z._pad_block(block, iidx, inner, 0), gz)
+        )
+        for iidx in np.ndindex(*inner_grid)
+    }
+    key = os.path.join(root, apath, "c", str(sy), str(sx))
+    with open(key, "wb") as f:
+        f.write(Z.encode_shard(payloads, inner_grid, loc))
+
+
+def sharded_fixture_store() -> str:
+    root = os.path.join(
+        tempfile.gettempdir(), f"dms_zarr_shard_fixture_{_SHARD_FIXTURE_VERSION}"
+    )
+    if os.path.isfile(os.path.join(root, "zarr.json")):
+        return root
+    tmp = f"{root}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    Z.write_group(tmp, {"title": "dms sharded zarr fixture"})
+    Z.write_group(os.path.join(tmp, "measurements"))
+    for apath, shape, inner, shard, gz, loc in _SHARD_ARRAYS:
+        Z.write_array(
+            os.path.join(tmp, apath),
+            _synth(shape),
+            inner,
+            dimension_names=["y", "x"],
+            gzip_level=gz,
+            shards=shard,
+            index_location=loc,
+        )
+    _knockout_inner(tmp)
+    try:
+        os.rename(tmp, root)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return root
+
+
+def _sharded_expected_rows() -> list[tuple]:
+    """NumPy replay: synth content with the knocked-out inner block zeroed
+    (fill_value), fingerprinted per SHARD (the stored chunk unit)."""
+    rows = []
+    for apath, shape, inner, (sh, sw), _gz, _loc in _SHARD_ARRAYS:
+        arr = _synth(shape).copy()
+        if apath == _MISSING[0]:
+            (sy, sx), (ky, kx) = _MISSING[1], _MISSING[2]
+            y0 = sy * sh + ky * inner[0]
+            x0 = sx * sw + kx * inner[1]
+            arr[y0 : y0 + inner[0], x0 : x0 + inner[1]] = 0
+        for cy in range((shape[0] + sh - 1) // sh):
+            for cx in range((shape[1] + sw - 1) // sw):
+                blk = arr[cy * sh : (cy + 1) * sh, cx * sw : (cx + 1) * sw]
+                le = np.ascontiguousarray(blk, dtype="<u2")
+                rows.append(
+                    (
+                        apath,
+                        cy,
+                        cx,
+                        blk.shape[0],
+                        blk.shape[1],
+                        float(blk.astype("f8").sum()),
+                        float(blk.min()),
+                        float(blk.max()),
+                        zlib.crc32(le.tobytes()),
+                    )
+                )
+    return rows
+
+
+def _sharded_oracle() -> str:
+    vals = ", ".join(
+        f"('{p}', {cy}, {cx}, {h}, {w}, {s!r}, {mn!r}, {mx!r}, {crc})"
+        for p, cy, cx, h, w, s, mn, mx, crc in _sharded_expected_rows()
+    )
+    return f"""
+WITH v(array_path, cy, cx, h, w, px_sum, px_min, px_max, crc32) AS (VALUES {vals})
+SELECT array_path, CAST(cy AS BIGINT) AS cy, CAST(cx AS BIGINT) AS cx,
+       CAST(h AS INTEGER) AS h, CAST(w AS INTEGER) AS w,
+       CAST(px_sum AS DOUBLE) AS px_sum, CAST(px_min AS DOUBLE) AS px_min,
+       CAST(px_max AS DOUBLE) AS px_max, CAST(crc32 AS BIGINT) AS crc32
+FROM v"""
+
+
+@register("zarr_sharded_rt", _sharded_oracle)
+def zarr_sharded_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed per-shard fingerprints of the sharded Zarr fixture."""
+    root = sharded_fixture_store()
+    out = None
+    for apath, *_rest in _SHARD_ARRAYS:
+        df = Z.chunks_df(spark, root, apath).drop("data")
+        out = df if out is None else out.unionByName(df)
+    return out

@@ -14,8 +14,13 @@ GeoZarr layouts actually use:
   (``c/<i>/<j>`` with configurable separator), ``fill_value``,
   ``dimension_names``, free-form ``attributes``.
 * codecs: the ``bytes`` array->bytes codec (little/big endian) optionally
-  followed by the ``gzip`` bytes->bytes codec (zlib — stdlib).  Sharding
-  and transpose are out of scope and rejected explicitly.
+  followed by the ``gzip`` bytes->bytes codec (zlib — stdlib), and the
+  ``sharding_indexed`` array->bytes codec (ZEP 2, the reference's optional
+  ``enable_sharding`` encoding, `conversion/geozarr.py:1077-1093`): shard
+  objects hold a grid of inner chunks plus a uint64 (offset, nbytes) index
+  (``index_location`` start|end, crc32c-checksummed via the stdlib-free
+  table implementation below).  Transpose is out of scope and rejected
+  explicitly.
 * data types: the fixed-width numeric subset (u/i 1-8 bytes, f4/f8).
 
 Scale design: chunk OBJECTS are the parallelism unit, exactly as in the
@@ -57,6 +62,38 @@ DTYPES = {
 
 
 # ---------------------------------------------------------------------------
+# crc32c (Castagnoli), required by the sharding index codec chain.
+# Table-driven reflected CRC, polynomial 0x1EDC6F41 (reflected 0x82F63B78)
+# — the public algorithm (RFC 3720 §B.4); indexes are 16 B/chunk so pure
+# Python is plenty.
+# ---------------------------------------------------------------------------
+
+
+def _crc32c_table() -> list[int]:
+    tbl = []
+    for n in range(256):
+        c = n
+        for _ in range(8):
+            c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+        tbl.append(c)
+    return tbl
+
+
+_CRC32C_TABLE = _crc32c_table()
+
+
+def crc32c(data: bytes) -> int:
+    c = 0xFFFFFFFF
+    for b in data:
+        c = _CRC32C_TABLE[(c ^ b) & 0xFF] ^ (c >> 8)
+    return c ^ 0xFFFFFFFF
+
+
+#: missing-inner-chunk sentinel in the shard index (spec: 2^64 - 1)
+_SHARD_MISSING = 0xFFFFFFFFFFFFFFFF
+
+
+# ---------------------------------------------------------------------------
 # writer (test fixtures + the engine's own GeoZarr-shaped output)
 # ---------------------------------------------------------------------------
 
@@ -73,6 +110,52 @@ def write_group(path: str, attributes: dict | None = None) -> None:
         json.dump(doc, f, sort_keys=True)
 
 
+def _pad_block(arr, idx, chunk_shape, fill_value):
+    """Extract chunk ``idx``, padded with ``fill_value`` to full size."""
+    sel = tuple(
+        slice(i * c, min((i + 1) * c, s))
+        for i, c, s in zip(idx, chunk_shape, arr.shape)
+    )
+    block = arr[sel]
+    if block.shape != tuple(chunk_shape):
+        full = np.full(chunk_shape, fill_value, dtype=arr.dtype)
+        full[tuple(slice(0, e) for e in block.shape)] = block
+        block = full
+    return block
+
+
+def _encode_block(block: np.ndarray, gzip_level: int | None) -> bytes:
+    raw = np.ascontiguousarray(block, dtype=block.dtype.newbyteorder("<")).tobytes()
+    return zlib.compress(raw, gzip_level) if gzip_level is not None else raw
+
+
+def encode_shard(
+    payloads: dict[tuple[int, ...], bytes | None],
+    inner_grid: tuple[int, ...],
+    index_location: str = "end",
+) -> bytes:
+    """Assemble one shard object from encoded inner-chunk payloads.
+
+    ``payloads[idx] is None`` marks a missing inner chunk (readers fill it
+    with ``fill_value``).  Index: row-major uint64 LE (offset, nbytes)
+    pairs + crc32c, at ``index_location`` start|end per the spec.
+    """
+    n_inner = int(np.prod(inner_grid))
+    index_nbytes = n_inner * 16 + 4  # bytes codec + crc32c
+    data = b"".join(p for p in payloads.values() if p is not None)
+    entries = np.full((n_inner, 2), _SHARD_MISSING, dtype="<u8")
+    off = index_nbytes if index_location == "start" else 0
+    for pos, idx in enumerate(np.ndindex(*inner_grid)):
+        p = payloads.get(idx)
+        if p is None:
+            continue
+        entries[pos] = (off, len(p))
+        off += len(p)
+    raw_index = entries.tobytes()
+    index = raw_index + crc32c(raw_index).to_bytes(4, "little")
+    return index + data if index_location == "start" else data + index
+
+
 def write_array(
     path: str,
     arr: np.ndarray,
@@ -81,20 +164,53 @@ def write_array(
     dimension_names: list[str] | None = None,
     gzip_level: int | None = 5,
     fill_value: float = 0,
+    shards: tuple[int, ...] | None = None,
+    index_location: str = "end",
 ) -> None:
     """Write one array node: ``zarr.json`` + full-size chunk objects.
 
     Edge chunks are padded with ``fill_value`` to ``chunk_shape`` as the
     spec requires; the reader crops them back against ``shape``.
+
+    With ``shards`` set, ``chunk_shape`` is the INNER chunk shape and each
+    stored object is a shard of ``shards`` cells carrying its inner-chunk
+    grid + index (``sharding_indexed``, ZEP 2) — the reference's optional
+    ``enable_sharding`` layout.  ``shards`` must be an integer multiple of
+    ``chunk_shape`` per dimension (spec requirement).
     """
     if arr.ndim != len(chunk_shape):
         raise ValueError("chunk_shape rank must match array rank")
     dt_name = {v: k for k, v in DTYPES.items()}.get(arr.dtype.str.lstrip("<>|="))
     if dt_name is None:
         raise ValueError(f"unsupported dtype {arr.dtype}")
-    codecs: list[dict] = [{"name": "bytes", "configuration": {"endian": "little"}}]
+    inner_codecs: list[dict] = [
+        {"name": "bytes", "configuration": {"endian": "little"}}
+    ]
     if gzip_level is not None:
-        codecs.append({"name": "gzip", "configuration": {"level": gzip_level}})
+        inner_codecs.append({"name": "gzip", "configuration": {"level": gzip_level}})
+    if shards is None:
+        outer_shape = tuple(chunk_shape)
+        codecs = inner_codecs
+    else:
+        if len(shards) != arr.ndim or any(
+            s % c for s, c in zip(shards, chunk_shape)
+        ):
+            raise ValueError("shards must be a multiple of chunk_shape per dim")
+        outer_shape = tuple(shards)
+        codecs = [
+            {
+                "name": "sharding_indexed",
+                "configuration": {
+                    "chunk_shape": list(chunk_shape),
+                    "codecs": inner_codecs,
+                    "index_codecs": [
+                        {"name": "bytes", "configuration": {"endian": "little"}},
+                        {"name": "crc32c"},
+                    ],
+                    "index_location": index_location,
+                },
+            }
+        ]
     doc = {
         "zarr_format": ZARR_FORMAT,
         "node_type": "array",
@@ -102,7 +218,7 @@ def write_array(
         "data_type": dt_name,
         "chunk_grid": {
             "name": "regular",
-            "configuration": {"chunk_shape": list(chunk_shape)},
+            "configuration": {"chunk_shape": list(outer_shape)},
         },
         "chunk_key_encoding": {
             "name": "default",
@@ -119,27 +235,26 @@ def write_array(
         json.dump(doc, f, sort_keys=True)
 
     grid = [
-        (arr.shape[d] + chunk_shape[d] - 1) // chunk_shape[d]
+        (arr.shape[d] + outer_shape[d] - 1) // outer_shape[d]
         for d in range(arr.ndim)
     ]
-    le = arr.dtype.newbyteorder("<")
     for idx in np.ndindex(*grid):
-        sel = tuple(
-            slice(i * c, min((i + 1) * c, s))
-            for i, c, s in zip(idx, chunk_shape, arr.shape)
-        )
-        block = arr[sel]
-        if block.shape != tuple(chunk_shape):  # pad edge chunk to full size
-            full = np.full(chunk_shape, fill_value, dtype=arr.dtype)
-            full[tuple(slice(0, e) for e in block.shape)] = block
-            block = full
-        raw = np.ascontiguousarray(block, dtype=le).tobytes()
-        if gzip_level is not None:
-            raw = zlib.compress(raw, gzip_level)
+        block = _pad_block(arr, idx, outer_shape, fill_value)
+        if shards is None:
+            payload = _encode_block(block, gzip_level)
+        else:
+            inner_grid = tuple(s // c for s, c in zip(shards, chunk_shape))
+            payloads = {
+                iidx: _encode_block(
+                    _pad_block(block, iidx, chunk_shape, fill_value), gzip_level
+                )
+                for iidx in np.ndindex(*inner_grid)
+            }
+            payload = encode_shard(payloads, inner_grid, index_location)
         key = os.path.join(path, "c", *(str(i) for i in idx))
         os.makedirs(os.path.dirname(key), exist_ok=True)
         with open(key, "wb") as f:
-            f.write(raw)
+            f.write(payload)
 
 
 # ---------------------------------------------------------------------------
@@ -166,18 +281,44 @@ def _validate_array(rel: str, doc: dict) -> dict:
     if cke["name"] not in ("default", "v2"):
         raise ValueError(f"{rel}: unsupported chunk_key_encoding {cke['name']}")
     sep = cke.get("configuration", {}).get("separator", "/")
-    names = [c["name"] for c in doc["codecs"]]
+    codecs = doc["codecs"]
+    inner_shape = None
+    index_location = "end"
+    if codecs and codecs[0]["name"] == "sharding_indexed":
+        if len(codecs) != 1:
+            raise ValueError(f"{rel}: sharding_indexed must be the sole codec")
+        cfg = codecs[0]["configuration"]
+        inner_shape = [int(c) for c in cfg["chunk_shape"]]
+        index_location = cfg.get("index_location", "end")
+        if index_location not in ("start", "end"):
+            raise ValueError(f"{rel}: bad index_location {index_location}")
+        idx_names = [c["name"] for c in cfg.get("index_codecs", [])]
+        if idx_names not in (["bytes"], ["bytes", "crc32c"]):
+            raise ValueError(
+                f"{rel}: unsupported index_codecs {idx_names}"
+                " (supported: bytes[, crc32c])"
+            )
+        codecs = cfg["codecs"]  # validate the inner chain below
+    names = [c["name"] for c in codecs]
     if names not in (["bytes"], ["bytes", "gzip"]):
         raise ValueError(
             f"{rel}: unsupported codec chain {names} (supported: bytes[, gzip])"
         )
     if doc["data_type"] not in DTYPES:
         raise ValueError(f"{rel}: unsupported data_type {doc['data_type']}")
-    endian = doc["codecs"][0].get("configuration", {}).get("endian", "little")
+    endian = codecs[0].get("configuration", {}).get("endian", "little")
     shape = [int(s) for s in doc["shape"]]
     chunk_shape = [
         int(c) for c in doc["chunk_grid"]["configuration"]["chunk_shape"]
     ]
+    if inner_shape is not None and (
+        len(inner_shape) != len(chunk_shape)
+        or any(s % c for s, c in zip(chunk_shape, inner_shape))
+    ):
+        raise ValueError(
+            f"{rel}: inner chunk_shape {inner_shape} must evenly divide"
+            f" shard shape {chunk_shape}"
+        )
     grid = [(s + c - 1) // c for s, c in zip(shape, chunk_shape)]
     return {
         "path": rel,
@@ -193,6 +334,8 @@ def _validate_array(rel: str, doc: dict) -> dict:
         "fill_value": doc.get("fill_value", 0),
         "dimension_names": doc.get("dimension_names"),
         "attributes": doc.get("attributes", {}),
+        "shard_inner_shape": inner_shape,
+        "shard_index_location": index_location,
     }
 
 
@@ -233,18 +376,57 @@ def open_store(root: str) -> dict[str, dict]:
     return nodes
 
 
-def _decode_chunk(meta: dict, raw: bytes) -> np.ndarray:
+def _decode_block(meta: dict, raw: bytes, block_shape) -> np.ndarray:
     if meta["gzip"]:
         raw = zlib.decompress(raw)
     dt = np.dtype(DTYPES[meta["data_type"]]).newbyteorder(
         "<" if meta["endian"] == "little" else ">"
     )
-    n = int(np.prod(meta["chunk_shape"]))
+    n = int(np.prod(block_shape))
     if len(raw) != n * dt.itemsize:
         raise ValueError(
             f"{meta['path']}: chunk payload {len(raw)}B != {n * dt.itemsize}B"
         )
-    return np.frombuffer(raw, dtype=dt).reshape(meta["chunk_shape"])
+    return np.frombuffer(raw, dtype=dt).reshape(block_shape)
+
+
+def _decode_shard(meta: dict, raw: bytes) -> np.ndarray:
+    """Decode one shard object into its full shard-shaped array."""
+    inner = meta["shard_inner_shape"]
+    inner_grid = tuple(s // c for s, c in zip(meta["chunk_shape"], inner))
+    n_inner = int(np.prod(inner_grid))
+    index_nbytes = n_inner * 16 + 4
+    if len(raw) < index_nbytes:
+        raise ValueError(f"{meta['path']}: shard smaller than its index")
+    idx_bytes = (
+        raw[:index_nbytes]
+        if meta["shard_index_location"] == "start"
+        else raw[-index_nbytes:]
+    )
+    raw_index, crc = idx_bytes[:-4], idx_bytes[-4:]
+    if crc32c(raw_index) != int.from_bytes(crc, "little"):
+        raise ValueError(f"{meta['path']}: shard index crc32c mismatch")
+    entries = np.frombuffer(raw_index, dtype="<u8").reshape(n_inner, 2)
+    out = np.full(
+        meta["chunk_shape"],
+        meta["fill_value"],
+        dtype=np.dtype(DTYPES[meta["data_type"]]),
+    )
+    for pos, iidx in enumerate(np.ndindex(*inner_grid)):
+        off, nbytes = int(entries[pos, 0]), int(entries[pos, 1])
+        if off == _SHARD_MISSING and nbytes == _SHARD_MISSING:
+            continue  # missing inner chunk = fill_value per spec
+        sel = tuple(
+            slice(i * c, (i + 1) * c) for i, c in zip(iidx, inner)
+        )
+        out[sel] = _decode_block(meta, raw[off : off + nbytes], inner)
+    return out
+
+
+def _decode_chunk(meta: dict, raw: bytes) -> np.ndarray:
+    if meta.get("shard_inner_shape") is not None:
+        return _decode_shard(meta, raw)
+    return _decode_block(meta, raw, meta["chunk_shape"])
 
 
 def _crop(meta: dict, idx: tuple[int, ...], block: np.ndarray) -> np.ndarray:

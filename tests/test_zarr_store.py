@@ -210,3 +210,100 @@ class TestConvertE2E:
         assert out.returncode == 0, out.stderr
         res = json.loads(out.stdout.strip().splitlines()[-1])
         assert res["n_merged_tiles"] > 0 and res["levels_written"]
+
+
+class TestSharding:
+    """sharding_indexed codec (ZEP 2): crc32c, round-trips, missing fill."""
+
+    def test_crc32c_public_vector(self):
+        # RFC 3720 B.4 test vector
+        assert Z.crc32c(b"123456789") == 0xE3069283
+        assert Z.crc32c(b"") == 0
+
+    @pytest.mark.parametrize("loc", ["end", "start"])
+    @pytest.mark.parametrize("gz", [5, None])
+    def test_sharded_roundtrip(self, tmp_path, loc, gz):
+        root = str(tmp_path / "s.zarr")
+        rng = np.random.default_rng(7)
+        arr = rng.integers(0, 5000, size=(300, 500), dtype=np.uint16)
+        Z.write_group(root)
+        Z.write_array(
+            os.path.join(root, "a"), arr, (32, 32), shards=(128, 128),
+            gzip_level=gz, index_location=loc,
+        )
+        assert np.array_equal(Z.read_array(root, "a"), arr)
+        meta = Z.open_store(root)["a"]
+        assert meta["chunk_shape"] == [128, 128]
+        assert meta["shard_inner_shape"] == [32, 32]
+        assert meta["shard_index_location"] == loc
+        # stored objects are per-SHARD: ceil(300/128) x ceil(500/128)
+        n_files = sum(
+            len(fs) for _, _, fs in os.walk(os.path.join(root, "a", "c"))
+        )
+        assert n_files == 3 * 4
+
+    def test_missing_inner_chunk_fills(self):
+        payloads = {
+            (0, 0): Z._encode_block(np.full((4, 4), 3, dtype=np.uint16), None),
+            (0, 1): None,
+            (1, 0): None,
+            (1, 1): Z._encode_block(np.full((4, 4), 9, dtype=np.uint16), None),
+        }
+        meta = {
+            "path": "t", "chunk_shape": [8, 8], "shard_inner_shape": [4, 4],
+            "shard_index_location": "end", "gzip": False, "endian": "little",
+            "data_type": "uint16", "fill_value": 7,
+        }
+        out = Z._decode_shard(meta, Z.encode_shard(payloads, (2, 2)))
+        assert out[0, 0] == 3 and out[7, 7] == 9
+        assert out[0, 7] == 7 and out[7, 0] == 7
+
+    def test_index_crc_mismatch_raises(self):
+        payloads = {(0, 0): b"\x00" * 8}
+        shard = Z.encode_shard(payloads, (1, 1))
+        meta = {
+            "path": "t", "chunk_shape": [2, 2], "shard_inner_shape": [2, 2],
+            "shard_index_location": "end", "gzip": False, "endian": "little",
+            "data_type": "uint16", "fill_value": 0,
+        }
+        bad = shard[:-1] + bytes([shard[-1] ^ 0xFF])
+        with pytest.raises(ValueError, match="crc32c mismatch"):
+            Z._decode_shard(meta, bad)
+
+    def test_writer_rejects_nondividing_shards(self, tmp_path):
+        with pytest.raises(ValueError, match="multiple of chunk_shape"):
+            Z.write_array(
+                str(tmp_path / "a"), np.zeros((8, 8), dtype=np.uint16),
+                (3, 3), shards=(8, 8),
+            )
+
+    def test_validator_rejects_bad_inner_grid(self, tmp_path):
+        root = str(tmp_path / "s.zarr")
+        Z.write_group(root)
+        Z.write_array(
+            os.path.join(root, "a"), np.zeros((64, 64), dtype=np.uint16),
+            (16, 16), shards=(64, 64),
+        )
+        p = os.path.join(root, "a", "zarr.json")
+        doc = json.load(open(p))
+        doc["codecs"][0]["configuration"]["chunk_shape"] = [24, 24]
+        json.dump(doc, open(p, "w"))
+        with pytest.raises(ValueError, match="evenly divide"):
+            Z.open_store(root)
+
+    def test_sharded_distributed_scan_matches_driver_read(self, spark, tmp_path):
+        from data_model_spark.operators.zarr_queries import (
+            _sharded_expected_rows, zarr_sharded_rt,
+        )
+
+        got = sorted(
+            tuple(r)
+            for r in zarr_sharded_rt(spark, "unused")
+            .select("array_path", "cy", "cx", "h", "w", "px_sum", "crc32")
+            .collect()
+        )
+        want = sorted(
+            (p, cy, cx, h, w, s, crc)
+            for p, cy, cx, h, w, s, _mn, _mx, crc in _sharded_expected_rows()
+        )
+        assert got == want
