@@ -86,6 +86,7 @@ PRIORITY_ORDER: list[str] = [
     "streaming_tiles_fp",
     "zarr_store_meta",
     "zarr_sharded_rt",
+    "geozarr_sharded_rt",
     "ann_recall_planted",
     "geozarr_store_rt",
     "quantized_recall",

@@ -58,12 +58,22 @@ def write_geozarr(
     pixel_m: float = 10.0,
     epsg: int = 32632,
     gzip_level: int | None = 5,
+    shard_tiles: int | None = None,
 ) -> DataFrame:
     """Write the merged tile table as a Zarr v3 store; return the manifest.
 
     ``tiles``: (var, level, tile_x, tile_y, data raw-u16 256x256, ...).
     The manifest DataFrame (one row per written chunk) is the write-side
     lineage — the same role the resumable sink's checkpoint rows play.
+
+    ``shard_tiles=K`` writes K x K-tile ``sharding_indexed`` shard objects
+    instead of one object per tile (reference ``enable_sharding``).  The
+    write then shuffles ONCE on the shard key — the same shard-aligned
+    repartition a 10^12-tile run needs anyway so each output object has
+    exactly one writer — and assembles each shard in a single
+    ``applyInPandas`` group (missing tiles stay missing in the shard
+    index = ``fill_value`` on read, so sparse coverage still costs
+    nothing).
     """
     # bounded driver-side metadata pass: per-(var, level) tile extents
     extents = (
@@ -127,10 +137,16 @@ def write_geozarr(
                     "standard_name": "toa_bidirectional_reflectance",
                 },
                 gzip=gzip_level is not None,
+                shard_tiles=shard_tiles,
             )
 
     b_ext = tiles.sparkSession.sparkContext.broadcast(ext)
     root = os.path.abspath(path)
+
+    if shard_tiles is not None:
+        return _write_sharded(
+            tiles, root, b_ext, gzip_level, shard_tiles
+        )
 
     def write_chunks(batches):
         for pdf in batches:
@@ -170,8 +186,82 @@ def write_geozarr(
     )
 
 
+def _write_sharded(
+    tiles: DataFrame,
+    root: str,
+    b_ext,
+    gzip_level: int | None,
+    shard_tiles: int,
+) -> DataFrame:
+    """Shard-grouped write: one shuffle on (var, level, sy, sx), one
+    writer per shard object.  Shard keys come from a broadcast join with
+    the (vars x levels)-row extents table — no per-row Python."""
+    spark = tiles.sparkSession
+    ext_rows = [
+        (var, lv, tx0, ty1)
+        for (var, lv), (tx0, _tx1, _ty0, ty1) in sorted(b_ext.value.items())
+    ]
+    ext_df = F.broadcast(
+        spark.createDataFrame(
+            ext_rows, "var string, level int, tx0 long, ty1 long"
+        )
+    )
+    keyed = (
+        tiles.select("var", "level", "tile_x", "tile_y", "data")
+        .join(ext_df, ["var", "level"])
+        .select(
+            "var",
+            "level",
+            "data",
+            (F.col("ty1") - F.col("tile_y")).alias("cy"),
+            (F.col("tile_x") - F.col("tx0")).alias("cx"),
+        )
+        .select(
+            "var", "level", "data", "cy", "cx",
+            F.floor(F.col("cy") / shard_tiles).alias("sy"),
+            F.floor(F.col("cx") / shard_tiles).alias("sx"),
+        )
+    )
+
+    def write_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        var, level, sy, sx = key[0], int(key[1]), int(key[2]), int(key[3])
+        payloads = {}
+        for row in pdf.itertuples(index=False):
+            raw = bytes(row.data)
+            payloads[(int(row.cy) % shard_tiles, int(row.cx) % shard_tiles)] = (
+                zlib.compress(raw, gzip_level) if gzip_level is not None else raw
+            )
+        shard = Z.encode_shard(payloads, (shard_tiles, shard_tiles), "end")
+        key_path = os.path.join(root, var, str(level), "c", str(sy), str(sx))
+        os.makedirs(os.path.dirname(key_path), exist_ok=True)
+        tmp = f"{key_path}.tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(shard)
+        os.replace(tmp, key_path)
+        return pd.DataFrame.from_records(
+            [
+                {
+                    "var": var,
+                    "level": level,
+                    "cy": sy,
+                    "cx": sx,
+                    "n_bytes": len(shard),
+                    "crc32": zlib.crc32(shard),
+                }
+            ]
+        )
+
+    return keyed.groupBy("var", "level", "sy", "sx").applyInPandas(
+        write_shard, _MANIFEST_SCHEMA
+    )
+
+
 def _write_array_meta(
-    path: str, shape: tuple[int, int], attributes: dict, gzip: bool
+    path: str,
+    shape: tuple[int, int],
+    attributes: dict,
+    gzip: bool,
+    shard_tiles: int | None = None,
 ) -> None:
     """Array ``zarr.json`` without touching chunk objects.
 
@@ -179,12 +269,32 @@ def _write_array_meta(
     big-endian, so the sink publishes tile bytes as-is (zero-copy) and
     lets the spec-compliant ``bytes`` codec configuration carry the fact;
     the reader (``zarr_store._decode_chunk``) honors either endian.
+
+    With ``shard_tiles=K`` the stored unit is a K x K-tile shard
+    (``sharding_indexed``; inner chunk = one tile) — the reference's
+    optional ``enable_sharding`` encoding (geozarr.py:1077-1093).
     """
     import json
 
     codecs = [{"name": "bytes", "configuration": {"endian": "big"}}]
     if gzip:
         codecs.append({"name": "gzip", "configuration": {"level": 5}})
+    if shard_tiles is not None:
+        codecs = [
+            {
+                "name": "sharding_indexed",
+                "configuration": {
+                    "chunk_shape": [TILE_PX, TILE_PX],
+                    "codecs": codecs,
+                    "index_codecs": [
+                        {"name": "bytes", "configuration": {"endian": "little"}},
+                        {"name": "crc32c"},
+                    ],
+                    "index_location": "end",
+                },
+            }
+        ]
+    stored = TILE_PX * (shard_tiles or 1)
     doc = {
         "zarr_format": Z.ZARR_FORMAT,
         "node_type": "array",
@@ -192,7 +302,7 @@ def _write_array_meta(
         "data_type": "uint16",
         "chunk_grid": {
             "name": "regular",
-            "configuration": {"chunk_shape": [TILE_PX, TILE_PX]},
+            "configuration": {"chunk_shape": [stored, stored]},
         },
         "chunk_key_encoding": {
             "name": "default",
@@ -275,6 +385,93 @@ def geozarr_store_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             out = df if out is None else out.unionByName(df)
         # self-contained local relation: the temp store is removed below
+        rows = [tuple(r) for r in out.collect()]
+        from ..sources.tables import local_df
+
+        return local_df(
+            spark, rows, "var string, level int, n_chunks long, sum_value double"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# registered query: the SHARDED write -> read-back round-trip
+# ---------------------------------------------------------------------------
+
+_SHARD_K = 2  # 2x2-tile shards: every (var, level) gets multi-tile AND
+#               edge shards at _N_IMG=26, so assembly + missing entries
+#               and the index path are all non-vacuous
+
+
+def _sharded_rt_oracle() -> str:
+    """Pyramid sums (direct-kernel replay) x shard counts (tile-key-union
+    geometry replay grouped to the K x K shard grid) — neither touches
+    the store."""
+    from .pipeline_queries import _pyramid_vals, _tile_geometry_replay
+
+    units, _ = _tile_geometry_replay(_N_IMG)
+    shard_rows = []
+    for (var, lv), keys in sorted(units.items()):
+        tx0 = min(tx for tx, _ in keys)
+        ty1 = max(ty for _, ty in keys)
+        shards = {
+            ((ty1 - ty) // _SHARD_K, (tx - tx0) // _SHARD_K) for tx, ty in keys
+        }
+        shard_rows.append(f"('{var}', {lv}, {len(shards)})")
+    vals = _pyramid_vals((f"img_{i:012d}", i) for i in range(_N_IMG))
+    return f"""
+WITH v(var, level, ax, top, lw, lh, px, sumv, minv, maxv) AS (VALUES
+  {", ".join(vals)}),
+s(var, level, n_chunks) AS (VALUES {", ".join(shard_rows)}),
+g AS (SELECT var, level, ROUND(SUM(sumv), 3) AS sum_value
+      FROM v GROUP BY var, level)
+SELECT g.var, CAST(g.level AS INTEGER) AS level,
+       CAST(s.n_chunks AS BIGINT) AS n_chunks, g.sum_value
+FROM g JOIN s ON g.var = s.var AND g.level = s.level"""
+
+
+@register("geozarr_sharded_rt", _sharded_rt_oracle)
+def geozarr_sharded_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``geozarr_store_rt`` with ``shard_tiles=2``: mosaic -> sharded
+    GeoZarr store -> distributed shard scan -> per-(band, level)
+    fingerprints.  Equality proves the shard-grouped shuffle write, the
+    index encode/decode, and missing-inner-chunk semantics conserve the
+    exact mosaic."""
+    import shutil
+    import tempfile
+
+    from ..sources.images import generate_images_df
+    from . import tiling
+
+    base = tempfile.mkdtemp(prefix="dms_geozarr_srt_")
+    try:
+        store = os.path.join(base, "out.zarr")
+        images = generate_images_df(spark, _N_IMG)
+        merged = tiling.merge_tiles(
+            tiling.build_tiles(images, min_dimension=64, repartition=False)
+        )
+        write_geozarr(merged, store, shard_tiles=_SHARD_K).count()
+        nodes = Z.open_store(store)
+        out = None
+        for p, m in sorted(nodes.items()):
+            if m["node_type"] != "array":
+                continue
+            var, lv = p.split("/")
+            df = (
+                Z.chunks_df(spark, store, p)
+                .agg(
+                    F.count("*").alias("n_chunks"),
+                    F.round(F.sum("px_sum"), 3).alias("sum_value"),
+                )
+                .select(
+                    F.lit(var).alias("var"),
+                    F.lit(int(lv)).alias("level"),
+                    "n_chunks",
+                    "sum_value",
+                )
+            )
+            out = df if out is None else out.unionByName(df)
         rows = [tuple(r) for r in out.collect()]
         from ..sources.tables import local_df
 

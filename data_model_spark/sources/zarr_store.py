@@ -142,15 +142,18 @@ def encode_shard(
     """
     n_inner = int(np.prod(inner_grid))
     index_nbytes = n_inner * 16 + 4  # bytes codec + crc32c
-    data = b"".join(p for p in payloads.values() if p is not None)
     entries = np.full((n_inner, 2), _SHARD_MISSING, dtype="<u8")
     off = index_nbytes if index_location == "start" else 0
+    parts = []  # data laid out in index (row-major) order, whatever the
+    #             caller's dict order was
     for pos, idx in enumerate(np.ndindex(*inner_grid)):
         p = payloads.get(idx)
         if p is None:
             continue
         entries[pos] = (off, len(p))
         off += len(p)
+        parts.append(p)
+    data = b"".join(parts)
     raw_index = entries.tobytes()
     index = raw_index + crc32c(raw_index).to_bytes(4, "little")
     return index + data if index_location == "start" else data + index

@@ -108,3 +108,68 @@ def test_rerun_is_idempotent(spark, written):
     assert sorted((r.var, r.level, r.cy, r.cx, r.crc32) for r in again) == sorted(
         (r.var, r.level, r.cy, r.cx, r.crc32) for r in manifest
     )
+
+
+class TestShardedSink:
+    """shard_tiles=K write path: shard-grouped shuffle, index round-trip."""
+
+    @pytest.fixture(scope="class")
+    def sharded(self, spark, tmp_path_factory):
+        store = str(tmp_path_factory.mktemp("sharded") / "out.zarr")
+        images = generate_images_df(spark, N_IMG)
+        merged = tiling.merge_tiles(
+            tiling.build_tiles(images, min_dimension=64, repartition=False)
+        ).cache()
+        manifest = zarr_sink.write_geozarr(merged, store, shard_tiles=2).collect()
+        yield store, merged, manifest
+        merged.unpersist()
+
+    def test_metadata_declares_sharding(self, sharded):
+        store, _, _ = sharded
+        nodes = Z.open_store(store)
+        arrays = [m for m in nodes.values() if m["node_type"] == "array"]
+        assert arrays
+        for m in arrays:
+            assert m["chunk_shape"] == [512, 512]
+            assert m["shard_inner_shape"] == [256, 256]
+
+    def test_one_manifest_row_per_shard(self, sharded):
+        store, merged, manifest = sharded
+        want = (
+            merged.select(
+                "var", "level",
+                F.floor(F.col("tile_x") / 2).alias("gx"),
+                F.floor(F.col("tile_y") / 2).alias("gy"),
+            )
+            .distinct()
+            .count()
+        )
+        # shard grid is anchored at the MIN tile, not at tile 0, so the
+        # distinct-(floor) count can differ by alignment; compare against
+        # the anchored grouping instead
+        ext = {
+            (r["var"], r["level"]): (r["tx0"], r["ty1"])
+            for r in merged.groupBy("var", "level")
+            .agg(F.min("tile_x").alias("tx0"), F.max("tile_y").alias("ty1"))
+            .collect()
+        }
+        anchored = {
+            (
+                r["var"], r["level"],
+                (ext[(r["var"], r["level"])][1] - r["tile_y"]) // 2,
+                (r["tile_x"] - ext[(r["var"], r["level"])][0]) // 2,
+            )
+            for r in merged.select("var", "level", "tile_x", "tile_y").collect()
+        }
+        assert len(manifest) == len(anchored)
+        del want  # documented: alignment-dependent, not the invariant
+
+    def test_sharded_readback_equals_unsharded(self, spark, sharded, written):
+        sstore, _, _ = sharded
+        ustore, _, _ = written
+        for p, m in sorted(Z.open_store(sstore).items()):
+            if m["node_type"] != "array":
+                continue
+            a = Z.read_array(sstore, p)
+            b = Z.read_array(ustore, p)
+            assert a.shape == b.shape and np.array_equal(a, b), p
