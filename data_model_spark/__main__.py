@@ -54,7 +54,9 @@ def cmd_convert(args) -> int:
                 images, min_dimension=args.min_dimension, repartition=False
             )
         merged = tiling.merge_tiles(frags)
-        n_chunks = write_geozarr(merged, args.output).count()
+        n_chunks = write_geozarr(
+            merged, args.output, shard_tiles=args.shard_tiles
+        ).count()
         print(json.dumps({"n_chunks": n_chunks, **store_info(args.output)}))
         return 0
     if args.zarr_input:
@@ -204,6 +206,15 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="write OUTPUT as a GeoZarr-shaped Zarr v3 store (multiscales "
         "metadata, one chunk per merged tile) instead of parquet tiles",
+    )
+    c.add_argument(
+        "--shard-tiles",
+        type=int,
+        default=None,
+        metavar="K",
+        help="with --to-zarr: write K x K-tile sharding_indexed shard "
+        "objects (the reference's --enable-sharding layout) instead of "
+        "one object per tile",
     )
     c.add_argument("--n-images", type=int, default=64, help="synthetic image count")
     c.add_argument("--min-dimension", type=int, default=64)
