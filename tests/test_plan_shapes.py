@@ -243,3 +243,26 @@ class TestRound4Additions:
         assert "partial_count" in plan
         assert plan.count("LeftSemi") >= 2
         assert "CartesianProduct" not in plan
+
+
+class TestShardedSinkPlan:
+    def test_sharded_write_single_extra_shuffle_and_broadcast_extents(
+        self, spark, tmp_path
+    ):
+        """The shard-grouped write adds exactly ONE shuffle (the shard-key
+        groupBy) on top of the merge shuffle, and the extents table joins
+        as a broadcast — never a shuffle join against the tile table."""
+        from data_model_spark.operators import tiling, zarr_sink
+        from data_model_spark.plans.bucketing import count_exchanges
+        from data_model_spark.sources.images import generate_images_df
+
+        imgs = generate_images_df(spark, 8)
+        merged = tiling.merge_tiles(tiling.build_tiles(imgs, repartition=False))
+        manifest = zarr_sink.write_geozarr(
+            merged, str(tmp_path / "s.zarr"), shard_tiles=2
+        )
+        plan = manifest._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+        # merge shuffle + shard-key shuffle + the broadcast exchange only
+        assert count_exchanges(manifest) <= 3
+        assert "SortMergeJoin" not in plan
