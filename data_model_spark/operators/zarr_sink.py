@@ -223,7 +223,7 @@ def _write_sharded(
         )
     )
 
-    def write_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def write_shard(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         var, level, sy, sx = key[0], int(key[1]), int(key[2]), int(key[3])
         payloads = {}
         for row in pdf.itertuples(index=False):
