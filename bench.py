@@ -186,6 +186,7 @@ def main() -> None:
         "semdedup_keep",
         "pagerank_trade",
         "zarr_store_meta",
+        "geozarr_sharded_rt",
         "ann_recall_planted",
         "geozarr_store_rt",
         "quantized_recall",
