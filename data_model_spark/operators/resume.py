@@ -282,3 +282,79 @@ class ResumableTileWrite:
             )
             results["written"].append(u)
         return results
+
+
+# ---------------------------------------------------------------------------
+# checkpointed validate stage (north rule: "row-count/PSNR metrics to an
+# Iceberg checkpoint table so the pipeline resumes idempotently mid-run")
+# ---------------------------------------------------------------------------
+
+_PSNR_CAP_DB = 99.0  # lossless rows report inf; the lineage metric caps it
+#                      so bucket sums stay finite/comparable across runs
+
+
+def checkpoint_validation(
+    spark: SparkSession,
+    log: CheckpointLog,
+    validated: DataFrame,
+    min_psnr_db: float = 40.0,
+    buckets: int = 16,
+) -> tuple[DataFrame, bool]:
+    """Record the validate stage's per-partition PSNR lineage; resume-safe.
+
+    ``validated``: output of ``tiling.validate_images`` (image_id, psnr_db,
+    caption_ok, phash_ok).  Lineage rows are keyed by the same
+    content-stable bucketing as the tile sink (``xxhash64(image_id) %
+    buckets``): ``unit='validate/bucket=N'``, ``n_rows`` = images in the
+    bucket PASSING the full gate (PSNR >= ``min_psnr_db`` AND caption AND
+    phash), ``checksum`` = capped-PSNR sum over the bucket — the
+    run-to-run-comparable quality metric.
+
+    Rerun with the same log SKIPS the decode entirely and returns the
+    committed rows (``resumed=True``) — the validate stage resumes exactly
+    like a written tile unit.
+    """
+    existing = (
+        log.read(spark)
+        .filter(F.col("unit").startswith("validate/"))
+        .select("unit", "n_rows", "checksum")
+    )
+    rows = existing.collect()
+    if rows:
+        return (
+            local_df(
+                spark,
+                sorted((r.unit, r.n_rows, r.checksum) for r in rows),
+                "unit string, n_rows long, checksum double",
+            ),
+            True,
+        )
+    agg = (
+        validated.select(
+            F.pmod(F.xxhash64("image_id"), F.lit(buckets)).alias("bucket"),
+            F.least(F.col("psnr_db"), F.lit(_PSNR_CAP_DB)).alias("psnr_capped"),
+            (
+                (F.col("psnr_db") >= min_psnr_db)
+                & F.col("caption_ok")
+                & F.col("phash_ok")
+            ).cast("long").alias("pass"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("pass").alias("n_pass"),
+            F.round(F.sum("psnr_capped"), 6).alias("psnr_sum"),
+        )
+        .collect()
+    )
+    t0 = time.time()
+    lineage = sorted(
+        (f"validate/bucket={int(r.bucket)}", int(r.n_pass), float(r.psnr_sum))
+        for r in agg
+    )
+    log.record_many(
+        spark, [(u, n, c, time.time() - t0) for u, n, c in lineage]
+    )
+    return (
+        local_df(spark, lineage, "unit string, n_rows long, checksum double"),
+        False,
+    )

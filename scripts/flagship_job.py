@@ -23,14 +23,23 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     from data_model_spark.operators import tiling
-    from data_model_spark.operators.resume import ResumableTileWrite
+    from data_model_spark.operators.resume import (
+        CheckpointLog,
+        ResumableTileWrite,
+        checkpoint_validation,
+    )
     from data_model_spark.sources import images as img_src
 
     base = tempfile.mkdtemp(prefix="flagship_")
     t0 = time.perf_counter()
     images = img_src.generate_images_df(spark, n_images).cache()
     n = images.count()
-    n_valid = tiling.validate_images(images).filter("psnr_db >= 40").count()
+    # validate stage writes per-bucket (n_pass, PSNR-sum) lineage to the
+    # checkpoint table and is itself resumable (north-rule metrics clause)
+    vrows, v_resumed = checkpoint_validation(
+        spark, CheckpointLog(f"{base}/ckpt"), tiling.validate_images(images)
+    )
+    n_valid = sum(r.n_rows for r in vrows.collect())
     merged = tiling.merge_tiles(
         tiling.build_tiles(images, min_dimension=64, repartition=False)
     ).persist()
@@ -44,6 +53,7 @@ def main() -> None:
             {
                 "n_images": n,
                 "n_valid": n_valid,
+                "validate_resumed": v_resumed,
                 "n_merged_tiles": n_tiles,
                 "levels_written": results["written"],
                 "levels_skipped": results["skipped"],

@@ -275,3 +275,54 @@ class TestMultiBandUnits:
         r = sink.run(spark, tiles)
         exp = sorted(tuple(x) for x in tiles.select("var", "level").distinct().collect())
         assert sorted(r["written"]) == exp
+
+
+class TestCheckpointedValidation:
+    """checkpoint_validation: PSNR lineage rows + idempotent resume."""
+
+    def test_lineage_matches_direct_aggregation_and_resumes(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from data_model_spark.operators import tiling
+        from data_model_spark.operators.resume import (
+            CheckpointLog,
+            checkpoint_validation,
+        )
+        from data_model_spark.sources.images import generate_images_df
+
+        log = CheckpointLog(str(tmp_path / "ckpt"))
+        images = generate_images_df(spark, 24).cache()
+        validated = tiling.validate_images(images).cache()
+        rows1, resumed1 = checkpoint_validation(spark, log, validated)
+        assert resumed1 is False
+        got = sorted(tuple(r) for r in rows1.collect())
+        want = sorted(
+            (
+                f"validate/bucket={int(r.bucket)}",
+                int(r.n_pass),
+                float(r.psnr_sum),
+            )
+            for r in validated.select(
+                F.pmod(F.xxhash64("image_id"), F.lit(16)).alias("bucket"),
+                F.least("psnr_db", F.lit(99.0)).alias("p"),
+                (
+                    (F.col("psnr_db") >= 40.0)
+                    & F.col("caption_ok")
+                    & F.col("phash_ok")
+                ).cast("long").alias("ok"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.sum("ok").alias("n_pass"),
+                F.round(F.sum("p"), 6).alias("psnr_sum"),
+            )
+            .collect()
+        )
+        assert got == want
+        assert sum(n for _, n, _ in got) == 24  # every synthetic image passes
+        # rerun: resumes from the table, rows identical
+        rows2, resumed2 = checkpoint_validation(spark, log, validated)
+        assert resumed2 is True
+        assert sorted(tuple(r) for r in rows2.collect()) == got
+        validated.unpersist()
+        images.unpersist()
