@@ -135,7 +135,15 @@ def cmd_validate(args) -> int:
     from .sources.tables import local_df
 
     spark = _spark("dms-validate")
-    if args.fixture:
+    if args.zarr:
+        # reference `validate STORE` (cli.py -> store.py pydantic checks):
+        # derive the layout documents from the store, run the same rules
+        docs = local_df(
+            spark,
+            V.docs_from_zarr_store(args.zarr),
+            "store_id string, doc_type string, doc string",
+        )
+    elif args.fixture:
         docs = local_df(
             spark, V.FIXTURE_DOCS, "store_id string, doc_type string, doc string"
         )
@@ -235,6 +243,12 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument(
         "--fixture", action="store_true", help="validate the built-in fixture docs"
     )
+    v.add_argument(
+        "--zarr",
+        metavar="STORE",
+        help="validate a Zarr v3 store's layout documents (the reference's "
+        "`validate STORE` workflow)",
+    )
     v.set_defaults(fn=cmd_validate)
 
     i = sub.add_parser("info", help="summarize a written tile pyramid")
@@ -248,8 +262,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    if args.command == "validate" and not (args.fixture or args.docs):
-        print("validate: need --docs PATH or --fixture", file=sys.stderr)
+    if args.command == "validate" and not (args.fixture or args.docs or args.zarr):
+        print("validate: need --docs PATH, --zarr STORE or --fixture", file=sys.stderr)
         return 2
     return args.fn(args)
 

@@ -790,3 +790,68 @@ def product_detect(spark, sf_dir):
     """Classify the fixture stores as S1/S2/generic from group-path sets."""
     paths = local_df(spark, PRODUCT_FIXTURE_PATHS, "store_id string, path string")
     return product_detect_df(paths)
+
+
+# ---------------------------------------------------------------------------
+# Zarr-store -> document-table bridge (the reference's `validate STORE`
+# workflow, cli.py + data_api/geozarr/store.py: open the store, build the
+# layout documents, run the compliance rules)
+# ---------------------------------------------------------------------------
+
+
+def docs_from_zarr_store(root: str) -> list[tuple[str, str, str]]:
+    """Derive (store_id, doc_type, doc) rows from an on-disk Zarr v3 store.
+
+    One 'store' document per multiscales group (bbox from the finest
+    level's anchor/extent, CRS from member-array ``proj:code``) and one
+    'level' document per layout entry (affine ``spatial:transform`` from
+    scale+translation, ``standard_name`` carried through) — the same
+    shapes ``validate_docs`` checks, so `validate --zarr STORE` runs the
+    full rule set against what the sink actually wrote.  Driver-side and
+    bounded: groups x levels rows, no chunk I/O.
+    """
+    from ..sources.zarr_store import open_store
+
+    nodes = open_store(root)
+    docs: list[tuple[str, str, str]] = []
+    for path, m in sorted(nodes.items()):
+        ms = (
+            m.get("attributes", {}).get("multiscales")
+            if m["node_type"] == "group"
+            else None
+        )
+        if not ms or not ms.get("layout"):
+            continue
+        layout = ms["layout"]
+        proj = std = None
+        for p2, m2 in nodes.items():
+            if m2["node_type"] == "array" and p2.startswith(path + "/"):
+                proj = proj or m2["attributes"].get("proj:code")
+                std = std or m2["attributes"].get("standard_name")
+        finest = layout[0]
+        px = float(finest["scale"][0])
+        tx, ty = (float(v) for v in finest["translation"])
+        store_doc: dict = {
+            "spatial:bbox": [
+                tx,
+                ty - finest["height"] * px,
+                tx + finest["width"] * px,
+                ty,
+            ]
+        }
+        if proj is not None:
+            store_doc["proj:code"] = proj
+        docs.append((path, "store", json.dumps(store_doc, sort_keys=True)))
+        for entry in layout:
+            epx = float(entry["scale"][0])
+            etx, ety = (float(v) for v in entry["translation"])
+            d: dict = {
+                "spatial:shape": [entry["height"], entry["width"]],
+                "spatial:transform": [epx, 0.0, etx, 0.0, -epx, ety],
+            }
+            if std is not None:
+                d["standard_name"] = std
+            docs.append(
+                (f"{path}/{entry['asset']}", "level", json.dumps(d, sort_keys=True))
+            )
+    return docs

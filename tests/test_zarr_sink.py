@@ -173,3 +173,66 @@ class TestShardedSink:
             a = Z.read_array(sstore, p)
             b = Z.read_array(ustore, p)
             assert a.shape == b.shape and np.array_equal(a, b), p
+
+
+class TestStoreValidation:
+    """validate --zarr bridge: what the sink writes passes the rule set."""
+
+    def test_written_store_validates_clean(self, spark, written):
+        import json
+
+        from data_model_spark.operators import validate as V
+        from data_model_spark.sources.tables import local_df
+
+        store, _, _ = written
+        docs = V.docs_from_zarr_store(store)
+        assert docs  # one store doc + one level doc per layout entry
+        n_store = sum(1 for _, t, _ in docs if t == "store")
+        n_level = sum(1 for _, t, _ in docs if t == "level")
+        assert n_store >= 1 and n_level >= n_store
+        # every store doc carries bbox + exactly one CRS field
+        for _, t, d in docs:
+            d = json.loads(d)
+            if t == "store":
+                assert len(d["spatial:bbox"]) == 4 and "proj:code" in d
+            else:
+                assert len(d["spatial:transform"]) == 6
+        issues = V.validate_docs(
+            local_df(spark, docs, "store_id string, doc_type string, doc string")
+        ).collect()
+        assert issues == []
+
+    def test_corrupt_store_surfaces_issue(self, spark, written, tmp_path):
+        import json
+        import os
+        import shutil
+
+        from data_model_spark.operators import validate as V
+        from data_model_spark.sources.tables import local_df
+
+        store, _, _ = written
+        bad = str(tmp_path / "bad.zarr")
+        shutil.copytree(store, bad)
+        # find a band group and break its finest level height (negative ->
+        # bbox order violation in the derived store doc)
+        for name in sorted(os.listdir(bad)):
+            p = os.path.join(bad, name, "zarr.json")
+            if not os.path.isfile(p):
+                continue
+            doc = json.load(open(p))
+            ms = doc.get("attributes", {}).get("multiscales")
+            if not ms:
+                continue
+            ms["layout"][0]["height"] = -ms["layout"][0]["height"]
+            json.dump(doc, open(p, "w"))
+            break
+        else:
+            raise AssertionError("no multiscales group found")
+        issues = V.validate_docs(
+            local_df(
+                spark,
+                V.docs_from_zarr_store(bad),
+                "store_id string, doc_type string, doc string",
+            )
+        ).collect()
+        assert any("BBOX" in r.code.upper() for r in issues)
