@@ -87,6 +87,7 @@ PRIORITY_ORDER: list[str] = [
     "zarr_store_meta",
     "zarr_sharded_rt",
     "geozarr_sharded_rt",
+    "store_layout_validate",
     "ann_recall_planted",
     "geozarr_store_rt",
     "quantized_recall",

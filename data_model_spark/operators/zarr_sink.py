@@ -480,3 +480,119 @@ def geozarr_sharded_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# registered query: the written store's LAYOUT DOCUMENTS, validated
+# ---------------------------------------------------------------------------
+
+
+def _layout_docs_replay() -> list[tuple[str, str, str, int]]:
+    """Replay the sink's metadata from geometry alone: tile-key unions ->
+    extents -> multiscales layout -> the exact documents
+    ``docs_from_zarr_store`` derives, with issue count 0 (what the rule
+    set must find for a spec-clean store).  No store I/O, no engine
+    metadata code."""
+    import json as _json
+
+    from .pipeline_queries import _tile_geometry_replay
+
+    units, _ = _tile_geometry_replay(_N_IMG)
+    by_var: dict[str, dict[int, tuple]] = {}
+    for (var, lv), keys in units.items():
+        tx0 = min(tx for tx, _ in keys)
+        tx1 = max(tx for tx, _ in keys)
+        ty0 = min(ty for _, ty in keys)
+        ty1 = max(ty for _, ty in keys)
+        by_var.setdefault(var, {})[lv] = (tx0, tx1, ty0, ty1)
+    rows = []
+    for var, levels in sorted(by_var.items()):
+        finest = min(levels)
+        tx0, tx1, ty0, ty1 = levels[finest]
+        px = 10.0 * (1 << finest)
+        tx = tx0 * TILE_PX * px
+        ty = (ty1 + 1) * TILE_PX * px
+        w = (tx1 - tx0 + 1) * TILE_PX
+        h = (ty1 - ty0 + 1) * TILE_PX
+        store_doc = {
+            "spatial:bbox": [tx, ty - h * px, tx + w * px, ty],
+            "proj:code": "EPSG:32632",
+        }
+        rows.append((var, "store", _json.dumps(store_doc, sort_keys=True), 0))
+        for lv in sorted(levels):
+            tx0, tx1, ty0, ty1 = levels[lv]
+            epx = 10.0 * (1 << lv)
+            d = {
+                "spatial:shape": [
+                    (ty1 - ty0 + 1) * TILE_PX,
+                    (tx1 - tx0 + 1) * TILE_PX,
+                ],
+                "spatial:transform": [
+                    epx, 0.0, tx0 * TILE_PX * epx,
+                    0.0, -epx, (ty1 + 1) * TILE_PX * epx,
+                ],
+                "standard_name": "toa_bidirectional_reflectance",
+            }
+            rows.append(
+                (f"{var}/{lv}", "level", _json.dumps(d, sort_keys=True), 0)
+            )
+    return rows
+
+
+def _layout_validate_oracle() -> str:
+    from .mosaic_fp import _values_sql
+
+    return _values_sql(
+        [
+            ("store_id", "VARCHAR"),
+            ("doc_type", "VARCHAR"),
+            ("doc", "VARCHAR"),
+            ("n_issues", "INTEGER"),
+        ],
+        _layout_docs_replay(),
+    )
+
+
+@register("store_layout_validate", _layout_validate_oracle)
+def store_layout_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the flagship mosaic as a GeoZarr store, derive its layout
+    documents (``validate --zarr`` bridge) and count rule violations per
+    document.  Hash-matching the geometry replay proves the sink's
+    multiscales anchors/extents equal pure scene geometry AND that the
+    written store passes the full compliance rule set (all counts 0)."""
+    import shutil
+    import tempfile
+
+    from ..sources.images import generate_images_df
+    from ..sources.tables import local_df
+    from . import tiling
+    from .validate import docs_from_zarr_store, validate_docs
+
+    base = tempfile.mkdtemp(prefix="dms_layout_val_")
+    try:
+        store = os.path.join(base, "out.zarr")
+        images = generate_images_df(spark, _N_IMG)
+        merged = tiling.merge_tiles(
+            tiling.build_tiles(images, min_dimension=64, repartition=False)
+        )
+        write_geozarr(merged, store).count()
+        docs = docs_from_zarr_store(store)
+        docs_df = local_df(
+            spark, docs, "store_id string, doc_type string, doc string"
+        )
+        issues = (
+            validate_docs(docs_df)
+            .groupBy("store_id", "doc_type")
+            .agg(F.count("*").alias("n_issues"))
+        )
+        return (
+            docs_df.join(issues, ["store_id", "doc_type"], "left")
+            .select(
+                "store_id",
+                "doc_type",
+                "doc",
+                F.coalesce("n_issues", F.lit(0)).cast("int").alias("n_issues"),
+            )
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
