@@ -202,3 +202,91 @@ def bpe_train_fp(spark, sf_dir):
     merges = bpe_train(docs, n_merges=_FIX_MERGES)
     rows = [(i, l, r, n) for i, (l, r, n) in enumerate(merges)]
     return spark.createDataFrame(rows, "rank int, lhs string, rhs string, pair_count long")
+
+
+# ---------------------------------------------------------------------------
+# BPE ENCODE: apply a trained merge table (the other half of Sennrich —
+# tokenize the corpus with the learned vocabulary)
+# ---------------------------------------------------------------------------
+
+
+def bpe_encode_words(words: DataFrame, merges: list[tuple[str, str, int]]) -> DataFrame:
+    """Tokenize distinct words with trained merges: (w) -> (w, tokens).
+
+    Encoding = the training-time merge procedure replayed in RANK ORDER
+    (each merge fused leftmost-first) — the published algorithm's apply
+    step.  Expressed as one chained JVM ``aggregate`` fold per merge over
+    the symbol array: a single narrow projection, no Python, no shuffle.
+
+    100 TB shape: call this on the DISTINCT-word vocabulary (the same
+    collapse the trainer uses), then broadcast/equi-join tokens back to
+    the exploded corpus — encode cost is O(|vocab|), not O(corpus).
+    """
+    df = words.select(
+        "w",
+        F.expr(
+            f"concat(transform(sequence(1, length(w)), i -> substring(w, i, 1)),"
+            f" array({_sql_quote(END)}))"
+        ).alias("s"),
+    )
+    for i, (l, r, _n) in enumerate(merges):
+        df = df.select("w", F.expr(_merge_expr(l, r)).alias("s"))
+        if (i + 1) % 4 == 0:
+            # cap expression-tree growth: CollapseProject would inline the
+            # multiply-referenced `s` across folds (4 refs/merge -> 4^k
+            # blowup); a checkpoint every 4 merges keeps the analyzed plan
+            # bounded while the vocab table stays tiny (post-collapse)
+            df = df.localCheckpoint()
+    return df.select("w", F.col("s").alias("tokens"))
+
+
+def ref_encode(word: str, merges) -> list[str]:
+    """Sequential apply replay (shared by pytest and the oracle)."""
+    s = list(word) + [END]
+    for l, r, _n in merges:
+        out = [s[0]]
+        for x in s[1:]:
+            if out[-1] == l and x == r:
+                out[-1] = l + r
+            else:
+                out.append(x)
+        s = out
+    return s
+
+
+def _bpe_encode_oracle() -> str:
+    from .mosaic_fp import _values_sql
+
+    merges = ref_bpe(_fixture_texts(), _FIX_MERGES)
+    words = sorted({w for t in _fixture_texts() for w in t.split() if w})
+    rows = []
+    for w in words:
+        toks = ref_encode(w, merges)
+        rows.append((w, len(toks), " ".join(toks)))
+    return _values_sql(
+        [("w", "VARCHAR"), ("n_tokens", "INTEGER"), ("tokens", "VARCHAR")],
+        rows,
+    )
+
+
+@register("bpe_encode_tokens", _bpe_encode_oracle)
+def bpe_encode_tokens(spark, sf_dir):
+    """Train on the seeded fixture, then ENCODE its vocabulary with the
+    learned merges — (word, token count, space-joined tokens), the full
+    train->apply loop hash-checked against the sequential replay."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_fixture_texts())],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, n_merges=_FIX_MERGES)
+    words = (
+        docs.select(F.explode(F.split(F.trim(F.lower("text")), " +")).alias("w"))
+        .filter(F.length("w") > 0)
+        .distinct()
+    )
+    enc = bpe_encode_words(words, merges)
+    return enc.select(
+        "w",
+        F.size("tokens").cast("int").alias("n_tokens"),
+        F.array_join("tokens", " ").alias("tokens"),
+    )

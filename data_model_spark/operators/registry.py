@@ -81,6 +81,7 @@ PRIORITY_ORDER: list[str] = [
     "zonal_stats_fp",
     "tile_render_fp",
     "bpe_train_fp",
+    "bpe_encode_tokens",
     "gcp_warp_fp",
     "resume_tile_write_fp",
     "streaming_tiles_fp",

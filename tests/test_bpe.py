@@ -39,3 +39,30 @@ def test_deterministic_across_parallelism(spark, sf_dir):
     a = bpe_train(docs.repartition(1), n_merges=8)
     b = bpe_train(docs.repartition(13), n_merges=8)
     assert a == b
+
+
+def test_encode_matches_reference_and_reconstructs(spark):
+    from data_model_spark.operators.bpe import (
+        END,
+        _fixture_texts,
+        bpe_encode_words,
+        bpe_train,
+        ref_encode,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_fixture_texts())], "doc_id long, text string"
+    )
+    merges = bpe_train(docs, n_merges=16)
+    words = sorted({w for t in _fixture_texts() for w in t.split()})
+    wdf = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r.w: list(r.tokens) for r in bpe_encode_words(wdf, merges).collect()
+    }
+    for w in words:
+        assert got[w] == ref_encode(w, merges), w
+        # tokens reconstruct the word exactly (losslessness)
+        assert "".join(got[w]) == w + END
+    # non-vacuous: multi-char tokens actually appear
+    assert any(len(t) > 1 for toks in got.values() for t in toks)
