@@ -93,6 +93,7 @@ PRIORITY_ORDER: list[str] = [
     "geozarr_store_rt",
     "quantized_recall",
     "hard_negatives",
+    "pack_sequences",
     "flow_dir_fp",
     "flow_accum_fp",
     "focal_mean_fp",
@@ -289,6 +290,7 @@ def all_queries() -> dict[str, QuerySpec]:
         mapmatch,
         media_fp,
         mosaic_fp,
+        packing,
         multimodal,
         pagerank,
         pipeline_queries,
