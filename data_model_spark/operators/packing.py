@@ -14,8 +14,13 @@ ONE window cumulative sum per shard ordered by ``doc_id`` turns packing
 into pure integer arithmetic:
 
     cum_end   = sum(n_tok) over (shard order by doc_id)
-    start_seq = floor((cum_end - n_tok) / capacity)
-    end_seq   = floor((cum_end - 1)   / capacity)
+    start_seq = (cum_end - n_tok) div capacity
+    end_seq   = (cum_end - 1)     div capacity
+
+Pure INTEGER division (``div``), not a double divide + floor: the cumsum
+is an int64 and stays exact at any corpus size, whereas a double round
+trip loses exactness once a shard's token stream passes 2^53 (~9e15
+tokens — within 100x of a 10^12-doc corpus at 8 shards).
 
 No Python, no iteration, one shuffle (the window's shard partitioning);
 map-side token counting reuses the whitespace tokenizer convention of
@@ -48,14 +53,20 @@ def pack_sequences(
     ).filter(F.col("n_tok") > 0)
     w = Window.partitionBy("shard").orderBy("doc_id")
     cum_end = F.sum("n_tok").over(w)
-    return toks.select(
-        "shard",
-        "doc_id",
-        "n_tok",
-        ((cum_end - F.col("n_tok")) / capacity).cast("long").alias("start_seq"),
-        F.pmod(cum_end - F.col("n_tok"), F.lit(capacity)).alias("start_off"),
-        ((cum_end - 1) / capacity).cast("long").alias("end_seq"),
-    ).withColumn("n_seqs", F.col("end_seq") - F.col("start_seq") + F.lit(1))
+    return (
+        toks.withColumn("_cum_end", cum_end)
+        .select(
+            "shard",
+            "doc_id",
+            "n_tok",
+            F.expr(f"(_cum_end - n_tok) div {capacity}").alias("start_seq"),
+            F.pmod(F.col("_cum_end") - F.col("n_tok"), F.lit(capacity)).alias(
+                "start_off"
+            ),
+            F.expr(f"(_cum_end - 1) div {capacity}").alias("end_seq"),
+        )
+        .withColumn("n_seqs", F.col("end_seq") - F.col("start_seq") + F.lit(1))
+    )
 
 
 _PACK_SQL = f"""
@@ -70,11 +81,11 @@ WITH t AS (
   FROM t
 )
 SELECT shard, doc_id, n_tok,
-       CAST(FLOOR((cum_end - n_tok) / {CAPACITY}.0) AS BIGINT) AS start_seq,
+       CAST((cum_end - n_tok) // {CAPACITY} AS BIGINT) AS start_seq,
        CAST((cum_end - n_tok) % {CAPACITY} AS BIGINT) AS start_off,
-       CAST(FLOOR((cum_end - 1) / {CAPACITY}.0) AS BIGINT) AS end_seq,
-       CAST(FLOOR((cum_end - 1) / {CAPACITY}.0) AS BIGINT)
-         - CAST(FLOOR((cum_end - n_tok) / {CAPACITY}.0) AS BIGINT) + 1 AS n_seqs
+       CAST((cum_end - 1) // {CAPACITY} AS BIGINT) AS end_seq,
+       CAST((cum_end - 1) // {CAPACITY} AS BIGINT)
+         - CAST((cum_end - n_tok) // {CAPACITY} AS BIGINT) + 1 AS n_seqs
 FROM c"""
 
 

@@ -114,6 +114,12 @@ PRIORITY_ORDER: list[str] = [
     "traj_stay_points_fp",
     "tile_bbox_query_fp",
     "tile_point_query_fp",
+    # -- round-5 third wave (layout / pipeline-QA / quality) --
+    "zorder_regions",
+    "pii_scrub_stats",
+    "domain_mix_weights",
+    "lsh_pr_stats",
+    "ssim_tiles_fp",
     # -- stalest evidence backfill: latest green row is r2 --
     "asof_event_order",
     "asof_range",
@@ -277,6 +283,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dbscan,
         decontaminate,
         dedup,
+        dedup_qa,
         drift,
         dsir,
         funnel,
@@ -286,16 +293,20 @@ def all_queries() -> dict[str, QuerySpec]:
         intervals,
         ivf_kmeans,
         kcore,
+        layout,
         lm,
         mapmatch,
         media_fp,
+        mixing,
         mosaic_fp,
         packing,
         multimodal,
         pagerank,
+        pii,
         pipeline_queries,
         pq,
         profile,
+        quality,
         recall,
         relational,
         render,
