@@ -266,3 +266,45 @@ class TestShardedSinkPlan:
         # merge shuffle + shard-key shuffle + the broadcast exchange only
         assert count_exchanges(manifest) <= 3
         assert "SortMergeJoin" not in plan
+
+
+class TestRound5ThirdWave:
+    def test_pii_scrub_has_no_shuffle(self, spark):
+        # redaction is a pure narrow projection: regexp work stays in one
+        # codegen stage; any Exchange here is a planning regression
+        from data_model_spark.plans.bucketing import count_exchanges
+
+        df = QUERIES["pii_scrub_stats"].spark_fn(spark, SF)
+        assert count_exchanges(df) == 0
+        plan = plan_of(spark, "pii_scrub_stats", execute=True)
+        # "*(n)" prefixes mark whole-stage-codegen stages in the plan string
+        assert "*(1)" in plan
+        assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+    def test_zorder_regions_single_agg_shuffle(self, spark):
+        # Morton interleave is column arithmetic (codegen); the only wide
+        # op is the region groupBy (partial agg map-side)
+        from data_model_spark.plans.bucketing import count_exchanges
+
+        df = QUERIES["zorder_regions"].spark_fn(spark, SF)
+        assert count_exchanges(df) <= 1
+        plan = plan_of(spark, "zorder_regions", execute=True)
+        assert "partial_count" in plan or "HashAggregate" in plan
+
+    def test_domain_mix_single_count_shuffle(self, spark):
+        # one combinable count agg; the window runs on the tiny per-source
+        # table (single extra exchange at most)
+        from data_model_spark.plans.bucketing import count_exchanges
+
+        df = QUERIES["domain_mix_weights"].spark_fn(spark, SF)
+        assert count_exchanges(df) <= 3
+        assert "CartesianProduct" not in plan_of(spark, "domain_mix_weights")
+
+    def test_lsh_pr_no_cartesian(self, spark):
+        from data_model_spark.operators.dedup import unpersist_intermediates
+
+        try:
+            plan = plan_of(spark, "lsh_pr_stats")
+        finally:
+            unpersist_intermediates()
+        assert "CartesianProduct" not in plan
