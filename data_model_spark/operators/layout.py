@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.partitioning import zorder_key
+from ..plans.partitioning import hilbert_key, zorder_key
 from ..sources.tables import load_table
 from .registry import register
 
@@ -103,3 +103,78 @@ def zorder_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a SQL replay of the full interleave)."""
     cust = load_table(spark, sf_dir, "customer")
     return zorder_region_stats(grid_points(cust))
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve layout (the locality upgrade over Morton)
+# ---------------------------------------------------------------------------
+
+
+def hilbert_region_stats(points: DataFrame) -> DataFrame:
+    """Per-Hilbert-region locality stats — same schema/contract as the
+    Morton version, computed over ``plans.partitioning.hilbert_key``."""
+    h = hilbert_key("gx", "gy", bits=GRID_BITS)
+    return (
+        points.withColumn("h", h)
+        .groupBy(F.shiftright("h", REGION_SHIFT).alias("region"))
+        .agg(
+            F.count("*").alias("n_points"),
+            F.min("gx").alias("min_gx"),
+            F.max("gx").alias("max_gx"),
+            F.min("gy").alias("min_gy"),
+            F.max("gy").alias("max_gy"),
+            (F.max("h") - F.min("h")).alias("h_span"),
+        )
+    )
+
+
+def _hilbert_sql_ctes(bits: int) -> str:
+    """Chained CTEs l{bits}..l0 unrolling the per-level rotate/reflect
+    recurrence — the exact SQL mirror of ``hilbert_key``."""
+    ctes = [
+        f"l{bits} AS (SELECT point_id, gx AS x, gy AS y, CAST(0 AS BIGINT) AS d FROM pts)"
+    ]
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+        ctes.append(
+            f"""l{i} AS (
+  SELECT point_id,
+         CASE WHEN {ry} = 1 THEN x
+              WHEN {rx} = 1 THEN {s - 1} - y ELSE y END AS x,
+         CASE WHEN {ry} = 1 THEN y
+              WHEN {rx} = 1 THEN {s - 1} - x ELSE x END AS y,
+         d + {s * s} * xor(3 * {rx}, {ry}) AS d
+  FROM l{i + 1})"""
+        )
+    return ",\n".join(ctes)
+
+
+_HILBERT_ORACLE = f"""
+WITH pts AS (
+  SELECT c_custkey AS point_id,
+         (c_custkey * 7919) % 64 AS gx,
+         (c_custkey * 104729) % 64 AS gy
+  FROM customer
+),
+{_hilbert_sql_ctes(GRID_BITS)},
+hc AS (
+  SELECT p.point_id, p.gx, p.gy, l0.d AS h
+  FROM pts p JOIN l0 ON p.point_id = l0.point_id
+)
+SELECT h >> {REGION_SHIFT} AS region,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       MIN(gx) AS min_gx, MAX(gx) AS max_gx,
+       MIN(gy) AS min_gy, MAX(gy) AS max_gy,
+       MAX(h) - MIN(h) AS h_span
+FROM hc GROUP BY 1"""
+
+
+@register("hilbert_regions", _HILBERT_ORACLE)
+def hilbert_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-layout locality stats per contiguous code region,
+    hash-checked against the SQL unroll of the rotate/reflect
+    recurrence (curve properties pinned in tests/test_hilbert.py)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return hilbert_region_stats(grid_points(cust))

@@ -120,6 +120,7 @@ PRIORITY_ORDER: list[str] = [
     "domain_mix_weights",
     "lsh_pr_stats",
     "ssim_tiles_fp",
+    "hilbert_regions",
     # -- stalest evidence backfill: latest green row is r2 --
     "asof_event_order",
     "asof_range",

@@ -230,3 +230,45 @@ def zorder_partition_auto(
         .drop("_ox", "_oy")
     )
     return _z_tail(joined, n_partitions, grid_bits, level_col)
+
+
+def hilbert_key(x_col: str = "tile_x", y_col: str = "tile_y", bits: int = 8):
+    """Hilbert-curve index of two tile coordinates as a JVM expression.
+
+    The locality upgrade over ``zorder_key``: consecutive Hilbert codes are
+    ALWAYS 4-adjacent cells (unit steps — proven exhaustively for the full
+    curve in tests/test_hilbert.py), so any contiguous code range — aligned
+    or not — stays spatially compact, where Morton takes long diagonal
+    jumps at power-of-two boundaries.  Databricks liquid clustering and
+    modern lakehouse layouts default to Hilbert for exactly this reason;
+    use it as the drop-in cluster key wherever ``zorder_key`` is used.
+
+    Implementation: the standard per-level rotate/reflect recurrence
+    (quadrant digit ``(3*rx) XOR ry``, reflection ``s-1-v`` on the lower-
+    left quadrant, swap on every non-upper level), unrolled at build time
+    into a pure CASE/bit-arithmetic column expression — whole-stage
+    codegen, no UDF.  Expression size is O(2^bits) leaf references, so
+    keep ``bits`` <= ~12 (a 4096x4096 tile grid) — beyond that, derive the
+    key per level with intermediate columns instead.
+    """
+    from pyspark.sql import functions as F
+
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    d = F.lit(0).cast("long")
+    one, zero = F.lit(1).cast("long"), F.lit(0).cast("long")
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = F.when(x.bitwiseAND(F.lit(s)) > 0, one).otherwise(zero)
+        ry = F.when(y.bitwiseAND(F.lit(s)) > 0, one).otherwise(zero)
+        d = d + F.lit(s * s).cast("long") * (rx * 3).bitwiseXOR(ry)
+        # rotate/reflect for the next level: ry==1 -> unchanged;
+        # ry==0, rx==1 -> reflect both then swap; ry==0, rx==0 -> swap
+        x_next = F.when(ry == 1, x).otherwise(
+            F.when(rx == 1, F.lit(s - 1) - y).otherwise(y)
+        )
+        y_next = F.when(ry == 1, y).otherwise(
+            F.when(rx == 1, F.lit(s - 1) - x).otherwise(x)
+        )
+        x, y = x_next, y_next
+    return d
