@@ -121,6 +121,7 @@ PRIORITY_ORDER: list[str] = [
     "lsh_pr_stats",
     "ssim_tiles_fp",
     "hilbert_regions",
+    "emb_gramian",
     # -- stalest evidence backfill: latest green row is r2 --
     "asof_event_order",
     "asof_range",
@@ -289,6 +290,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dsir,
         funnel,
         fuzzy,
+        gramian,
         hull,
         hydrology,
         intervals,
