@@ -191,6 +191,13 @@ def main() -> None:
         "geozarr_store_rt",
         "quantized_recall",
         "hard_negatives",
+        # r5 third wave: layout keys, pipeline QA, quality, Gramian
+        "zorder_regions",
+        "hilbert_regions",
+        "pii_scrub_stats",
+        "lsh_pr_stats",
+        "ssim_tiles_fp",
+        "emb_gramian",
     ]
     from data_model_spark.cache import unpersist_tracked
 

@@ -122,6 +122,7 @@ PRIORITY_ORDER: list[str] = [
     "ssim_tiles_fp",
     "hilbert_regions",
     "emb_gramian",
+    "segment_intersections",
     # -- stalest evidence backfill: latest green row is r2 --
     "asof_event_order",
     "asof_range",
@@ -302,6 +303,7 @@ def all_queries() -> dict[str, QuerySpec]:
         media_fp,
         mixing,
         mosaic_fp,
+        overlay_segments,
         packing,
         multimodal,
         pagerank,
