@@ -123,6 +123,7 @@ PRIORITY_ORDER: list[str] = [
     "hilbert_regions",
     "emb_gramian",
     "segment_intersections",
+    "curation_pipeline",
     # -- stalest evidence backfill: latest green row is r2 --
     "asof_event_order",
     "asof_range",
@@ -309,6 +310,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pagerank,
         pii,
         pipeline_queries,
+        pipeline_curation,
         pq,
         profile,
         quality,
