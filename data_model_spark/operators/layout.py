@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.partitioning import hilbert_key, zorder_key
+from ..plans.partitioning import with_hilbert, zorder_key
 from ..sources.tables import load_table
 from .registry import register
 
@@ -113,9 +113,8 @@ def zorder_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hilbert_region_stats(points: DataFrame) -> DataFrame:
     """Per-Hilbert-region locality stats — same schema/contract as the
     Morton version, computed over ``plans.partitioning.hilbert_key``."""
-    h = hilbert_key("gx", "gy", bits=GRID_BITS)
     return (
-        points.withColumn("h", h)
+        with_hilbert(points, "gx", "gy", bits=GRID_BITS, out="h")
         .groupBy(F.shiftright("h", REGION_SHIFT).alias("region"))
         .agg(
             F.count("*").alias("n_points"),

@@ -247,9 +247,14 @@ def hilbert_key(x_col: str = "tile_x", y_col: str = "tile_y", bits: int = 8):
     (quadrant digit ``(3*rx) XOR ry``, reflection ``s-1-v`` on the lower-
     left quadrant, swap on every non-upper level), unrolled at build time
     into a pure CASE/bit-arithmetic column expression — whole-stage
-    codegen, no UDF.  Expression size is O(2^bits) leaf references, so
-    keep ``bits`` <= ~12 (a 4096x4096 tile grid) — beyond that, derive the
-    key per level with intermediate columns instead.
+    codegen, no UDF.
+
+    NOTE the single-Column form duplicates the x/y subtrees at every
+    level — the expression tree is O(3^bits) and Catalyst ANALYSIS cost
+    dominates beyond ~6 bits (measured: 7-8 s planning at bits=6 vs
+    ~0.2 s for ``with_hilbert``).  Use this form only for tiny grids or
+    golden tests; production paths go through ``with_hilbert`` (named
+    per-level intermediates, O(bits) plan size, same values).
     """
     from pyspark.sql import functions as F
 
@@ -272,3 +277,49 @@ def hilbert_key(x_col: str = "tile_x", y_col: str = "tile_y", bits: int = 8):
         )
         x, y = x_next, y_next
     return d
+
+
+def with_hilbert(
+    df: DataFrame,
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+    bits: int = 8,
+    out: str = "h",
+) -> DataFrame:
+    """Append the Hilbert index as column ``out`` — the production form.
+
+    Same recurrence as ``hilbert_key`` but each level's rotated (x, y)
+    and partial d are NAMED intermediate columns, one projection per
+    level: plan size O(bits) instead of the single-Column form's
+    O(3^bits) tree (CollapseProject leaves the chain alone because the
+    per-level CASE expressions are non-cheap multi-consumer).  Values are
+    identical (pinned in tests/test_hilbert.py).
+    """
+    from pyspark.sql import functions as F
+
+    one, zero = F.lit(1).cast("long"), F.lit(0).cast("long")
+    df = df.withColumns(
+        {
+            "_hx": F.col(x_col).cast("long"),
+            "_hy": F.col(y_col).cast("long"),
+            out: F.lit(0).cast("long"),
+        }
+    )
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        x, y = F.col("_hx"), F.col("_hy")
+        rx = F.when(x.bitwiseAND(F.lit(s)) > 0, one).otherwise(zero)
+        ry = F.when(y.bitwiseAND(F.lit(s)) > 0, one).otherwise(zero)
+        df = df.withColumns(
+            {
+                out: F.col(out)
+                + F.lit(s * s).cast("long") * (rx * 3).bitwiseXOR(ry),
+                "_hx": F.when(ry == 1, x).otherwise(
+                    F.when(rx == 1, F.lit(s - 1) - y).otherwise(y)
+                ),
+                "_hy": F.when(ry == 1, y).otherwise(
+                    F.when(rx == 1, F.lit(s - 1) - x).otherwise(x)
+                ),
+            }
+        )
+    return df.drop("_hx", "_hy")

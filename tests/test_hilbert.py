@@ -9,29 +9,39 @@ is where Morton's diagonal jumps lose locality.
 import numpy as np
 from pyspark.sql import functions as F
 
-from data_model_spark.plans.partitioning import hilbert_key, zorder_key
+from data_model_spark.plans.partitioning import (
+    hilbert_key,
+    with_hilbert,
+    zorder_key,
+)
 
 BITS = 6
 N = 1 << BITS
 
 
-def _curve(spark, key_fn):
-    """(d -> (x, y)) mapping computed BY THE SPARK EXPRESSION over the
-    full grid."""
-    grid = (
-        spark.range(N * N)
-        .select(
-            (F.col("id") % N).alias("gx"),
-            (F.col("id") / N).cast("long").alias("gy"),
-        )
-        .withColumn("d", key_fn("gx", "gy", bits=BITS))
+def _grid(spark):
+    return spark.range(N * N).select(
+        (F.col("id") % N).alias("gx"),
+        (F.col("id") / N).cast("long").alias("gy"),
     )
-    rows = grid.collect()
+
+
+def _curve_hilbert(spark):
+    rows = with_hilbert(_grid(spark), "gx", "gy", bits=BITS, out="d").collect()
+    return {r.d: (r.gx, r.gy) for r in rows}
+
+
+def _curve_morton(spark):
+    rows = (
+        _grid(spark)
+        .withColumn("d", zorder_key("gx", "gy", bits=BITS))
+        .collect()
+    )
     return {r.d: (r.gx, r.gy) for r in rows}
 
 
 def test_hilbert_bijective_with_unit_steps(spark):
-    cells = _curve(spark, hilbert_key)
+    cells = _curve_hilbert(spark)
     assert len(cells) == N * N  # bijective over the full grid
     assert min(cells) == 0 and max(cells) == N * N - 1
     steps = [
@@ -45,8 +55,8 @@ def test_hilbert_beats_morton_on_unaligned_ranges(spark):
     """For contiguous but UNALIGNED code windows (the row-group boundary
     case), Hilbert's worst-case bbox stays strictly tighter than
     Morton's — the measurable reason to prefer it as the cluster key."""
-    h = _curve(spark, hilbert_key)
-    z = _curve(spark, zorder_key)
+    h = _curve_hilbert(spark)
+    z = _curve_morton(spark)
 
     def worst_extent(cells, win=64, stride=17):
         worst = 0
@@ -61,7 +71,10 @@ def test_hilbert_beats_morton_on_unaligned_ranges(spark):
     assert wh < wz, (wh, wz)
 
 
-def test_hilbert_matches_scalar_recurrence(spark):
+def test_column_form_matches_projection_form_and_scalar(spark):
+    """hilbert_key (single Column, golden/test form) == with_hilbert
+    (production projection chain) == the scalar recurrence."""
+
     def scalar(x, y, bits=BITS):
         d, s = 0, 1 << (bits - 1)
         while s > 0:
@@ -75,9 +88,16 @@ def test_hilbert_matches_scalar_recurrence(spark):
             s //= 2
         return d
 
-    cells = _curve(spark, hilbert_key)
     rng = np.random.default_rng(3)
-    for _ in range(200):
-        x, y = int(rng.integers(0, N)), int(rng.integers(0, N))
-        d = scalar(x, y)
-        assert cells[d] == (x, y)
+    pts = [(int(rng.integers(0, N)), int(rng.integers(0, N))) for _ in range(64)]
+    df = spark.createDataFrame(pts, "gx long, gy long")
+    col_form = {
+        (r.gx, r.gy): r.d
+        for r in df.withColumn("d", hilbert_key("gx", "gy", bits=BITS)).collect()
+    }
+    proj_form = {
+        (r.gx, r.gy): r.d
+        for r in with_hilbert(df, "gx", "gy", bits=BITS, out="d").collect()
+    }
+    for x, y in pts:
+        assert col_form[(x, y)] == proj_form[(x, y)] == scalar(x, y)
