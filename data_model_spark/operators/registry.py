@@ -124,6 +124,8 @@ PRIORITY_ORDER: list[str] = [
     "emb_gramian",
     "segment_intersections",
     "curation_pipeline",
+    "cusum_changepoints",
+    "curriculum_buckets",
     # -- stalest evidence backfill: latest green row is r2 --
     "asof_event_order",
     "asof_range",
@@ -280,10 +282,12 @@ def all_queries() -> dict[str, QuerySpec]:
         bpe,
         ccl,
         components,
+        changepoint,
         consolidate,
         contours,
         contrastive,
         costdist,
+        curriculum,
         dbscan,
         decontaminate,
         dedup,
