@@ -198,6 +198,10 @@ def main() -> None:
         "lsh_pr_stats",
         "ssim_tiles_fp",
         "emb_gramian",
+        "segment_intersections",
+        "curation_pipeline",
+        "cusum_changepoints",
+        "curriculum_buckets",
     ]
     from data_model_spark.cache import unpersist_tracked
 
