@@ -126,6 +126,8 @@ PRIORITY_ORDER: list[str] = [
     "curation_pipeline",
     "cusum_changepoints",
     "curriculum_buckets",
+    "lpa_communities",
+    "source_similarity",
     # -- stalest evidence backfill: latest green row is r2 --
     "asof_event_order",
     "asof_range",
@@ -304,6 +306,7 @@ def all_queries() -> dict[str, QuerySpec]:
         kcore,
         layout,
         lm,
+        lpa,
         mapmatch,
         media_fp,
         mixing,
@@ -331,6 +334,7 @@ def all_queries() -> dict[str, QuerySpec]:
         skyline,
         snapshot,
         sketches,
+        source_sim,
         sssp,
         spatial_queries,
         substrings,
