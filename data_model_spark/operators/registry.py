@@ -128,6 +128,7 @@ PRIORITY_ORDER: list[str] = [
     "curriculum_buckets",
     "lpa_communities",
     "source_similarity",
+    "od_flows",
     # -- stalest evidence backfill: latest green row is r2 --
     "asof_event_order",
     "asof_range",
@@ -314,6 +315,7 @@ def all_queries() -> dict[str, QuerySpec]:
         overlay_segments,
         packing,
         multimodal,
+        od_flows,
         pagerank,
         pii,
         pipeline_queries,
