@@ -129,6 +129,7 @@ PRIORITY_ORDER: list[str] = [
     "lpa_communities",
     "source_similarity",
     "od_flows",
+    "polygon_metrics",
     # -- stalest evidence backfill: latest green row is r2 --
     "asof_event_order",
     "asof_range",
@@ -320,6 +321,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pii,
         pipeline_queries,
         pipeline_curation,
+        polygon_metrics,
         pq,
         profile,
         quality,
