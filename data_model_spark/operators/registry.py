@@ -130,6 +130,7 @@ PRIORITY_ORDER: list[str] = [
     "source_similarity",
     "od_flows",
     "polygon_metrics",
+    "dataset_card",
     # -- stalest evidence backfill: latest green row is r2 --
     "asof_event_order",
     "asof_range",
@@ -292,6 +293,7 @@ def all_queries() -> dict[str, QuerySpec]:
         contrastive,
         costdist,
         curriculum,
+        dataset_card,
         dbscan,
         decontaminate,
         dedup,
