@@ -59,7 +59,7 @@ def ssim_mse(A: np.ndarray) -> tuple[float, float]:
     return float(ssim), float(mse)
 
 
-def ssim_tiles(tiles) -> "DataFrame":  # noqa: F821
+def ssim_tiles(tiles):
     """Per-tile (ssim, mse) of the one-pyramid-step reconstruction."""
     from .mosaic_fp import _r
     from .tiling import TILE_PX
@@ -108,7 +108,7 @@ def _ssim_oracle() -> str:
 
 
 @register("ssim_tiles_fp", _ssim_oracle)
-def ssim_tiles_fp(spark, sf_dir) -> "DataFrame":  # noqa: F821
+def ssim_tiles_fp(spark, sf_dir):
     """Per-tile SSIM/MSE of the pyramid-step reconstruction over the merged
     level-0 mosaic, hash-checked against the sequential kernel replay."""
     from .hydrology import _merged_tiles

@@ -34,8 +34,6 @@ def test_regions_are_aligned_8x8_blocks(spark, sf_dir):
 def test_spark_morton_matches_pure_python(spark, sf_dir):
     cust = load_table(spark, sf_dir, "customer").limit(64)
     rows = grid_points(cust).collect()
-    from pyspark.sql import functions as F
-
     from data_model_spark.plans.partitioning import zorder_key
 
     zs = {
