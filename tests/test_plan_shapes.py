@@ -308,3 +308,35 @@ class TestRound5ThirdWave:
         finally:
             unpersist_intermediates()
         assert "CartesianProduct" not in plan
+
+    def test_segment_join_no_cartesian_keyed_on_cells(self, spark):
+        plan = plan_of(spark, "segment_intersections")
+        assert "CartesianProduct" not in plan
+        assert "cell_x" in plan and "cell_y" in plan  # the candidate key
+
+    def test_gramian_single_partial_agg_shuffle(self, spark):
+        from data_model_spark.plans.bucketing import count_exchanges
+
+        df = QUERIES["emb_gramian"].spark_fn(spark, SF)
+        assert count_exchanges(df) <= 1  # 2,080-row partials, one agg
+
+    def test_od_flows_two_bounded_shuffles(self, spark):
+        # one window on the track key + one count on the OD key
+        from data_model_spark.plans.bucketing import count_exchanges
+
+        df = QUERIES["od_flows"].spark_fn(spark, SF)
+        assert count_exchanges(df) <= 2
+
+    def test_curation_pipeline_no_cartesian(self, spark):
+        from data_model_spark.operators.dedup import unpersist_intermediates
+
+        try:
+            plan = plan_of(spark, "curation_pipeline")
+        finally:
+            unpersist_intermediates()
+        assert "CartesianProduct" not in plan
+
+    def test_cusum_totals_broadcast_and_group_limit(self, spark):
+        plan = plan_of(spark, "cusum_changepoints", execute=True)
+        assert "CartesianProduct" not in plan
+        assert "WindowGroupLimit" in plan  # the top-1 pick stays bounded
