@@ -131,6 +131,8 @@ PRIORITY_ORDER: list[str] = [
     "od_flows",
     "polygon_metrics",
     "dataset_card",
+    "scd2_asof",
+    "k_anonymity_audit",
     # -- stalest evidence backfill: latest green row is r2 --
     "asof_event_order",
     "asof_range",
@@ -325,6 +327,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline_curation,
         polygon_metrics,
         pq,
+        privacy,
         profile,
         quality,
         recall,

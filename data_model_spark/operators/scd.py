@@ -84,3 +84,44 @@ def scd2_history_query(spark, sf_dir):
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
     )
     return scd2_history(ev)
+
+
+# ---------------------------------------------------------------------------
+# as-of reconstruction (time travel over the type-2 history)
+# ---------------------------------------------------------------------------
+
+ASOF_US = 1_704_240_000_000_000  # 2024-01-03T00:00:00Z, mid-stream
+
+
+def scd2_asof(history: DataFrame, at_us: int = ASOF_US) -> DataFrame:
+    """Dimension state AS OF ``at_us``: the one validity interval per key
+    containing the instant (valid_from <= T < valid_to, open row = +inf).
+
+    The point-in-time query every type-2 dimension exists to answer; a
+    pure filter over the history — no extra shuffle beyond the history's
+    own window stage, and at 10^12 rows the predicate prunes on the
+    interval columns' parquet min/max stats when the history is stored.
+    """
+    return history.filter(
+        (F.col("valid_from_us") <= at_us)
+        & (F.col("valid_to_us").isNull() | (F.col("valid_to_us") > at_us))
+    )
+
+
+@register(
+    "scd2_asof",
+    _SCD2_ORACLE.rstrip()
+    + f"""
+QUALIFY valid_from_us <= {ASOF_US}
+    AND (valid_to_us IS NULL OR valid_to_us > {ASOF_US})""",
+)
+def scd2_asof_query(spark, sf_dir):
+    """Every user's event_type state as of 2024-01-03T00:00Z, reconstructed
+    from the type-2 history (one row per then-active user)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    return scd2_asof(scd2_history(ev))
