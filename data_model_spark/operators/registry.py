@@ -133,6 +133,8 @@ PRIORITY_ORDER: list[str] = [
     "dataset_card",
     "scd2_asof",
     "k_anonymity_audit",
+    "negative_edges",
+    "range_boundaries",
     # -- stalest evidence backfill: latest green row is r2 --
     "asof_event_order",
     "asof_range",
@@ -286,6 +288,7 @@ def all_queries() -> dict[str, QuerySpec]:
     """
     from . import (  # noqa: F401
         autocorr,
+        boundaries,
         bpe,
         ccl,
         components,
@@ -320,6 +323,7 @@ def all_queries() -> dict[str, QuerySpec]:
         overlay_segments,
         packing,
         multimodal,
+        negatives,
         od_flows,
         pagerank,
         pii,
