@@ -135,6 +135,8 @@ PRIORITY_ORDER: list[str] = [
     "k_anonymity_audit",
     "negative_edges",
     "range_boundaries",
+    "cell_skew_audit",
+    "dedup_delta_pairs",
     # -- stalest evidence backfill: latest green row is r2 --
     "asof_event_order",
     "asof_range",
@@ -302,6 +304,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dbscan,
         decontaminate,
         dedup,
+        dedup_delta,
         dedup_qa,
         drift,
         dsir,
@@ -344,6 +347,7 @@ def all_queries() -> dict[str, QuerySpec]:
         semdedup,
         sessions,
         similarity,
+        skew_audit,
         skyline,
         snapshot,
         sketches,
