@@ -137,6 +137,7 @@ PRIORITY_ORDER: list[str] = [
     "range_boundaries",
     "cell_skew_audit",
     "dedup_delta_pairs",
+    "cell_rollup_counts",
     # -- stalest evidence backfill: latest green row is r2 --
     "asof_event_order",
     "asof_range",
@@ -294,6 +295,7 @@ def all_queries() -> dict[str, QuerySpec]:
         bpe,
         ccl,
         components,
+        cell_rollup,
         changepoint,
         consolidate,
         contours,
