@@ -202,6 +202,12 @@ def main() -> None:
         "curation_pipeline",
         "cusum_changepoints",
         "curriculum_buckets",
+        "lpa_communities",
+        "source_similarity",
+        "dedup_delta_pairs",
+        "cell_rollup_counts",
+        "negative_edges",
+        "dataset_card",
     ]
     from data_model_spark.cache import unpersist_tracked
 
