@@ -138,6 +138,11 @@ PRIORITY_ORDER: list[str] = [
     "cell_skew_audit",
     "dedup_delta_pairs",
     "cell_rollup_counts",
+    # -- round-5 fourth wave (EO compositing / morphology) --
+    "median_composite_fp",
+    "feather_blend_fp",
+    "morph_gradient_fp",
+    "morph_open_fp",
     # -- stalest evidence backfill: latest green row is r2 --
     "asof_event_order",
     "asof_range",
@@ -296,6 +301,7 @@ def all_queries() -> dict[str, QuerySpec]:
         ccl,
         components,
         cell_rollup,
+        composite,
         changepoint,
         consolidate,
         contours,
@@ -324,6 +330,7 @@ def all_queries() -> dict[str, QuerySpec]:
         mapmatch,
         media_fp,
         mixing,
+        morphology,
         mosaic_fp,
         overlay_segments,
         packing,

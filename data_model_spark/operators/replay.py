@@ -34,12 +34,14 @@ _NEIGHBOR_STRIPS: list[tuple[int, int]] = [
 ]
 
 
-def placements(n_images: int):
+def placements(n_images: int, with_index: bool = False):
     """Yield every level-0 scene->tile fragment placement of the first
     ``n_images`` synthetic scenes: (var, tile_x, tile_y, oy, ox, block)
     with ``block`` the codec-roundtripped uint16 pixel window landing at
     canvas[oy:oy+bh, ox:ox+bw].  Scenes stream in ascending index — the
-    merge overwrite order."""
+    merge overwrite order.  ``with_index=True`` prepends the scene index
+    ``i`` (needed by replays whose kernel is scene-dependent, e.g. the
+    feather-blend weights)."""
     from ..codecs import decode_image, encode_image
     from ..sources import images as img_src
 
@@ -69,7 +71,10 @@ def placements(n_images: int):
                     continue
                 oy = r0 + round((t_top - top) / PX_M)
                 ox = c0 + round((ax - t_left) / PX_M)
-                yield var, tx, ty, oy, ox, dec[r0:r1, c0:c1]
+                if with_index:
+                    yield i, var, tx, ty, oy, ox, dec[r0:r1, c0:c1]
+                else:
+                    yield var, tx, ty, oy, ox, dec[r0:r1, c0:c1]
 
 
 @lru_cache(maxsize=4)

@@ -340,3 +340,25 @@ class TestRound5ThirdWave:
         plan = plan_of(spark, "cusum_changepoints", execute=True)
         assert "CartesianProduct" not in plan
         assert "WindowGroupLimit" in plan  # the top-1 pick stays bounded
+
+    def test_median_composite_single_shuffle(self, spark):
+        # fragments hash-repartition once on the tile key; the composite
+        # kernel streams inside mapInPandas — no second exchange
+        from data_model_spark.plans.bucketing import count_exchanges
+
+        df = QUERIES["median_composite_fp"].spark_fn(spark, SF)
+        assert count_exchanges(df) == 1
+
+    def test_feather_blend_single_shuffle(self, spark):
+        from data_model_spark.plans.bucketing import count_exchanges
+
+        df = QUERIES["feather_blend_fp"].spark_fn(spark, SF)
+        assert count_exchanges(df) == 1
+
+    def test_morph_opening_bounded_exchanges(self, spark):
+        # merge (1) + erode halo exchange (1) + dilate halo exchange (1):
+        # the chain must not introduce extra wide ops
+        from data_model_spark.plans.bucketing import count_exchanges
+
+        df = QUERIES["morph_open_fp"].spark_fn(spark, SF)
+        assert count_exchanges(df) <= 3
