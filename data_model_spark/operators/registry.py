@@ -143,6 +143,7 @@ PRIORITY_ORDER: list[str] = [
     "feather_blend_fp",
     "morph_gradient_fp",
     "morph_open_fp",
+    "leakage_free_split",
     # -- stalest evidence backfill: latest green row is r2 --
     "asof_event_order",
     "asof_range",
@@ -361,6 +362,7 @@ def all_queries() -> dict[str, QuerySpec]:
         snapshot,
         sketches,
         source_sim,
+        splits,
         sssp,
         spatial_queries,
         substrings,
