@@ -144,6 +144,7 @@ PRIORITY_ORDER: list[str] = [
     "morph_gradient_fp",
     "morph_open_fp",
     "leakage_free_split",
+    "viewshed_fp",
     # -- stalest evidence backfill: latest green row is r2 --
     "asof_event_order",
     "asof_range",
@@ -371,6 +372,7 @@ def all_queries() -> dict[str, QuerySpec]:
         trajectory,
         triangles,
         validate,
+        viewshed,
         zarr_queries,
         zarr_sink,
     )

@@ -362,3 +362,10 @@ class TestRound5ThirdWave:
 
         df = QUERIES["morph_open_fp"].spark_fn(spark, SF)
         assert count_exchanges(df) <= 3
+
+    def test_viewshed_cover_broadcast(self, spark):
+        # the observer-window cover table must broadcast (tiles stream);
+        # per-observer grouping is the only hash shuffle
+        plan = plan_of(spark, "viewshed_fp")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
