@@ -208,6 +208,13 @@ def main() -> None:
         "cell_rollup_counts",
         "negative_edges",
         "dataset_card",
+        # r5 fourth wave: EO compositing / morphology / splits / viewshed
+        "median_composite_fp",
+        "feather_blend_fp",
+        "morph_gradient_fp",
+        "morph_open_fp",
+        "leakage_free_split",
+        "viewshed_fp",
     ]
     from data_model_spark.cache import unpersist_tracked
 
