@@ -145,6 +145,7 @@ PRIORITY_ORDER: list[str] = [
     "morph_open_fp",
     "leakage_free_split",
     "viewshed_fp",
+    "stac_items",
     # -- stalest evidence backfill: latest green row is r2 --
     "asof_event_order",
     "asof_range",
@@ -364,6 +365,7 @@ def all_queries() -> dict[str, QuerySpec]:
         sketches,
         source_sim,
         splits,
+        stac,
         sssp,
         spatial_queries,
         substrings,
