@@ -98,6 +98,18 @@ PRIORITY_ORDER: list[str] = [
     "flow_accum_fp",
     "focal_mean_fp",
     "hillshade_fp",
+    # window policy: slots 41-46 of the driver's 50-query window go to the
+    # fourth-wave operators (brand-new surfaces with no driver row at
+    # all); the six displaced terrain/CCL hash twins keep their rows-only
+    # ORIGINALS inside the window (the 19 above) plus local parity runs —
+    # double driver coverage for them is worth less than first driver
+    # coverage for new operators
+    "median_composite_fp",
+    "feather_blend_fp",
+    "morph_gradient_fp",
+    "morph_open_fp",
+    "leakage_free_split",
+    "viewshed_fp",
     "contour_fp",
     "cost_distance_fp",
     "otsu_mosaic_fp",
@@ -138,13 +150,7 @@ PRIORITY_ORDER: list[str] = [
     "cell_skew_audit",
     "dedup_delta_pairs",
     "cell_rollup_counts",
-    # -- round-5 fourth wave (EO compositing / morphology) --
-    "median_composite_fp",
-    "feather_blend_fp",
-    "morph_gradient_fp",
-    "morph_open_fp",
-    "leakage_free_split",
-    "viewshed_fp",
+    # -- round-5 fourth wave remainder (main block sits in the window) --
     "stac_items",
     # -- stalest evidence backfill: latest green row is r2 --
     "asof_event_order",
