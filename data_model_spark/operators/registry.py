@@ -152,6 +152,8 @@ PRIORITY_ORDER: list[str] = [
     "cell_rollup_counts",
     # -- round-5 fourth wave remainder (main block sits in the window) --
     "stac_items",
+    "split_leakage_audit",
+    "tokenizer_fertility",
     # -- stalest evidence backfill: latest green row is r2 --
     "asof_event_order",
     "asof_range",
@@ -370,6 +372,7 @@ def all_queries() -> dict[str, QuerySpec]:
         snapshot,
         sketches,
         source_sim,
+        split_audit,
         splits,
         stac,
         sssp,

@@ -43,3 +43,31 @@ def test_split_is_function_of_group_only(spark):
     out = group_split(docs, comps)
     distinct = out.select("group_key", "bucket", "split").distinct()
     assert distinct.groupBy("group_key").count().filter("count > 1").count() == 0
+
+
+def test_leakage_audit_group_zero_naive_positive(spark):
+    """The audit proves the guarantee AND its own non-vacuity: the group
+    policy has zero straddling pairs, the naive per-doc policy leaks."""
+    from data_model_spark.operators.split_audit import split_leakage_audit
+
+    rows = {r.policy: r for r in split_leakage_audit(spark, SF).collect()}
+    assert rows["group"].straddling_pairs == 0
+    assert rows["group"].total_pairs > 0
+    assert rows["naive"].straddling_pairs > 0
+    assert rows["naive"].total_pairs == rows["group"].total_pairs
+
+
+def test_fertility_exact_sums(spark):
+    from pyspark.sql import functions as F
+
+    from data_model_spark.operators.split_audit import tokenizer_fertility
+    from data_model_spark.sources.tables import load_table
+
+    out = {r.lang: r for r in tokenizer_fertility(spark, SF).collect()}
+    docs = load_table(spark, SF, "documents")
+    direct = docs.agg(
+        F.sum(F.length("text")).alias("chars"), F.count("*").alias("n")
+    ).collect()[0]
+    assert sum(r.chars for r in out.values()) == direct.chars
+    for r in out.values():
+        assert 0 < r.fertility < 1  # whitespace tokens are multi-char
