@@ -344,3 +344,115 @@ def feather_blend_fp(spark, sf_dir):
     return feather_blend(_level0_frags(spark)).select(
         "var", "tile_x", "tile_y", "n_frags", "covered_px", "num_sum", "den_sum"
     )
+
+
+# ---------------------------------------------------------------------------
+# temporal trend: per-pixel OLS slope sign over the scene time series
+# ---------------------------------------------------------------------------
+
+_TREND_SCHEMA = T.StructType(
+    [
+        T.StructField("var", T.StringType(), False),
+        T.StructField("level", T.IntegerType(), False),
+        T.StructField("tile_x", T.LongType(), False),
+        T.StructField("tile_y", T.LongType(), False),
+        T.StructField("trend_px", T.LongType(), False),
+        T.StructField("pos_trend_px", T.LongType(), False),
+        T.StructField("neg_trend_px", T.LongType(), False),
+        T.StructField("trend_num_sum", T.LongType(), False),
+    ]
+)
+
+
+def trend_fingerprint(stack: list[tuple[int, int, int, np.ndarray]]):
+    """Exact per-tile trend figures of [(t, oy, ox, block)] with ``t`` the
+    scene index (the fixture's time proxy).  Per pixel with depth n >= 2
+    the OLS slope SIGN equals the sign of the integer numerator
+    ``n * sum(t*v) - sum(t) * sum(v)`` (the positive denominator
+    ``n * sum(t^2) - sum(t)^2`` is dropped) — all int64, no floats.
+    Shared verbatim with the sequential oracle replay."""
+    n = np.zeros((TILE_PX, TILE_PX), dtype=np.int64)
+    st = np.zeros((TILE_PX, TILE_PX), dtype=np.int64)
+    sv = np.zeros((TILE_PX, TILE_PX), dtype=np.int64)
+    stv = np.zeros((TILE_PX, TILE_PX), dtype=np.int64)
+    for t, oy, ox, block in stack:
+        sl = (slice(oy, oy + block.shape[0]), slice(ox, ox + block.shape[1]))
+        b = block.astype(np.int64)
+        n[sl] += 1
+        st[sl] += t
+        sv[sl] += b
+        stv[sl] += t * b
+    num = n * stv - st * sv
+    multi = n >= 2
+    return (
+        int(multi.sum()),
+        int((multi & (num > 0)).sum()),
+        int((multi & (num < 0)).sum()),
+        int(num[multi].sum()),
+    )
+
+
+def temporal_trend(frags: DataFrame) -> DataFrame:
+    """Per-tile counts of rising/falling pixels across the scene series
+    (depth >= 2), plus the exact integer slope-numerator sum.  Same
+    one-shuffle stream shape as ``median_composite``; the four per-pixel
+    accumulators are combinable int64 sums, so order is irrelevant."""
+
+    def emit(key, rows) -> dict:
+        var, level, tx, ty = key
+        stack = [
+            (
+                img_src.image_index(r.image_id),
+                r.off_y,
+                r.off_x,
+                decode_image(r.data, "raw-u16", r.tile_w, r.tile_h),
+            )
+            for r in rows
+        ]
+        trend_px, pos_px, neg_px, num_sum = trend_fingerprint(stack)
+        return {
+            "var": str(var),
+            "level": int(level),
+            "tile_x": int(tx),
+            "tile_y": int(ty),
+            "trend_px": trend_px,
+            "pos_trend_px": pos_px,
+            "neg_trend_px": neg_px,
+            "trend_num_sum": num_sum,
+        }
+
+    return _stream_groups(frags, emit, _TREND_SCHEMA)
+
+
+def _trend_oracle() -> str:
+    stacks: dict[tuple, list] = {}
+    for i, var, tx, ty, oy, ox, block in replay.placements(
+        _COMPOSITE_N, with_index=True
+    ):
+        stacks.setdefault((var, tx, ty), []).append((i, oy, ox, block))
+    rows = []
+    for (var, tx, ty), stack in sorted(stacks.items()):
+        trend_px, pos_px, neg_px, num_sum = trend_fingerprint(stack)
+        rows.append((var, tx, ty, trend_px, pos_px, neg_px, num_sum))
+    return _values_sql(
+        [
+            ("var", "VARCHAR"),
+            ("tile_x", "BIGINT"),
+            ("tile_y", "BIGINT"),
+            ("trend_px", "BIGINT"),
+            ("pos_trend_px", "BIGINT"),
+            ("neg_trend_px", "BIGINT"),
+            ("trend_num_sum", "BIGINT"),
+        ],
+        rows,
+    )
+
+
+@register("temporal_trend_fp", _trend_oracle)
+def temporal_trend_fp(spark, sf_dir):
+    """Pixel trend over the 96-scene overlap fixture: rising/falling
+    counts + exact slope-numerator sums per tile."""
+    return temporal_trend(_level0_frags(spark)).select(
+        "var", "tile_x", "tile_y",
+        "trend_px", "pos_trend_px", "neg_trend_px", "trend_num_sum",
+    )

@@ -154,6 +154,7 @@ PRIORITY_ORDER: list[str] = [
     "stac_items",
     "split_leakage_audit",
     "tokenizer_fertility",
+    "temporal_trend_fp",
     # -- stalest evidence backfill: latest green row is r2 --
     "asof_event_order",
     "asof_range",

@@ -170,3 +170,46 @@ def test_blend_rejects_pyramid_levels(spark):
     assert frags.count() > 0
     with pytest.raises(Exception, match="level-0"):
         feather_blend(frags).collect()
+
+
+def test_trend_kernel_goldens():
+    """Hand-built stacks: rising, falling, flat, and depth-1 pixels."""
+    from data_model_spark.operators.composite import trend_fingerprint
+
+    up = np.array([[10]], dtype=np.uint16)
+    mid = np.array([[20]], dtype=np.uint16)
+    top = np.array([[30]], dtype=np.uint16)
+    # rising series at t=0,1,2: numerator 3*sum(tv) - sum(t)*sum(v)
+    trend_px, pos, neg, num = trend_fingerprint(
+        [(0, 0, 0, up), (1, 0, 0, mid), (2, 0, 0, top)]
+    )
+    assert (trend_px, pos, neg) == (1, 1, 0)
+    assert num == 3 * (0 * 10 + 1 * 20 + 2 * 30) - 3 * 60  # = 60
+    # falling
+    _, pos, neg, num = trend_fingerprint(
+        [(0, 0, 0, top), (1, 0, 0, mid), (2, 0, 0, up)]
+    )
+    assert (pos, neg) == (0, 1) and num == -60
+    # flat -> numerator 0, counted in trend_px but neither pos nor neg
+    t, pos, neg, num = trend_fingerprint([(3, 0, 0, mid), (9, 0, 0, mid)])
+    assert (t, pos, neg, num) == (1, 0, 0, 0)
+    # depth-1 pixels are not trend pixels
+    t, pos, neg, num = trend_fingerprint([(5, 0, 0, mid)])
+    assert (t, pos, neg, num) == (0, 0, 0, 0)
+
+
+def test_trend_fixture_nonvacuous(spark):
+    """The 96-scene fixture produces real rising AND falling pixels."""
+    from data_model_spark.operators.composite import temporal_trend
+
+    rows = temporal_trend(_fixture_frags(spark)).collect()
+    assert sum(r.pos_trend_px for r in rows) > 0
+    assert sum(r.neg_trend_px for r in rows) > 0
+    assert sum(r.trend_px for r in rows) > 1000
+
+
+def _fixture_frags(spark):
+    images = generate_images_df(spark, 96)
+    return tiling.build_tiles(images, repartition=False).filter(
+        F.col("level") == 0
+    )
