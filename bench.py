@@ -215,6 +215,10 @@ def main() -> None:
         "morph_open_fp",
         "leakage_free_split",
         "viewshed_fp",
+        "stac_items",
+        "split_leakage_audit",
+        "tokenizer_fertility",
+        "temporal_trend_fp",
     ]
     from data_model_spark.cache import unpersist_tracked
 
