@@ -1,0 +1,332 @@
+"""Detection-box curation: IoU pair join, suppression, and greedy NMS.
+
+Object-detection training corpora need the same dedup discipline as text:
+near-identical boxes (ensemble members, repeated crops, overlapping tile
+inference) must be collapsed before the labels are trusted.  Three
+operators, all over integer pixel boxes so every comparison is exact:
+
+* ``box_iou_pairs`` — all same-scene pairs with IoU >= 0.3.  The 2D
+  analogue of the interval-bucket join (``intervals.py``): each box
+  explodes to the fixed 256px grid cells it covers (<= 4 cells at the
+  320px max box size), candidates meet on ``(scene, cx, cy)``, and a
+  pair is emitted in EXACTLY one cell — the one containing the
+  intersection's top-left corner ``(max(x0), max(y0))``, a point both
+  boxes cover whenever they overlap — so no distinct is needed.  The
+  IoU threshold is the integer cross-multiplication
+  ``10*inter >= 3*union``: no floating point anywhere.
+* ``box_suppress_keep`` — one-pass suppression (keep a box iff NO
+  higher-priority box overlaps it at IoU >= 0.5).  Fully relational:
+  the bucketed pair join feeds a left-anti join, so the whole operator
+  is two shuffles and SQL-replayable — the distributable cousin of NMS
+  used when a strict keep-superset is acceptable.
+* ``box_nms_fp`` — TRUE greedy NMS (a suppressed box suppresses nobody)
+  per scene via ``applyInPandas``: scenes are independent, and per-scene
+  box counts are bounded by the detector's output cap (hundreds), so the
+  group is the natural distribution unit; the kernel is the standard
+  vectorized O(n^2) suppression loop in NumPy int64.  Greedy's
+  keep-set is a superset of one-pass suppression's (a box killed only
+  by an itself-suppressed box survives greedy), pinned by a pytest.
+
+Fixture: boxes derive from ``events.event_id`` (pairs/suppress; scales
+with sf) or a fixed ``spark.range`` (greedy twin; sf-independent so its
+NumPy-replay VALUES oracle is exact at any scale) by pure int64
+arithmetic — identical expressions on the Spark and DuckDB sides:
+``scene = id % 200``, ``x0 = (id*37) % 704``, ``y0 = (id*59) % 704``,
+``w = 64 + (id*17) % 257``, ``h = 64 + (id*23) % 257``,
+``score = (id*91) % 1000`` on a 1024px canvas.
+
+Scale shape: the cell explode happens map-side before the one
+``(scene, cx, cy)`` shuffle; dense scenes (thousands of boxes) stay
+local to their cells, and AQE splits hot cells.  Nothing collects;
+no cartesian products (plan-gated in ``tests/test_boxes.py``).
+
+Reference context: the reference repo has no detection operators — this
+extends its tile-grid geometry (``conversion/utils.py:161-189`` grid
+alignment) to the label-curation layer a 10^12-image corpus needs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+CELL = 256  # candidate-grid pitch; >= no box dimension exceeds 2 cells/axis
+CANVAS = 1024
+N_SCENES = 200
+_FP_N = 4000  # fixed fixture size for the greedy twin
+
+
+# ---------------------------------------------------------------------------
+# box derivation (shared arithmetic, Spark + NumPy + SQL)
+# ---------------------------------------------------------------------------
+
+
+def _boxes_cols(idc):
+    """Column expressions deriving a box from an int64 id column."""
+    x0 = F.pmod(idc * 37, F.lit(704))
+    y0 = F.pmod(idc * 59, F.lit(704))
+    w = F.pmod(idc * 17, F.lit(257)) + 64
+    h = F.pmod(idc * 23, F.lit(257)) + 64
+    return {
+        "box_id": idc,
+        "scene": F.pmod(idc, F.lit(N_SCENES)),
+        "x0": x0,
+        "y0": y0,
+        "x1": x0 + w,
+        "y1": y0 + h,
+        "area": w * h,
+        "score": F.pmod(idc * 91, F.lit(1000)),
+    }
+
+
+def boxes_from_ids(df: DataFrame, id_col: str = "event_id") -> DataFrame:
+    cols = _boxes_cols(F.col(id_col).cast("long"))
+    return df.select(*(expr.alias(name) for name, expr in cols.items()))
+
+
+def _np_boxes(ids: np.ndarray) -> dict[str, np.ndarray]:
+    """NumPy replay of ``_boxes_cols`` (int64 throughout)."""
+    ids = ids.astype(np.int64)
+    x0, y0 = (ids * 37) % 704, (ids * 59) % 704
+    w, h = 64 + (ids * 17) % 257, 64 + (ids * 23) % 257
+    return {
+        "box_id": ids,
+        "scene": ids % N_SCENES,
+        "x0": x0,
+        "y0": y0,
+        "x1": x0 + w,
+        "y1": y0 + h,
+        "area": w * h,
+        "score": (ids * 91) % 1000,
+    }
+
+
+_SQL_BOXES = f"""
+  SELECT event_id AS box_id, event_id % {N_SCENES} AS scene,
+         (event_id*37) % 704 AS x0, (event_id*59) % 704 AS y0,
+         (event_id*37) % 704 + 64 + (event_id*17) % 257 AS x1,
+         (event_id*59) % 704 + 64 + (event_id*23) % 257 AS y1,
+         (64 + (event_id*17) % 257) * (64 + (event_id*23) % 257) AS area,
+         (event_id*91) % 1000 AS score
+  FROM events"""
+
+
+# ---------------------------------------------------------------------------
+# bucketed IoU pair join
+# ---------------------------------------------------------------------------
+
+
+def iou_pairs(
+    boxes: DataFrame, iou_num: int = 3, iou_den: int = 10
+) -> DataFrame:
+    """Same-scene pairs (a_id < b_id) with IoU >= iou_num/iou_den, via the
+    2D grid-bucket candidate join with the exactly-once emit rule."""
+
+    def cover(df, side):
+        return df.select(
+            *[F.col(c).alias(f"{side}{c}") for c in df.columns],
+            F.explode(
+                F.sequence(
+                    (F.col("x0") / CELL).cast("long"),
+                    ((F.col("x1") - 1) / CELL).cast("long"),
+                )
+            ).alias("cx"),
+        ).select(
+            "*",
+            F.explode(
+                F.sequence(
+                    (F.col(f"{side}y0") / CELL).cast("long"),
+                    ((F.col(f"{side}y1") - 1) / CELL).cast("long"),
+                )
+            ).alias("cy"),
+        )
+
+    ca = cover(boxes, "a").withColumnRenamed("ascene", "scene")
+    cb = cover(boxes, "b").withColumnRenamed("bscene", "scene")
+    iw = F.least("ax1", "bx1") - F.greatest("ax0", "bx0")
+    ih = F.least("ay1", "by1") - F.greatest("ay0", "by0")
+    inter = iw * ih
+    uni = F.col("aarea") + F.col("barea") - inter
+    owner_x = (F.greatest("ax0", "bx0") / CELL).cast("long")
+    owner_y = (F.greatest("ay0", "by0") / CELL).cast("long")
+    return (
+        ca.join(cb, ["scene", "cx", "cy"])
+        .filter(
+            (F.col("abox_id") < F.col("bbox_id"))
+            & (iw > 0)
+            & (ih > 0)
+            & (F.lit(iou_den) * inter >= F.lit(iou_num) * uni)
+            & (F.col("cx") == owner_x)
+            & (F.col("cy") == owner_y)
+        )
+        .select(
+            "scene",
+            F.col("abox_id").alias("a_id"),
+            F.col("bbox_id").alias("b_id"),
+            inter.cast("long").alias("inter"),
+            uni.cast("long").alias("uni"),
+            F.col("ascore").alias("a_score"),
+            F.col("bscore").alias("b_score"),
+        )
+    )
+
+
+_IOU_PAIRS_ORACLE = f"""
+WITH b AS ({_SQL_BOXES})
+SELECT a.scene AS scene, a.box_id AS a_id, b.box_id AS b_id,
+       CAST((LEAST(a.x1,b.x1)-GREATEST(a.x0,b.x0))
+          * (LEAST(a.y1,b.y1)-GREATEST(a.y0,b.y0)) AS BIGINT) AS inter,
+       CAST(a.area + b.area
+          - (LEAST(a.x1,b.x1)-GREATEST(a.x0,b.x0))
+          * (LEAST(a.y1,b.y1)-GREATEST(a.y0,b.y0)) AS BIGINT) AS uni,
+       a.score AS a_score, b.score AS b_score
+FROM b a JOIN b b ON a.scene = b.scene AND a.box_id < b.box_id
+WHERE LEAST(a.x1,b.x1) - GREATEST(a.x0,b.x0) > 0
+  AND LEAST(a.y1,b.y1) - GREATEST(a.y0,b.y0) > 0
+  AND 10 * (LEAST(a.x1,b.x1)-GREATEST(a.x0,b.x0))
+         * (LEAST(a.y1,b.y1)-GREATEST(a.y0,b.y0))
+   >= 3 * (a.area + b.area
+         - (LEAST(a.x1,b.x1)-GREATEST(a.x0,b.x0))
+         * (LEAST(a.y1,b.y1)-GREATEST(a.y0,b.y0)))"""
+
+
+@register("box_iou_pairs", _IOU_PAIRS_ORACLE)
+def box_iou_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-scene detection-box pairs at IoU >= 0.3 over event-derived
+    boxes; the oracle is the direct theta self-join, so a driver match
+    proves 2D bucket-cover completeness and the owner-cell emit rule."""
+    boxes = boxes_from_ids(load_table(spark, sf_dir, "events"))
+    return iou_pairs(boxes)
+
+
+# ---------------------------------------------------------------------------
+# one-pass suppression (relational keep-set)
+# ---------------------------------------------------------------------------
+
+
+def suppress_keep(boxes: DataFrame) -> DataFrame:
+    """Keep a box iff no strictly-higher-priority box (score desc, id asc)
+    in its scene overlaps it at IoU >= 0.5.  Two shuffles total: the
+    bucketed pair join, then a left-anti join on the loser ids."""
+    pairs = iou_pairs(boxes, iou_num=5, iou_den=10)
+    a_wins = (F.col("a_score") > F.col("b_score")) | (
+        (F.col("a_score") == F.col("b_score")) & (F.col("a_id") < F.col("b_id"))
+    )
+    losers = pairs.select(
+        F.when(a_wins, F.col("b_id")).otherwise(F.col("a_id")).alias("box_id")
+    )
+    return (
+        boxes.join(losers, "box_id", "left_anti")
+        .select("scene", "box_id", "score")
+    )
+
+
+_SUPPRESS_ORACLE = f"""
+WITH b AS ({_SQL_BOXES})
+SELECT k.scene AS scene, k.box_id AS box_id, k.score AS score
+FROM b k WHERE NOT EXISTS (
+  SELECT 1 FROM b h
+  WHERE h.scene = k.scene AND h.box_id <> k.box_id
+    AND (h.score > k.score OR (h.score = k.score AND h.box_id < k.box_id))
+    AND LEAST(h.x1,k.x1) - GREATEST(h.x0,k.x0) > 0
+    AND LEAST(h.y1,k.y1) - GREATEST(h.y0,k.y0) > 0
+    AND 10 * (LEAST(h.x1,k.x1)-GREATEST(h.x0,k.x0))
+           * (LEAST(h.y1,k.y1)-GREATEST(h.y0,k.y0))
+     >= 5 * (h.area + k.area
+           - (LEAST(h.x1,k.x1)-GREATEST(h.x0,k.x0))
+           * (LEAST(h.y1,k.y1)-GREATEST(h.y0,k.y0))))"""
+
+
+@register("box_suppress_keep", _SUPPRESS_ORACLE)
+def box_suppress_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass suppression keep-set at IoU >= 0.5 (relational NMS
+    relaxation); oracle is the NOT EXISTS formulation."""
+    return suppress_keep(boxes_from_ids(load_table(spark, sf_dir, "events")))
+
+
+# ---------------------------------------------------------------------------
+# true greedy NMS (per-scene kernel) + NumPy-replay oracle
+# ---------------------------------------------------------------------------
+
+
+def greedy_nms_np(
+    ids: np.ndarray,
+    x0: np.ndarray,
+    y0: np.ndarray,
+    x1: np.ndarray,
+    y1: np.ndarray,
+    score: np.ndarray,
+    iou_num: int = 5,
+    iou_den: int = 10,
+) -> np.ndarray:
+    """Indices kept by greedy NMS: visit by (score desc, id asc); a kept
+    box suppresses every later box with IoU >= iou_num/iou_den.  All
+    int64; the comparison is the exact cross-multiplication."""
+    order = np.lexsort((ids, -score.astype(np.int64)))
+    area = (x1 - x0) * (y1 - y0)
+    alive = np.ones(len(ids), dtype=bool)
+    keep = []
+    for pos, i in enumerate(order):
+        if not alive[pos]:
+            continue
+        keep.append(i)
+        rest = order[pos + 1 :]
+        iw = np.minimum(x1[i], x1[rest]) - np.maximum(x0[i], x0[rest])
+        ih = np.minimum(y1[i], y1[rest]) - np.maximum(y0[i], y0[rest])
+        inter = np.maximum(iw, 0) * np.maximum(ih, 0)
+        bad = (iw > 0) & (ih > 0) & (
+            iou_den * inter >= iou_num * (area[i] + area[rest] - inter)
+        )
+        alive[pos + 1 :] &= ~bad
+    return np.asarray(keep, dtype=np.int64)
+
+
+def _nms_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    arr = {c: pdf[c].to_numpy(dtype=np.int64) for c in pdf.columns}
+    kept = greedy_nms_np(
+        arr["box_id"], arr["x0"], arr["y0"], arr["x1"], arr["y1"], arr["score"]
+    )
+    out = pdf.iloc[kept]
+    return out[["scene", "box_id", "score"]]
+
+
+def greedy_nms(boxes: DataFrame) -> DataFrame:
+    """Per-scene greedy NMS at IoU >= 0.5.  One shuffle (hash on scene);
+    the kernel is Arrow-batched NumPy, bounded by the per-scene box cap."""
+    return boxes.groupBy("scene").applyInPandas(
+        _nms_kernel, "scene bigint, box_id bigint, score bigint"
+    )
+
+
+def _nms_fp_oracle() -> str:
+    from .mosaic_fp import _values_sql
+
+    b = _np_boxes(np.arange(_FP_N))
+    rows = []
+    for scene in range(N_SCENES):
+        m = b["scene"] == scene
+        kept = greedy_nms_np(
+            b["box_id"][m], b["x0"][m], b["y0"][m],
+            b["x1"][m], b["y1"][m], b["score"][m],
+        )
+        ids = b["box_id"][m][kept]
+        rows.extend(
+            (scene, int(i), int((i * 91) % 1000)) for i in sorted(ids.tolist())
+        )
+    return _values_sql(
+        [("scene", "BIGINT"), ("box_id", "BIGINT"), ("score", "BIGINT")], rows
+    )
+
+
+@register("box_nms_fp", _nms_fp_oracle)
+def box_nms_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True greedy NMS over the fixed 4000-box fixture (20 boxes/scene),
+    hash-checked against the pure-NumPy greedy replay; sf-independent so
+    the VALUES oracle is exact at every scale."""
+    ids = spark.range(_FP_N).select(F.col("id").alias("event_id"))
+    return greedy_nms(boxes_from_ids(ids))

@@ -112,6 +112,12 @@ PRIORITY_ORDER: list[str] = [
     "viewshed_fp",
     "contour_fp",
     "cost_distance_fp",
+    # -- round-5 fifth wave: detection-box curation (brand-new surface;
+    # takes three window slots from mosaic hash twins whose rows-only
+    # originals already sit in the window at positions 12-17) --
+    "box_iou_pairs",
+    "box_suppress_keep",
+    "box_nms_fp",
     "otsu_mosaic_fp",
     "equalize_fp",
     "raster_regions_fp",
@@ -309,6 +315,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import (  # noqa: F401
         autocorr,
         boundaries,
+        boxes,
         bpe,
         ccl,
         components,
