@@ -330,3 +330,146 @@ def box_nms_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     the VALUES oracle is exact at every scale."""
     ids = spark.range(_FP_N).select(F.col("id").alias("event_id"))
     return greedy_nms(boxes_from_ids(ids))
+
+
+# ---------------------------------------------------------------------------
+# COCO-style greedy prediction <-> ground-truth matching (label QA)
+# ---------------------------------------------------------------------------
+
+_GT_N = 2000  # gt g twins prediction 2g, jittered a few px
+
+
+def _np_gt(gids: np.ndarray) -> dict[str, np.ndarray]:
+    """Ground-truth replay: gt g = prediction 2g shifted by a
+    deterministic jitter (|dx| <= 32, |dy| <= 30): large boxes stay
+    above IoU 0.5, small boxes at max shift drop below it — so the
+    fixture has real false negatives and contended matches."""
+    gids = gids.astype(np.int64)
+    b = _np_boxes(2 * gids)
+    dx, dy = (gids * 13) % 65 - 32, (gids * 7) % 61 - 30
+    return {
+        "gt_id": gids,
+        "scene": b["scene"],
+        "x0": b["x0"] + dx,
+        "y0": b["y0"] + dy,
+        "x1": b["x1"] + dx,
+        "y1": b["y1"] + dy,
+    }
+
+
+def gt_from_ids(df: DataFrame, id_col: str = "gt_id") -> DataFrame:
+    g = F.col(id_col).cast("long")
+    b = _boxes_cols(g * 2)
+    dx = F.pmod(g * 13, F.lit(65)) - 32
+    dy = F.pmod(g * 7, F.lit(61)) - 30
+    return df.select(
+        g.alias("gt_id"),
+        b["scene"].alias("scene"),
+        (b["x0"] + dx).alias("x0"),
+        (b["y0"] + dy).alias("y0"),
+        (b["x1"] + dx).alias("x1"),
+        (b["y1"] + dy).alias("y1"),
+    )
+
+
+def greedy_match_np(pred: dict, gt: dict, iou_num: int = 5, iou_den: int = 10):
+    """COCO-style greedy matching within one scene: predictions visit by
+    (score desc, id asc); each takes the unmatched gt with the highest
+    IoU >= iou_num/iou_den (exact cross-multiplied comparisons; ties ->
+    lowest gt_id).  Returns (tp_pred_ids, tp_gt_ids) as sorted lists."""
+    order = np.lexsort((pred["box_id"], -pred["score"].astype(np.int64)))
+    parea = (pred["x1"] - pred["x0"]) * (pred["y1"] - pred["y0"])
+    garea = (gt["x1"] - gt["x0"]) * (gt["y1"] - gt["y0"])
+    taken = np.zeros(len(gt["gt_id"]), dtype=bool)
+    tp_p, tp_g = [], []
+    for i in order:
+        iw = np.minimum(pred["x1"][i], gt["x1"]) - np.maximum(pred["x0"][i], gt["x0"])
+        ih = np.minimum(pred["y1"][i], gt["y1"]) - np.maximum(pred["y0"][i], gt["y0"])
+        inter = np.maximum(iw, 0) * np.maximum(ih, 0)
+        uni = parea[i] + garea - inter
+        ok = (~taken) & (iw > 0) & (ih > 0) & (iou_den * inter >= iou_num * uni)
+        if not ok.any():
+            continue
+        # argmax IoU by exact cross-multiplication, tie -> lowest gt_id
+        best = -1
+        for j in np.flatnonzero(ok):
+            if best < 0 or inter[j] * uni[best] > inter[best] * uni[j]:
+                best = j
+            elif inter[j] * uni[best] == inter[best] * uni[j] and (
+                gt["gt_id"][j] < gt["gt_id"][best]
+            ):
+                best = j
+        taken[best] = True
+        tp_p.append(int(pred["box_id"][i]))
+        tp_g.append(int(gt["gt_id"][best]))
+    return sorted(tp_p), sorted(tp_g)
+
+
+def _match_kernel(key, pdf_pred: pd.DataFrame, pdf_gt: pd.DataFrame) -> pd.DataFrame:
+    pred = {c: pdf_pred[c].to_numpy(dtype=np.int64) for c in pdf_pred.columns}
+    gt = {c: pdf_gt[c].to_numpy(dtype=np.int64) for c in pdf_gt.columns}
+    if len(pdf_gt) == 0:
+        tp_p, tp_g = [], []
+    else:
+        tp_p, tp_g = greedy_match_np(pred, gt)
+    return pd.DataFrame(
+        {
+            "scene": [int(key[0])],
+            "n_pred": [len(pdf_pred)],
+            "n_gt": [len(pdf_gt)],
+            "n_tp": [len(tp_p)],
+            "tp_pred_sum": [int(np.sum(tp_p, dtype=np.int64)) if tp_p else 0],
+            "tp_gt_sum": [int(np.sum(tp_g, dtype=np.int64)) if tp_g else 0],
+        }
+    )
+
+
+def match_stats(pred: DataFrame, gt: DataFrame) -> DataFrame:
+    """Per-scene detection-eval counts (n_pred, n_gt, n_tp) plus exact
+    matched-id sums as the fingerprint.  Scenes cogroup independently:
+    two hash shuffles on scene, kernel bounded by per-scene box caps."""
+    return (
+        pred.groupBy("scene")
+        .cogroup(gt.groupBy("scene"))
+        .applyInPandas(
+            _match_kernel,
+            "scene bigint, n_pred bigint, n_gt bigint, n_tp bigint,"
+            " tp_pred_sum bigint, tp_gt_sum bigint",
+        )
+    )
+
+
+def _match_fp_oracle() -> str:
+    from .mosaic_fp import _values_sql
+
+    pred = _np_boxes(np.arange(_FP_N))
+    gt = _np_gt(np.arange(_GT_N))
+    rows = []
+    for scene in range(N_SCENES):
+        pm = pred["scene"] == scene
+        gm = gt["scene"] == scene
+        tp_p, tp_g = greedy_match_np(
+            {c: v[pm] for c, v in pred.items()},
+            {c: v[gm] for c, v in gt.items()},
+        )
+        rows.append(
+            (scene, int(pm.sum()), int(gm.sum()), len(tp_p),
+             sum(tp_p), sum(tp_g))
+        )
+    return _values_sql(
+        [("scene", "BIGINT"), ("n_pred", "BIGINT"), ("n_gt", "BIGINT"),
+         ("n_tp", "BIGINT"), ("tp_pred_sum", "BIGINT"), ("tp_gt_sum", "BIGINT")],
+        rows,
+    )
+
+
+@register("box_match_fp", _match_fp_oracle)
+def box_match_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COCO-style greedy matching of the 4000-prediction fixture against
+    2000 jittered ground-truth twins; per-scene tp counts + matched-id
+    sums hash-checked against the pure-NumPy greedy replay."""
+    pred = boxes_from_ids(
+        spark.range(_FP_N).select(F.col("id").alias("event_id"))
+    )
+    gt = gt_from_ids(spark.range(_GT_N).select(F.col("id").alias("gt_id")))
+    return match_stats(pred, gt)

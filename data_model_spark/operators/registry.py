@@ -118,6 +118,7 @@ PRIORITY_ORDER: list[str] = [
     "box_iou_pairs",
     "box_suppress_keep",
     "box_nms_fp",
+    "box_match_fp",
     "otsu_mosaic_fp",
     "equalize_fp",
     "raster_regions_fp",
