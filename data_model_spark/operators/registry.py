@@ -110,15 +110,17 @@ PRIORITY_ORDER: list[str] = [
     "morph_open_fp",
     "leakage_free_split",
     "viewshed_fp",
-    "contour_fp",
-    "cost_distance_fp",
-    # -- round-5 fifth wave: detection-box curation (brand-new surface;
-    # takes three window slots from mosaic hash twins whose rows-only
-    # originals already sit in the window at positions 12-17) --
+    # -- round-5 fifth wave: detection-box curation + watershed basins
+    # (brand-new surfaces; take five window slots from mosaic hash twins
+    # whose rows-only ORIGINALS already sit in the window at positions
+    # 9-19, keeping driver coverage for every kernel) --
     "box_iou_pairs",
     "box_suppress_keep",
     "box_nms_fp",
     "box_match_fp",
+    "basin_labels_fp",
+    "contour_fp",
+    "cost_distance_fp",
     "otsu_mosaic_fp",
     "equalize_fp",
     "raster_regions_fp",
@@ -315,6 +317,7 @@ def all_queries() -> dict[str, QuerySpec]:
     """
     from . import (  # noqa: F401
         autocorr,
+        basins,
         boundaries,
         boxes,
         bpe,
