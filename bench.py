@@ -219,6 +219,12 @@ def main() -> None:
         "split_leakage_audit",
         "tokenizer_fertility",
         "temporal_trend_fp",
+        # r5 fifth wave: detection-box curation + watershed basins
+        "box_iou_pairs",
+        "box_suppress_keep",
+        "box_nms_fp",
+        "box_match_fp",
+        "basin_labels_fp",
     ]
     from data_model_spark.cache import unpersist_tracked
 

@@ -8,7 +8,6 @@ from data_model_spark.operators.basins import (
     basin_tiles,
     reference_basins,
 )
-from data_model_spark.operators.hydrology import _merged_tiles
 from data_model_spark.operators.tiling import TILE_PX
 
 

@@ -201,3 +201,17 @@ def test_match_stats_spark_equals_replay(spark):
     want = pd.DataFrame(rows, columns=list(got.columns))
     assert got.reset_index(drop=True).equals(want)
     assert want["n_tp"].sum() == 1794  # non-vacuous: misses exist
+
+
+def test_pairs_invariant_to_cell_pitch(spark, monkeypatch):
+    """The owner-cell emit rule makes the result independent of the
+    candidate-grid pitch (perf knob only): identical pair sets at 256
+    and 128 px cells, including boxes spanning 2x2 vs 3x3+ cells."""
+    from data_model_spark.operators import boxes as B
+
+    ids = spark.range(1500).select(F.col("id").alias("event_id"))
+    df = boxes_from_ids(ids)
+    at256 = {(r.a_id, r.b_id) for r in iou_pairs(df).collect()}
+    monkeypatch.setattr(B, "CELL", 128)
+    at128 = {(r.a_id, r.b_id) for r in iou_pairs(df).collect()}
+    assert at256 == at128 and len(at256) > 0
