@@ -224,6 +224,7 @@ def main() -> None:
         "box_suppress_keep",
         "box_nms_fp",
         "box_match_fp",
+        "box_ap_fp",
         "basin_labels_fp",
     ]
     from data_model_spark.cache import unpersist_tracked

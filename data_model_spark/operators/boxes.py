@@ -473,3 +473,142 @@ def box_match_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gt = gt_from_ids(spark.range(_GT_N).select(F.col("id").alias("gt_id")))
     return match_stats(pred, gt)
+
+
+# ---------------------------------------------------------------------------
+# distributed average precision (no global sort)
+# ---------------------------------------------------------------------------
+
+
+def match_flags(pred: DataFrame, gt: DataFrame) -> DataFrame:
+    """(scene, box_id, score, matched) per prediction — the per-pred view
+    of the greedy matching (same kernel, flags instead of sums)."""
+
+    def kernel(key, pdf_pred: pd.DataFrame, pdf_gt: pd.DataFrame) -> pd.DataFrame:
+        p = {c: pdf_pred[c].to_numpy(dtype=np.int64) for c in pdf_pred.columns}
+        g = {c: pdf_gt[c].to_numpy(dtype=np.int64) for c in pdf_gt.columns}
+        tp_p, _ = greedy_match_np(p, g) if len(pdf_gt) else ([], [])
+        tp = set(tp_p)
+        return pd.DataFrame(
+            {
+                "scene": pdf_pred["scene"],
+                "box_id": pdf_pred["box_id"],
+                "score": pdf_pred["score"],
+                "matched": [int(i) in tp for i in pdf_pred["box_id"]],
+            }
+        )
+
+    return (
+        pred.groupBy("scene")
+        .cogroup(gt.groupBy("scene"))
+        .applyInPandas(
+            kernel, "scene bigint, box_id bigint, score bigint, matched boolean"
+        )
+    )
+
+
+def ap_stats(pred: DataFrame, gt: DataFrame, micro: int = 1_000_000) -> DataFrame:
+    """One-row exact AP fingerprint WITHOUT a global sort: the PR rank of
+    a prediction under (score desc, id asc) is
+    ``(# preds with higher score) + (# same-score preds with lower id) + 1``
+    — the first term comes from a cumulative histogram over the bounded
+    integer score domain (<= 1000 rows, broadcast back), the second from
+    a window partitioned BY SCORE (partition size n/|scores|, never the
+    corpus).  ``ap_microsum = sum over TPs of floor(micro*cum_tp/rank)``;
+    AP = ap_microsum / (micro * n_gt)."""
+    from pyspark.sql import Window
+
+    flags = match_flags(pred, gt)
+    hist = flags.groupBy("score").agg(
+        F.count("*").alias("n_s"),
+        F.sum(F.col("matched").cast("long")).alias("m_s"),
+    )
+    # bounded-domain cumulative: <= 1000 rows in one partition — by design
+    wh = (
+        Window.orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist = hist.select(
+        "score",
+        F.coalesce(F.sum("n_s").over(wh), F.lit(0)).alias("n_above"),
+        F.coalesce(F.sum("m_s").over(wh), F.lit(0)).alias("m_above"),
+    )
+    ws = Window.partitionBy("score").orderBy("box_id")
+    j = (
+        flags.join(F.broadcast(hist), "score")
+        .select(
+            "matched",
+            (F.col("n_above") + F.row_number().over(ws)).alias("rank"),
+            (
+                F.col("m_above")
+                + F.sum(F.col("matched").cast("long")).over(
+                    ws.rowsBetween(Window.unboundedPreceding, 0)
+                )
+            ).alias("cum_tp"),
+        )
+    )
+    n_gt = gt.count()
+    return (
+        j.agg(
+            F.count("*").alias("n_pred"),
+            F.lit(n_gt).alias("n_gt"),
+            F.sum(F.col("matched").cast("long")).alias("n_tp"),
+            F.sum(F.when(F.col("matched"), F.col("rank"))).alias("rank_sum"),
+            F.sum(F.when(F.col("matched"), F.col("cum_tp"))).alias("cumtp_sum"),
+            F.sum(
+                F.when(
+                    F.col("matched"),
+                    # SQL integer `div`: exact floor quotient on longs
+                    F.expr(f"(cum_tp * {micro}) div rank"),
+                )
+            ).alias("ap_microsum"),
+        )
+    )
+
+
+def _ap_replay(micro: int = 1_000_000):
+    pred = _np_boxes(np.arange(_FP_N))
+    gt = _np_gt(np.arange(_GT_N))
+    matched = np.zeros(_FP_N, dtype=bool)
+    for scene in range(N_SCENES):
+        pm, gm = pred["scene"] == scene, gt["scene"] == scene
+        tp_p, _ = greedy_match_np(
+            {c: v[pm] for c, v in pred.items()},
+            {c: v[gm] for c, v in gt.items()},
+        )
+        matched[np.asarray(tp_p, dtype=np.int64)] = True
+    order = np.lexsort((pred["box_id"], -pred["score"]))
+    m = matched[order]
+    rank = np.arange(1, _FP_N + 1, dtype=np.int64)
+    cum_tp = np.cumsum(m.astype(np.int64))
+    return (
+        _FP_N,
+        _GT_N,
+        int(m.sum()),
+        int(rank[m].sum()),
+        int(cum_tp[m].sum()),
+        int((cum_tp[m] * micro // rank[m]).sum()),
+    )
+
+
+def _ap_fp_oracle() -> str:
+    from .mosaic_fp import _values_sql
+
+    return _values_sql(
+        [("n_pred", "BIGINT"), ("n_gt", "BIGINT"), ("n_tp", "BIGINT"),
+         ("rank_sum", "BIGINT"), ("cumtp_sum", "BIGINT"),
+         ("ap_microsum", "BIGINT")],
+        [_ap_replay()],
+    )
+
+
+@register("box_ap_fp", _ap_fp_oracle)
+def box_ap_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus AP over the matching fixture, computed without a
+    global sort (bounded-score-domain rank decomposition); hash-checked
+    against the sequential lexsort replay."""
+    pred = boxes_from_ids(
+        spark.range(_FP_N).select(F.col("id").alias("event_id"))
+    )
+    gt = gt_from_ids(spark.range(_GT_N).select(F.col("id").alias("gt_id")))
+    return ap_stats(pred, gt)

@@ -115,10 +115,14 @@ PRIORITY_ORDER: list[str] = [
     # whose rows-only ORIGINALS already sit in the window at positions
     # 9-19, keeping driver coverage for every kernel) --
     "box_iou_pairs",
-    "box_suppress_keep",
     "box_nms_fp",
     "box_match_fp",
+    "box_ap_fp",
     "basin_labels_fp",
+    # box_suppress_keep sits just past the 50-slot window: it is a
+    # relational composition of box_iou_pairs (in-window) and its oracle
+    # is plain SQL, so local parity + the chain pytest carry it
+    "box_suppress_keep",
     "contour_fp",
     "cost_distance_fp",
     "otsu_mosaic_fp",

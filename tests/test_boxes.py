@@ -215,3 +215,32 @@ def test_pairs_invariant_to_cell_pitch(spark, monkeypatch):
     monkeypatch.setattr(B, "CELL", 128)
     at128 = {(r.a_id, r.b_id) for r in iou_pairs(df).collect()}
     assert at256 == at128 and len(at256) > 0
+
+
+def test_ap_replay_sanity_and_values():
+    """Replay AP fingerprint: recall 1794/2000, AP strictly inside (0,1),
+    and the exact integer identities hold."""
+    from data_model_spark.operators.boxes import _GT_N, _ap_replay
+
+    n_pred, n_gt, n_tp, rank_sum, cumtp_sum, ap_micro = _ap_replay()
+    assert (n_pred, n_gt, n_tp) == (4000, _GT_N, 1794)
+    assert 0 < ap_micro < 10**6 * n_gt  # 0 < AP < 1
+    assert rank_sum >= cumtp_sum  # cum_tp <= rank at every position
+
+
+def test_ap_spark_single_partition_only_for_histogram(spark):
+    """The AP plan's only single-partition exchange is the <=1000-row
+    score histogram cumsum — the corpus itself is never globally
+    sorted."""
+    from data_model_spark.operators.boxes import box_ap_fp
+
+    df = box_ap_fp(spark, "")
+    row = df.collect()[0]
+    assert row.n_tp == 1794
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the corpus-side rank window is partitioned BY SCORE (hash), never
+    # globally sorted; single-partition exchanges exist only for the
+    # <=1000-row histogram cumsum and the 1-row final aggregate
+    assert "hashpartitioning(score" in plan
+    half = plan.count("Exchange SinglePartition")
+    assert half <= 4  # (hist + final agg) x (AQE initial + final render)
