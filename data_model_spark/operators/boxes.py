@@ -122,10 +122,15 @@ _SQL_BOXES = f"""
 
 
 def iou_pairs(
-    boxes: DataFrame, iou_num: int = 3, iou_den: int = 10
+    boxes: DataFrame,
+    iou_num: int = 3,
+    iou_den: int = 10,
+    with_coords: bool = False,
 ) -> DataFrame:
     """Same-scene pairs (a_id < b_id) with IoU >= iou_num/iou_den, via the
-    2D grid-bucket candidate join with the exactly-once emit rule."""
+    2D grid-bucket candidate join with the exactly-once emit rule.
+    ``with_coords`` additionally carries both boxes' corner columns
+    (ax0..by1) for downstream refine kernels (e.g. exact mask IoU)."""
 
     def cover(df, side):
         return df.select(
@@ -172,6 +177,13 @@ def iou_pairs(
             uni.cast("long").alias("uni"),
             F.col("ascore").alias("a_score"),
             F.col("bscore").alias("b_score"),
+            *(
+                [F.col(c) for c in (
+                    "ax0", "ay0", "ax1", "ay1", "bx0", "by0", "bx1", "by1"
+                )]
+                if with_coords
+                else []
+            ),
         )
     )
 

@@ -119,6 +119,17 @@ PRIORITY_ORDER: list[str] = [
     "box_match_fp",
     "box_ap_fp",
     "basin_labels_fp",
+    # -- round-5 sixth wave: instance-mask curation (RLE, exact mask IoU,
+    # weighted box fusion, panoptic quality).  Window policy: these four
+    # take the slots of flow_dir_fp / flow_accum_fp / focal_mean_fp /
+    # hillshade_fp — hash twins whose rows-only ORIGINALS already sit in
+    # the window at positions 9-19 (kernels keep driver coverage there;
+    # the twins keep local parity + pytest) — first driver coverage for
+    # a brand-new surface beats a second channel for a pinned kernel --
+    "mask_rle_fp",
+    "mask_iou_pairs_fp",
+    "box_fusion_fp",
+    "panoptic_pq_fp",
     # box_suppress_keep sits just past the 50-slot window: it is a
     # relational composition of box_iou_pairs (in-window) and its oracle
     # is plain SQL, so local parity + the chain pytest carry it
@@ -355,6 +366,7 @@ def all_queries() -> dict[str, QuerySpec]:
         lm,
         lpa,
         mapmatch,
+        masks,
         media_fp,
         mixing,
         morphology,
