@@ -226,6 +226,16 @@ def main() -> None:
         "box_match_fp",
         "box_ap_fp",
         "basin_labels_fp",
+        # r5 sixth wave: instance-mask curation
+        "mask_rle_fp",
+        "mask_iou_pairs_fp",
+        "box_fusion_fp",
+        "panoptic_pq_fp",
+        # r5 seventh wave: adaptive tiling + coverage QA + rasterization
+        "quadtree_leaves",
+        "box_union_area",
+        "score_calibration_fp",
+        "rasterize_lines_fp",
     ]
     from data_model_spark.cache import unpersist_tracked
 

@@ -80,9 +80,7 @@ PRIORITY_ORDER: list[str] = [
     # -- new round-5 queries (added this session) --
     "zonal_stats_fp",
     "tile_render_fp",
-    "bpe_train_fp",
     "bpe_encode_tokens",
-    "gcp_warp_fp",
     "resume_tile_write_fp",
     "streaming_tiles_fp",
     "zarr_store_meta",
@@ -94,10 +92,6 @@ PRIORITY_ORDER: list[str] = [
     "quantized_recall",
     "hard_negatives",
     "pack_sequences",
-    "flow_dir_fp",
-    "flow_accum_fp",
-    "focal_mean_fp",
-    "hillshade_fp",
     # window policy: slots 41-46 of the driver's 50-query window go to the
     # fourth-wave operators (brand-new surfaces with no driver row at
     # all); the six displaced terrain/CCL hash twins keep their rows-only
@@ -130,10 +124,30 @@ PRIORITY_ORDER: list[str] = [
     "mask_iou_pairs_fp",
     "box_fusion_fp",
     "panoptic_pq_fp",
+    # -- round-5 seventh wave: adaptive quadtree tiling + detection
+    # coverage, both GENERATIVE-SQL-oracle-backed (the oracle re-runs
+    # the full relational pipeline in DuckDB, not a VALUES replay).
+    # They take the slots of bpe_train_fp / gcp_warp_fp — twins whose
+    # subjects already carry oracle evidence (bpe_train_merges is
+    # oracle-backed IN this window; gcp warp has the r3-green
+    # gcp_overview_gcps oracle + exact NumPy goldens) --
+    "quadtree_leaves",
+    "box_union_area",
     # box_suppress_keep sits just past the 50-slot window: it is a
     # relational composition of box_iou_pairs (in-window) and its oracle
     # is plain SQL, so local parity + the chain pytest carry it
     "box_suppress_keep",
+    # sixth/seventh-wave remainder just past the window (local parity +
+    # pytest): calibration/rasterize are kernel-VALUES twins; the four
+    # displaced hash twins keep their in-window rows-only originals
+    "score_calibration_fp",
+    "rasterize_lines_fp",
+    "bpe_train_fp",
+    "gcp_warp_fp",
+    "flow_dir_fp",
+    "flow_accum_fp",
+    "focal_mean_fp",
+    "hillshade_fp",
     "contour_fp",
     "cost_distance_fp",
     "otsu_mosaic_fp",
@@ -381,10 +395,13 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline_queries,
         pipeline_curation,
         polygon_metrics,
+        coverage,
         pq,
         privacy,
         profile,
+        quadtree,
         quality,
+        rasterize,
         recall,
         relational,
         render,
