@@ -236,6 +236,10 @@ def main() -> None:
         "box_union_area",
         "score_calibration_fp",
         "rasterize_lines_fp",
+        # r5 eighth wave: STR packing, histogram matching, DTW join
+        "str_pack_pages",
+        "hist_match_lut",
+        "dtw_pairs",
     ]
     from data_model_spark.cache import unpersist_tracked
 

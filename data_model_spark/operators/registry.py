@@ -142,6 +142,11 @@ PRIORITY_ORDER: list[str] = [
     # displaced hash twins keep their in-window rows-only originals
     "score_calibration_fp",
     "rasterize_lines_fp",
+    # -- round-5 eighth wave (past the window; SQL oracles + local
+    # parity): STR R-tree packing, histogram matching, DTW join --
+    "str_pack_pages",
+    "hist_match_lut",
+    "dtw_pairs",
     "bpe_train_fp",
     "gcp_warp_fp",
     "flow_dir_fp",
@@ -368,9 +373,11 @@ def all_queries() -> dict[str, QuerySpec]:
         dedup_qa,
         drift,
         dsir,
+        dtw,
         funnel,
         fuzzy,
         gramian,
+        histmatch,
         hull,
         hydrology,
         intervals,
@@ -420,6 +427,7 @@ def all_queries() -> dict[str, QuerySpec]:
         split_audit,
         splits,
         stac,
+        str_pack,
         sssp,
         spatial_queries,
         substrings,
