@@ -240,6 +240,10 @@ def main() -> None:
         "str_pack_pages",
         "hist_match_lut",
         "dtw_pairs",
+        # r5 ninth wave: vision-training image ops (real decode path)
+        "augment_fp",
+        "vit_patches_fp",
+        "cutmix_fp",
     ]
     from data_model_spark.cache import unpersist_tracked
 

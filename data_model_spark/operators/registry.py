@@ -147,6 +147,11 @@ PRIORITY_ORDER: list[str] = [
     "str_pack_pages",
     "hist_match_lut",
     "dtw_pairs",
+    # -- round-5 ninth wave (past the window; replay oracles + local
+    # parity): vision-training image ops over real decoded bytes --
+    "augment_fp",
+    "vit_patches_fp",
+    "cutmix_fp",
     "bpe_train_fp",
     "gcp_warp_fp",
     "flow_dir_fp",
@@ -350,6 +355,7 @@ def all_queries() -> dict[str, QuerySpec]:
     then remaining registrations in import order.
     """
     from . import (  # noqa: F401
+        augment,
         autocorr,
         basins,
         boundaries,
