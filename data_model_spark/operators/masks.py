@@ -251,20 +251,69 @@ _PAIR_SCHEMA = (
 )
 
 
+def _segment_sums(values: np.ndarray, bounds: np.ndarray) -> np.ndarray:
+    """Exact int64 per-segment sums of ``values`` split at cumulative
+    ``bounds`` (len n+1); zero-width segments yield 0."""
+    cs = np.concatenate(([np.int64(0)], np.cumsum(values, dtype=np.int64)))
+    return cs[bounds[1:]] - cs[bounds[:-1]]
+
+
+def ellipse_areas_wh(w: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Vectorized exact ellipse pixel counts for boxes of sizes (w, h).
+    The doubled-center inside test is translation-invariant (cy2 parity
+    equals h parity), so the area depends only on (w, h) — pinned
+    against per-box ``mask_area`` in tests."""
+    w = w.astype(np.int64)
+    h = h.astype(np.int64)
+    bounds = np.concatenate(([np.int64(0)], np.cumsum(w, dtype=np.int64)))
+    idx = np.repeat(np.arange(len(w), dtype=np.int64), w)
+    px = np.arange(bounds[-1], dtype=np.int64) - bounds[idx]
+    lo, hi = ellipse_col_bounds(
+        np.int64(0), np.int64(0), w[idx], h[idx], px
+    )
+    return _segment_sums(np.maximum(hi - lo + 1, 0), bounds)
+
+
 def _pair_kernel(batches):
+    """Vectorized across pairs: intersections via a ragged per-column
+    expansion (flat size = sum of per-pair overlap widths), areas via
+    unique (w, h) lookup — no per-pair Python loop.  Identical integer
+    arithmetic to ``mask_pair_inter``/``mask_area`` (the replay oracle
+    still uses the scalar forms, so the driver hash match pins the
+    vectorization)."""
     for pdf in batches:
         arr = {c: pdf[c].to_numpy(dtype=np.int64) for c in pdf.columns}
-        inter = np.empty(len(pdf), dtype=np.int64)
-        uni = np.empty(len(pdf), dtype=np.int64)
-        for i in range(len(pdf)):
-            ai = {k: int(arr["a" + k][i]) for k in ("x0", "y0", "x1", "y1")}
-            bi = {k: int(arr["b" + k][i]) for k in ("x0", "y0", "x1", "y1")}
-            inter[i] = mask_pair_inter(ai, bi)
-            uni[i] = (
-                mask_area(ai["x0"], ai["y0"], ai["x1"], ai["y1"])
-                + mask_area(bi["x0"], bi["y0"], bi["x1"], bi["y1"])
-                - inter[i]
-            )
+        n = len(pdf)
+        ax0, ay0, ax1, ay1 = (arr["ax0"], arr["ay0"], arr["ax1"], arr["ay1"])
+        bx0, by0, bx1, by1 = (arr["bx0"], arr["by0"], arr["bx1"], arr["by1"])
+
+        cx0 = np.maximum(ax0, bx0)
+        width = np.maximum(np.minimum(ax1, bx1) - cx0, 0)
+        bounds = np.concatenate(
+            ([np.int64(0)], np.cumsum(width, dtype=np.int64))
+        )
+        pidx = np.repeat(np.arange(n, dtype=np.int64), width)
+        px = np.arange(bounds[-1], dtype=np.int64) - bounds[pidx] + cx0[pidx]
+        alo, ahi = ellipse_col_bounds(
+            ax0[pidx], ay0[pidx], ax1[pidx], ay1[pidx], px
+        )
+        blo, bhi = ellipse_col_bounds(
+            bx0[pidx], by0[pidx], bx1[pidx], by1[pidx], px
+        )
+        ov = np.maximum(
+            np.minimum(ahi, bhi) - np.maximum(alo, blo) + 1, 0
+        )
+        inter = _segment_sums(ov, bounds)
+
+        # areas depend only on (w, h): one ragged pass over the UNIQUE
+        # size combos (<= 2n, typically far fewer), then a gather
+        wh_key = np.concatenate(
+            ((ax1 - ax0) << 20 | (ay1 - ay0), (bx1 - bx0) << 20 | (by1 - by0))
+        )
+        uniq, inv = np.unique(wh_key, return_inverse=True)
+        areas = ellipse_areas_wh(uniq >> 20, uniq & ((1 << 20) - 1))[inv]
+        uni = areas[:n] + areas[n:] - inter
+
         yield pd.DataFrame(
             {
                 "scene": arr["scene"],

@@ -247,3 +247,47 @@ def test_pq_fixture_is_non_vacuous():
 
 def test_gt_seeds_differ_from_pred_seeds():
     assert not np.array_equal(pred_seeds()[:13], gt_seeds())
+
+
+def test_vectorized_area_equals_scalar_mask_area():
+    """ellipse_areas_wh (the vectorized unique-(w,h) path of the pair
+    kernel) == scalar mask_area at arbitrary translations, including
+    degenerate 1-px sizes."""
+    from data_model_spark.operators.masks import ellipse_areas_wh
+
+    rng = np.random.default_rng(7)
+    w = rng.integers(1, 321, 200).astype(np.int64)
+    h = rng.integers(1, 321, 200).astype(np.int64)
+    w[:3], h[:3] = [1, 1, 320], [1, 320, 1]
+    x0 = rng.integers(0, 5000, 200).astype(np.int64)
+    y0 = rng.integers(0, 5000, 200).astype(np.int64)
+    got = ellipse_areas_wh(w, h)
+    for i in range(200):
+        assert got[i] == mask_area(
+            int(x0[i]), int(y0[i]), int(x0[i] + w[i]), int(y0[i] + h[i])
+        )
+
+
+def test_pair_kernel_zero_overlap_width_rows():
+    """Rows whose boxes only touch (zero intersection width) flow through
+    the ragged expansion as empty segments: inter 0, union = area sum."""
+    import pandas as pd
+
+    from data_model_spark.operators.masks import _pair_kernel
+
+    pdf = pd.DataFrame(
+        {
+            "scene": [0, 0],
+            "a_id": [1, 3],
+            "b_id": [2, 4],
+            "ax0": [0, 0], "ay0": [0, 0], "ax1": [10, 10], "ay1": [10, 10],
+            "bx0": [10, 5], "by0": [0, 5], "bx1": [20, 15], "by1": [10, 15],
+        }
+    )
+    out = next(_pair_kernel(iter([pdf])))
+    a = mask_area(0, 0, 10, 10)
+    assert out.m_inter[0] == 0 and out.m_uni[0] == 2 * a
+    assert out.m_inter[1] == mask_pair_inter(
+        {"x0": 0, "y0": 0, "x1": 10, "y1": 10},
+        {"x0": 5, "y0": 5, "x1": 15, "y1": 15},
+    )
