@@ -1,0 +1,38 @@
+#!/usr/bin/env bash
+# North-rule two-parallelism protocol for the detection-curation family:
+# interleaved local[2] / local[8] pairs (physical-core regime), median of
+# ROUNDS rounds, plus one local[32] context run.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+ROUNDS="${SPARK_GRAFT_SCALE_ROUNDS:-3}"
+OUT=BENCH/detect_scaling.jsonl
+: > "$OUT"
+for round in $(seq 1 "$ROUNDS"); do
+  for cores in 2 8; do
+    echo "== round $round local[$cores] ==" >&2
+    python scripts/detect_scaling.py "$cores" "$round" 2>/dev/null | tail -1 >> "$OUT"
+    rm -rf "/dev/shm/spark-local-det-${cores}"
+  done
+done
+python scripts/detect_scaling.py 32 ctx 2>/dev/null | tail -1 >> "$OUT"
+rm -rf /dev/shm/spark-local-det-32
+python - "$OUT" <<'PY'
+import json, statistics, sys
+rows = [json.loads(l) for l in open(sys.argv[1])]
+by = {}
+for r in rows:
+    by.setdefault(r["cores"], []).append(r["total_s"])
+t2, t8 = statistics.median(by[2]), statistics.median(by[8])
+pairs = sorted(set(r["round"] for r in rows if r["round"] != "ctx"))
+per_round = []
+for p in pairs:
+    a = next(r["total_s"] for r in rows if r["round"] == p and r["cores"] == 2)
+    b = next(r["total_s"] for r in rows if r["round"] == p and r["cores"] == 8)
+    per_round.append(round(a / (4 * b), 3))
+print(json.dumps({
+    "median_t2": t2, "median_t8": t8,
+    "efficiency_2_to_8": round(t2 / (4 * t8), 3),
+    "per_round_efficiency": per_round,
+    "t32_ctx": by.get(32, [None])[0],
+}))
+PY
