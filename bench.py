@@ -244,6 +244,10 @@ def main() -> None:
         "augment_fp",
         "vit_patches_fp",
         "cutmix_fp",
+        # r5 tenth wave: web-corpus image curation filters
+        "blur_scores_fp",
+        "crossmodal_filter",
+        "image_exact_dups",
     ]
     from data_model_spark.cache import unpersist_tracked
 

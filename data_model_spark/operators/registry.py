@@ -152,6 +152,11 @@ PRIORITY_ORDER: list[str] = [
     "augment_fp",
     "vit_patches_fp",
     "cutmix_fp",
+    # -- round-5 tenth wave (past the window; replay + SQL oracles + local
+    # parity): web-corpus image curation filters --
+    "blur_scores_fp",
+    "crossmodal_filter",
+    "image_exact_dups",
     "bpe_train_fp",
     "gcp_warp_fp",
     "flow_dir_fp",
@@ -443,6 +448,7 @@ def all_queries() -> dict[str, QuerySpec]:
         triangles,
         validate,
         viewshed,
+        vision_curation,
         zarr_queries,
         zarr_sink,
     )
