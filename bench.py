@@ -248,6 +248,8 @@ def main() -> None:
         "blur_scores_fp",
         "crossmodal_filter",
         "image_exact_dups",
+        "aspect_bucket_stats",
+        "exposure_stats_fp",
     ]
     from data_model_spark.cache import unpersist_tracked
 

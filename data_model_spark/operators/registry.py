@@ -157,6 +157,8 @@ PRIORITY_ORDER: list[str] = [
     "blur_scores_fp",
     "crossmodal_filter",
     "image_exact_dups",
+    "aspect_bucket_stats",
+    "exposure_stats_fp",
     "bpe_train_fp",
     "gcp_warp_fp",
     "flow_dir_fp",

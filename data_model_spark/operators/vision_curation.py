@@ -38,6 +38,20 @@ that sit between the raw image+caption crawl and every downstream stage:
   multiplicity, so ``collect_list`` of the member ids is safe at any
   corpus size (the LAION dedup shape: url/byte-hash groups are tiny).
 
+* ``aspect_bucket_stats`` — SDXL-style aspect-ratio bucketing for batch
+  packing: each image is assigned to the nearest of a 7-rung ratio
+  ladder by an EXACT integer argmin (cross-multiplied distances, one
+  LCM-scaled comparable key — no float, no log), computed as a fold over
+  a literal struct array: a pure per-row expression, ZERO shuffles for
+  the assignment and a 7-group rollup after it.  The oracle regenerates
+  the meta table in SQL from ``range(N)`` (the dim cycle is pure index
+  arithmetic) and replays the identical argmin.
+
+* ``exposure_stats_fp`` — over/under-exposure QA: exact pixel-tail
+  counts at the band clip points over real decoded bytes, verdict by
+  cross-multiplied tail fractions (< 10% clipped each side).  Class and
+  probability masks are correctly flagged as clipped populations.
+
 Reference context: the reference validates image payloads band-by-band
 (`conversion/geozarr.py:974-1183`) but has no corpus-curation layer;
 these extend the decode-fingerprint evidence pattern (``augment_fp``,
@@ -300,3 +314,181 @@ def image_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = generate_images_df(spark, N_IMG).select("image_id", "bytes")
     return exact_dup_groups(base.unionByName(planted_dups_df(spark)))
+
+
+# ---------------------------------------------------------------------------
+# aspect-ratio bucketing (batch-packing prep)
+# ---------------------------------------------------------------------------
+
+#: SDXL-style bucket ladder: (name, bw, bh) ratio anchors.  Assignment is
+#: the EXACT integer argmin of |w/h - bw/bh|: cross-multiplying removes
+#: both denominators — |w*bh - h*bw| / (h*bh) vs another bucket's distance
+#: compares as |w*bh1 - h*bw1| * bh2  <>  |w*bh2 - h*bw2| * bh1 (h cancels),
+#: so scaling each bucket's numerator by LCM(bh)/bh = 144/bh yields one
+#: integer key comparable across the whole ladder.  No float, no log.
+ASPECT_BUCKETS: list[tuple[str, int, int]] = [
+    ("square", 1, 1),
+    ("landscape_4_3", 4, 3),
+    ("portrait_3_4", 3, 4),
+    ("wide_16_9", 16, 9),
+    ("tall_9_16", 9, 16),
+    ("pano_2_1", 2, 1),
+    ("column_1_2", 1, 2),
+]
+_BH_LCM = 144
+N_ASPECT = 4096  # meta-only fixture rows (dims derived, no pixel synthesis)
+
+
+def with_aspect_bucket(meta: DataFrame) -> DataFrame:
+    """Adds ``bucket``: exact nearest-ratio ladder assignment, JVM-side.
+
+    The argmin is a fold over a 7-element literal struct array — pure
+    per-row expression work, ZERO shuffles: at 10^12 rows this column is
+    free (no broadcast join, no window)."""
+    candidates = F.array(
+        *[
+            F.struct(
+                (
+                    F.abs(F.col("w") * F.lit(bh) - F.col("h") * F.lit(bw))
+                    * F.lit(_BH_LCM // bh)
+                ).cast("bigint").alias("key"),
+                F.lit(idx).alias("idx"),
+                F.lit(name).alias("name"),
+            )
+            for idx, (name, bw, bh) in enumerate(ASPECT_BUCKETS)
+        ]
+    )
+    best = F.aggregate(
+        candidates,
+        F.struct(
+            F.lit(2**62).cast("bigint").alias("key"),
+            F.lit(-1).alias("idx"),
+            F.lit("").alias("name"),
+        ),
+        lambda acc, x: F.when(
+            (x["key"] < acc["key"])
+            | ((x["key"] == acc["key"]) & (x["idx"] < acc["idx"])),
+            x,
+        ).otherwise(acc),
+    )
+    return meta.withColumn("bucket", best["name"])
+
+
+def aspect_bucket_rollup(meta: DataFrame) -> DataFrame:
+    """(bucket, n_images, px_sum) per ladder bucket — one 7-group shuffle."""
+    return (
+        with_aspect_bucket(meta)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum(F.col("w").cast("bigint") * F.col("h")).alias("px_sum"),
+        )
+    )
+
+
+def _aspect_oracle() -> str:
+    """Fully derived SQL twin: the dim cycle w = c[i%3], h = c[(i//3)%3]
+    is pure index arithmetic, so DuckDB regenerates the meta table from
+    ``range(N)`` and replays the identical integer argmin."""
+    from ..sources.images import DIM_CYCLE
+
+    c = DIM_CYCLE
+    buckets = ", ".join(
+        f"('{name}', {bw}, {bh}, {idx})"
+        for idx, (name, bw, bh) in enumerate(ASPECT_BUCKETS)
+    )
+    return f"""WITH meta AS (
+  SELECT i,
+         CASE i % 3 WHEN 0 THEN {c[0]} WHEN 1 THEN {c[1]} ELSE {c[2]} END AS w,
+         CASE (i // 3) % 3 WHEN 0 THEN {c[0]} WHEN 1 THEN {c[1]} ELSE {c[2]} END AS h
+  FROM range({N_ASPECT}) t(i)),
+b(name, bw, bh, idx) AS (VALUES {buckets}),
+keyed AS (
+  SELECT m.i, m.w, m.h, b.name,
+         ROW_NUMBER() OVER (
+           PARTITION BY m.i
+           ORDER BY abs(m.w * b.bh - m.h * b.bw) * ({_BH_LCM} // b.bh), b.idx
+         ) AS rn
+  FROM meta m CROSS JOIN b)
+SELECT name AS bucket, CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(w::BIGINT * h) AS BIGINT) AS px_sum
+FROM keyed WHERE rn = 1 GROUP BY name"""
+
+
+@register("aspect_bucket_stats", _aspect_oracle())
+def aspect_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer aspect-ratio ladder assignment (shuffle-free column)
+    + per-bucket rollup over the 4096-row derived meta table."""
+    from ..sources.images import generate_images_meta_df
+
+    return aspect_bucket_rollup(
+        generate_images_meta_df(spark, N_ASPECT).select("image_id", "w", "h")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exposure / clipping QA
+# ---------------------------------------------------------------------------
+
+EXP_LOW_T = 600  # at-or-below: underexposed pixel
+EXP_HIGH_T = 3900  # at-or-above: overexposed pixel
+EXP_MAX_FRAC = (1, 10)  # well-exposed iff each tail holds < 1/10 of pixels
+
+
+def exposure_stats_np(a: np.ndarray) -> tuple[int, int, int, int, bool]:
+    """(n, n_low, n_high, px_sum, well_exposed) — exact integers; the
+    verdict cross-multiplies the tail fractions (num/den), no floats."""
+    n = int(a.size)
+    n_low = int((a <= EXP_LOW_T).sum())
+    n_high = int((a >= EXP_HIGH_T).sum())
+    num, den = EXP_MAX_FRAC
+    well = n_low * den < n * num and n_high * den < n * num
+    return n, n_low, n_high, int(a.sum()), well
+
+
+def exposure_stats(images: DataFrame) -> DataFrame:
+    from ..codecs import decode_image
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = decode_image(r.bytes, r.fmt, r.w, r.h).astype(np.int64)
+                rows.append((r.image_id, *exposure_stats_np(a)))
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["image_id", "n_pix", "n_low", "n_high",
+                             "px_sum", "well_exposed"],
+                )
+
+    return images.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(
+        kernel,
+        "image_id string, n_pix bigint, n_low bigint, n_high bigint,"
+        " px_sum bigint, well_exposed boolean",
+    )
+
+
+def _exposure_oracle() -> str:
+    from .mosaic_fp import _values_sql
+
+    rows = [
+        (f"img_{i:012d}", *exposure_stats_np(_decoded(i)))
+        for i in range(N_IMG)
+    ]
+    return _values_sql(
+        [("image_id", "VARCHAR"), ("n_pix", "BIGINT"), ("n_low", "BIGINT"),
+         ("n_high", "BIGINT"), ("px_sum", "BIGINT"),
+         ("well_exposed", "BOOLEAN")],
+        rows,
+    )
+
+
+@register("exposure_stats_fp", _exposure_oracle)
+def exposure_stats_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clipping/exposure QA over real decoded bytes: exact tail counts at
+    the band clip points + cross-multiplied well-exposed verdict (class
+    and probability masks are correctly flagged as clipped)."""
+    from ..sources.images import generate_images_df
+
+    return exposure_stats(generate_images_df(spark, N_IMG))

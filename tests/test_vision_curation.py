@@ -4,18 +4,25 @@ import numpy as np
 from pyspark.sql import functions as F
 
 from data_model_spark.operators.vision_curation import (
+    ASPECT_BUCKETS,
     CLIP_T,
     DUP_STRIDE,
+    EXP_HIGH_T,
+    EXP_LOW_T,
     LAP_VAR_T,
     N_IMG,
     _decoded,
     _dup_bytes,
+    aspect_bucket_rollup,
     blur_scores,
     box3_np,
     crossmodal_scores,
     exact_dup_groups,
+    exposure_stats,
+    exposure_stats_np,
     lap_stats_np,
     planted_dups_df,
+    with_aspect_bucket,
 )
 
 
@@ -165,3 +172,105 @@ def test_exact_dup_groups_empty_without_plants(spark):
 
     base = generate_images_df(spark, 16).select("image_id", "bytes")
     assert exact_dup_groups(base).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# aspect-ratio bucketing
+# ---------------------------------------------------------------------------
+
+
+def _nearest_bucket(w: int, h: int) -> str:
+    """Float replay of the exact-integer argmin (ties by ladder index)."""
+    best = min(
+        range(len(ASPECT_BUCKETS)),
+        key=lambda i: (
+            abs(w / h - ASPECT_BUCKETS[i][1] / ASPECT_BUCKETS[i][2]),
+            i,
+        ),
+    )
+    return ASPECT_BUCKETS[best][0]
+
+
+def test_aspect_bucket_exact_assignments(spark):
+    from data_model_spark.sources.tables import local_df
+
+    cases = [
+        (512, 512, "square"),
+        (640, 480, "landscape_4_3"),
+        (480, 640, "portrait_3_4"),
+        (1920, 1080, "wide_16_9"),
+        (1080, 1920, "tall_9_16"),
+        (1000, 500, "pano_2_1"),
+        (500, 1000, "column_1_2"),
+        (512, 256, "pano_2_1"),  # exact 2:1 from the fixture dim cycle
+        (64, 512, "column_1_2"),  # ratio 1/8: nearest rung is 1:2
+        (512, 64, "pano_2_1"),  # ratio 8: nearest rung is 2:1
+    ]
+    df = local_df(
+        spark, [(i, w, h) for i, (w, h, _) in enumerate(cases)],
+        "image_id bigint, w int, h int",
+    )
+    got = {r.image_id: r.bucket for r in with_aspect_bucket(df).collect()}
+    for i, (w, h, want) in enumerate(cases):
+        assert got[i] == want, (w, h, got[i])
+        assert _nearest_bucket(w, h) == want  # the float replay agrees
+
+
+def test_aspect_assignment_plan_is_shuffle_free(spark):
+    """The bucket column must be a pure projection — no Exchange before
+    the rollup's single 7-group aggregate."""
+    from data_model_spark.sources.images import generate_images_meta_df
+
+    meta = generate_images_meta_df(spark, 64).select("image_id", "w", "h")
+    plan = with_aspect_bucket(meta)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    rollup_plan = aspect_bucket_rollup(meta)._jdf.queryExecution().executedPlan().toString()
+    assert rollup_plan.count("Exchange") == 1  # only the groupBy(bucket)
+
+
+def test_aspect_rollup_totals(spark):
+    from data_model_spark.sources.images import generate_images_meta_df, image_dims
+
+    n = 99
+    meta = generate_images_meta_df(spark, n).select("image_id", "w", "h")
+    out = aspect_bucket_rollup(meta).collect()
+    assert sum(r.n_images for r in out) == n
+    assert sum(r.px_sum for r in out) == sum(
+        image_dims(i)[0] * image_dims(i)[1] for i in range(n)
+    )
+
+
+# ---------------------------------------------------------------------------
+# exposure QA
+# ---------------------------------------------------------------------------
+
+
+def test_exposure_kernel_tail_counts():
+    a = np.array([[500, 600, 601], [3899, 3900, 5000]], dtype=np.int64)
+    n, lo, hi, s, well = exposure_stats_np(a)
+    assert (n, lo, hi, s) == (6, 2, 2, int(a.sum()))
+    assert not well  # 2/6 in each tail >= 10%
+
+
+def test_exposure_well_exposed_boundary_is_strict():
+    # exactly 10% in a tail must FAIL (strict <): 1 low of 10 pixels
+    a = np.full(10, 2000, dtype=np.int64)
+    a[0] = 100
+    assert exposure_stats_np(a)[4] is False
+    # 1 of 11 (9.09%) passes
+    b = np.full(11, 2000, dtype=np.int64)
+    b[0] = 100
+    assert exposure_stats_np(b)[4] is True
+
+
+def test_exposure_spark_equals_replay_and_flags_masks(spark):
+    from data_model_spark.sources.images import band_for, generate_images_df
+
+    n = 16
+    got = {r.image_id: tuple(r)[1:]
+           for r in exposure_stats(generate_images_df(spark, n)).collect()}
+    for i in range(n):
+        want = exposure_stats_np(_decoded(i))
+        assert got[f"img_{i:012d}"] == want, i
+        if band_for(i) in ("scl", "cld", "snw"):
+            assert want[4] is False  # masks read as fully clipped-low
