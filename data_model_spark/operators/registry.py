@@ -159,6 +159,12 @@ PRIORITY_ORDER: list[str] = [
     "image_exact_dups",
     "aspect_bucket_stats",
     "exposure_stats_fp",
+    # -- round-5 eleventh wave (past the window; two generative SQL
+    # oracles + one replay oracle + local parity): DQT-based JPEG quality
+    # recovery, areal interpolation, Fréchet/FID moment sweep --
+    "jpeg_quality_fp",
+    "areal_interp",
+    "fid_moments",
     "bpe_train_fp",
     "gcp_warp_fp",
     "flow_dir_fp",
@@ -387,9 +393,12 @@ def all_queries() -> dict[str, QuerySpec]:
         drift,
         dsir,
         dtw,
+        areal,
+        fid,
         funnel,
         fuzzy,
         gramian,
+        jpeg_qa,
         histmatch,
         hull,
         hydrology,
