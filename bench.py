@@ -250,6 +250,10 @@ def main() -> None:
         "image_exact_dups",
         "aspect_bucket_stats",
         "exposure_stats_fp",
+        # r5 eleventh wave: DQT quality recovery, areal overlay, FID moments
+        "jpeg_quality_fp",
+        "areal_interp",
+        "fid_moments",
     ]
     from data_model_spark.cache import unpersist_tracked
 
