@@ -254,6 +254,11 @@ def main() -> None:
         "jpeg_quality_fp",
         "areal_interp",
         "fid_moments",
+        # r5 twelfth wave: geostatistics, space-time trend, entropy gate
+        "empirical_variogram",
+        "ripley_k",
+        "mann_kendall_trend",
+        "entropy_gate_fp",
     ]
     from data_model_spark.cache import unpersist_tracked
 

@@ -165,6 +165,13 @@ PRIORITY_ORDER: list[str] = [
     "jpeg_quality_fp",
     "areal_interp",
     "fid_moments",
+    # -- round-5 twelfth wave (past the window; three generative SQL
+    # oracles + one replay oracle + local parity): variogram, Ripley K,
+    # Mann-Kendall trend, image entropy gate --
+    "empirical_variogram",
+    "ripley_k",
+    "mann_kendall_trend",
+    "entropy_gate_fp",
     "bpe_train_fp",
     "gcp_warp_fp",
     "flow_dir_fp",
@@ -397,8 +404,10 @@ def all_queries() -> dict[str, QuerySpec]:
         fid,
         funnel,
         fuzzy,
+        geostats,
         gramian,
         jpeg_qa,
+        mannkendall,
         histmatch,
         hull,
         hydrology,

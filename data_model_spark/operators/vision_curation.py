@@ -492,3 +492,85 @@ def exposure_stats_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.images import generate_images_df
 
     return exposure_stats(generate_images_df(spark, N_IMG))
+
+
+# ---------------------------------------------------------------------------
+# information-content (entropy) gate
+# ---------------------------------------------------------------------------
+
+ENT_MIN_MBITS = 3000  # keep-gate: >= 3.000 bits of 8-bit histogram entropy
+ENT_MIN_LEVELS = 16  # and at least 16 distinct gray levels
+
+
+def entropy_stats_np(a: np.ndarray) -> tuple[int, int, int, int, bool]:
+    """(n_pix, n_levels, modal_count, ent_mbits, keep) on the 8-bit image.
+
+    Shannon entropy of the 256-bin histogram in millibits, computed as
+    ``round(1000 * (log2(n) - sum(c*log2(c))/n))`` — the exact-rational
+    form log2(n) - H avoids catastrophic cancellation and the replay
+    recomputes the identical double expression, so the integer millibit
+    value is deterministic across engines.  Flat ramps / constant masks
+    score low; textured reflectance scenes score high.
+    """
+    hist = np.bincount(a.reshape(-1), minlength=256)
+    n = int(a.size)
+    nz = hist[hist > 0].astype(np.float64)
+    ent_bits = float(np.log2(n) - (nz * np.log2(nz)).sum() / n)
+    mbits = int(np.floor(ent_bits * 1000 + 0.5))
+    n_levels = int((hist > 0).sum())
+    modal = int(hist.max())
+    keep = mbits >= ENT_MIN_MBITS and n_levels >= ENT_MIN_LEVELS
+    return n, n_levels, modal, mbits, keep
+
+
+def entropy_stats(images: DataFrame) -> DataFrame:
+    """Histogram-entropy information gate over real decoded bytes."""
+    from ..codecs import decode_image
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = decode_image(r.bytes, r.fmt, r.w, r.h)
+                rows.append(
+                    (r.image_id, *entropy_stats_np((a >> 8).astype(np.uint8)))
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["image_id", "n_pix", "n_levels", "modal_count",
+                             "ent_mbits", "keep"],
+                )
+
+    return images.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(
+        kernel,
+        "image_id string, n_pix bigint, n_levels bigint, modal_count bigint,"
+        " ent_mbits bigint, keep boolean",
+    )
+
+
+def _entropy_oracle() -> str:
+    from .mosaic_fp import _values_sql
+
+    rows = []
+    for i in range(N_IMG):
+        a = _decoded(i).astype(np.uint16)
+        rows.append(
+            (f"img_{i:012d}", *entropy_stats_np((a >> 8).astype(np.uint8)))
+        )
+    return _values_sql(
+        [("image_id", "VARCHAR"), ("n_pix", "BIGINT"), ("n_levels", "BIGINT"),
+         ("modal_count", "BIGINT"), ("ent_mbits", "BIGINT"),
+         ("keep", "BOOLEAN")],
+        rows,
+    )
+
+
+@register("entropy_gate_fp", _entropy_oracle)
+def entropy_gate_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-content gate: 8-bit histogram entropy in exact
+    millibits over real decoded bytes; low-entropy (flat / mask / junk)
+    images are dropped, textured scenes kept."""
+    from ..sources.images import generate_images_df
+
+    return entropy_stats(generate_images_df(spark, N_IMG))
