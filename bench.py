@@ -259,6 +259,8 @@ def main() -> None:
         "ripley_k",
         "mann_kendall_trend",
         "entropy_gate_fp",
+        # r5 thirteenth wave: Borůvka minimum spanning forest
+        "mst_edges",
     ]
     from data_model_spark.cache import unpersist_tracked
 

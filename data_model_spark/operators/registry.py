@@ -172,6 +172,10 @@ PRIORITY_ORDER: list[str] = [
     "ripley_k",
     "mann_kendall_trend",
     "entropy_gate_fp",
+    # -- round-5 thirteenth wave (past the window; replay oracles + local
+    # parity): Borůvka minimum spanning forest, scene co-registration,
+    # spherical polygon area --
+    "mst_edges",
     "bpe_train_fp",
     "gcp_warp_fp",
     "flow_dir_fp",
@@ -423,6 +427,7 @@ def all_queries() -> dict[str, QuerySpec]:
         mixing,
         morphology,
         mosaic_fp,
+        mst,
         overlay_segments,
         packing,
         multimodal,
