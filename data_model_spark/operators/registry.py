@@ -176,6 +176,8 @@ PRIORITY_ORDER: list[str] = [
     # parity): Borůvka minimum spanning forest, scene co-registration,
     # spherical polygon area --
     "mst_edges",
+    "coregister_shift",
+    "spherical_area",
     "bpe_train_fp",
     "gcp_warp_fp",
     "flow_dir_fp",
@@ -428,6 +430,8 @@ def all_queries() -> dict[str, QuerySpec]:
         morphology,
         mosaic_fp,
         mst,
+        coregister,
+        spherical,
         overlay_segments,
         packing,
         multimodal,
