@@ -259,8 +259,10 @@ def main() -> None:
         "ripley_k",
         "mann_kendall_trend",
         "entropy_gate_fp",
-        # r5 thirteenth wave: Borůvka minimum spanning forest
+        # r5 thirteenth wave: Borůvka MSF, co-registration, spherical area
         "mst_edges",
+        "coregister_shift",
+        "spherical_area",
     ]
     from data_model_spark.cache import unpersist_tracked
 
