@@ -263,6 +263,10 @@ def main() -> None:
         "mst_edges",
         "coregister_shift",
         "spherical_area",
+        # r5 fourteenth wave: kriging, bilinear overzoom, traj resampling
+        "kriging_surface",
+        "overzoom_fp",
+        "traj_resample",
     ]
     from data_model_spark.cache import unpersist_tracked
 

@@ -178,6 +178,12 @@ PRIORITY_ORDER: list[str] = [
     "mst_edges",
     "coregister_shift",
     "spherical_area",
+    # -- round-5 fourteenth wave (past the window; one generative SQL
+    # oracle + two replay oracles + local parity): ordinary kriging,
+    # bilinear overzoom, trajectory time-resampling --
+    "kriging_surface",
+    "overzoom_fp",
+    "traj_resample",
     "bpe_train_fp",
     "gcp_warp_fp",
     "flow_dir_fp",
@@ -432,6 +438,9 @@ def all_queries() -> dict[str, QuerySpec]:
         mst,
         coregister,
         spherical,
+        kriging,
+        upsample,
+        resample,
         overlay_segments,
         packing,
         multimodal,
