@@ -267,6 +267,10 @@ def main() -> None:
         "kriging_surface",
         "overzoom_fp",
         "traj_resample",
+        # r5 fifteenth wave: KDE heatmap, binomial pyramid, solar angles
+        "kde_surface",
+        "gauss_pyramid_fp",
+        "solar_angles",
     ]
     from data_model_spark.cache import unpersist_tracked
 

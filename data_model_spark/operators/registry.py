@@ -184,6 +184,12 @@ PRIORITY_ORDER: list[str] = [
     "kriging_surface",
     "overzoom_fp",
     "traj_resample",
+    # -- round-5 fifteenth wave (past the window; one generative SQL
+    # oracle + two replay oracles + local parity): Epanechnikov KDE
+    # heatmap, binomial Gaussian pyramid, NOAA solar geometry --
+    "kde_surface",
+    "gauss_pyramid_fp",
+    "solar_angles",
     "bpe_train_fp",
     "gcp_warp_fp",
     "flow_dir_fp",
@@ -441,6 +447,8 @@ def all_queries() -> dict[str, QuerySpec]:
         kriging,
         upsample,
         resample,
+        gausspyr,
+        solar,
         overlay_segments,
         packing,
         multimodal,

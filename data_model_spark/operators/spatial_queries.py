@@ -837,6 +837,56 @@ def idw_surface(spark, sf_dir):
     return surfaces.idw_grid(pts, targets, res=_IDW_RES, ring=1)
 
 
+_KDE_H = 0.02  # Epanechnikov bandwidth, degrees (< the res-13 cell height)
+
+
+def _kde_oracle() -> str:
+    xmin, ymin, xmax, ymax = _IDW_BOX
+    tx0 = int((xmin + 180.0) / 360.0 * _IDW_N)
+    tx1 = int((xmax + 180.0) / 360.0 * _IDW_N)
+    ty0 = int((ymin + 90.0) / 180.0 * _IDW_N)
+    ty1 = int((ymax + 90.0) / 180.0 * _IDW_N)
+    h2 = _KDE_H * _KDE_H
+    return f"""
+WITH pts AS (
+  SELECT 10.0 + (c_custkey * 37 % 2000) / 1000.0 AS lon,
+         46.0 + (c_custkey * 91 % 2000) / 1000.0 AS lat
+  FROM customer),
+px AS (
+  SELECT *, CAST(floor((lon + 180.0) / 360.0 * {_IDW_N}) AS BIGINT) AS cx,
+            CAST(floor((lat + 90.0) / 180.0 * {_IDW_N}) AS BIGINT) AS cy
+  FROM pts),
+t AS (
+  SELECT tx, unnest(range({ty0}, {ty1} + 1)) AS ty
+  FROM (SELECT unnest(range({tx0}, {tx1} + 1)) AS tx)),
+j AS (
+  SELECT t.tx, t.ty,
+         (p.lon - ((t.tx + 0.5) / {_IDW_N} * 360.0 - 180.0))
+           * (p.lon - ((t.tx + 0.5) / {_IDW_N} * 360.0 - 180.0))
+         + (p.lat - ((t.ty + 0.5) / {_IDW_N} * 180.0 - 90.0))
+           * (p.lat - ((t.ty + 0.5) / {_IDW_N} * 180.0 - 90.0)) AS d2
+  FROM t JOIN px p
+    ON abs(p.cx - t.tx) <= 1 AND abs(p.cy - t.ty) <= 1)
+SELECT tx, ty, CAST(COUNT(*) AS BIGINT) AS n_pts,
+       CAST(SUM(CAST(FLOOR(GREATEST(0.0, 1.0 - d2 / {h2!r}) * 1e6 + 0.5)
+                AS BIGINT)) AS BIGINT) AS dens_q
+FROM j GROUP BY tx, ty
+"""
+
+
+@register("kde_surface", _kde_oracle)
+def kde_surface(spark, sf_dir):
+    """Epanechnikov kernel-density heatmap of the customer points over
+    the r0 grid window — ``surfaces.kde_grid``'s bucketed ring join with
+    per-point contributions quantized to int64 micro-units BEFORE the
+    sum, so the aggregate is order-independent and the generative SQL
+    oracle matches hash-exact (no float tolerance, no transcendentals).
+    """
+    pts = _points(spark, sf_dir)
+    targets = surfaces.grid_window(spark, _IDW_RES, *_IDW_BOX)
+    return surfaces.kde_grid(pts, targets, res=_IDW_RES, bandwidth=_KDE_H, ring=1)
+
+
 # tile-grid boundaries are 2560-multiples; za is one exact tile (interior
 # path), zb sits inside a tile, zc mixes interior + boundary, zd is a
 # boundary-only strip further east

@@ -116,3 +116,66 @@ def idw_grid(
         (F.sum(F.col("_w") * F.col(value_col)) / F.sum("_w")).alias("idw_value"),
         F.count(F.lit(1)).alias("n_pts"),
     )
+
+
+def kde_grid(
+    points: DataFrame,
+    targets: DataFrame,
+    res: int,
+    bandwidth: float,
+    ring: int = 1,
+) -> DataFrame:
+    """Kernel density estimate onto grid cell centers (heatmap).
+
+    Epanechnikov kernel ``max(0, 1 - d2/h^2)`` — pure +-*/ arithmetic, so
+    the engine and a SQL oracle evaluate the IDENTICAL IEEE-754 doubles
+    (no transcendental libm divergence, the reason this is Epanechnikov
+    and not Gaussian).  Each point's contribution is quantized to integer
+    micro-units BEFORE the sum, making the aggregate an order-independent
+    int64 — hash-exact at any parallelism, no float tolerance.
+
+    The neighborhood is the same Chebyshev cell ring as ``idw_grid``
+    (truncation at the ring edge is part of the defined semantics; choose
+    ``bandwidth`` <= ring * cell height for full support).  Cost is
+    output_cells * ring^2 + points — never points x cells.
+    Returns (tx, ty, n_pts, dens_q).
+    """
+    n = 1 << res
+    pts = with_grid_xy(points, res).withColumn(
+        "cell", _pack_cell(res, F.col("cell_x"), F.col("cell_y"))
+    )
+    offsets = [(dx, dy) for dx in range(-ring, ring + 1) for dy in range(-ring, ring + 1)]
+    ring_keys = targets.select(
+        "tx",
+        "ty",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.pmod(F.col("tx") + dx, F.lit(n)).alias("rx"),
+                        (F.col("ty") + dy).alias("ry"),
+                    )
+                    for dx, dy in offsets
+                ]
+            )
+        ).alias("nb"),
+    ).filter((F.col("nb.ry") >= 0) & (F.col("nb.ry") < n)).select(
+        "tx", "ty", _pack_cell(res, F.col("nb.rx"), F.col("nb.ry")).alias("cell")
+    )
+    ctr_lon = (F.col("tx") + 0.5) / n * 360.0 - 180.0
+    ctr_lat = (F.col("ty") + 0.5) / n * 180.0 - 90.0
+    h2 = bandwidth * bandwidth
+    joined = ring_keys.join(pts, "cell").withColumn(
+        "_d2",
+        (F.col("lon") - ctr_lon) * (F.col("lon") - ctr_lon)
+        + (F.col("lat") - ctr_lat) * (F.col("lat") - ctr_lat),
+    ).withColumn(
+        "_kq",
+        F.floor(
+            F.greatest(F.lit(0.0), 1.0 - F.col("_d2") / F.lit(h2)) * 1e6 + 0.5
+        ).cast("long"),
+    )
+    return joined.groupBy("tx", "ty").agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.sum("_kq").alias("dens_q"),
+    )
