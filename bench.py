@@ -271,6 +271,9 @@ def main() -> None:
         "kde_surface",
         "gauss_pyramid_fp",
         "solar_angles",
+        # r5 sixteenth wave: LISA hot spots, deviational ellipse
+        "hotspot_gi",
+        "sde_ellipse",
     ]
     from data_model_spark.cache import unpersist_tracked
 

@@ -190,6 +190,11 @@ PRIORITY_ORDER: list[str] = [
     "kde_surface",
     "gauss_pyramid_fp",
     "solar_angles",
+    # -- round-5 sixteenth wave (past the window; two generative SQL
+    # oracles + local parity): Getis-Ord Gi* / local Moran LISA pair,
+    # standard deviational ellipse --
+    "hotspot_gi",
+    "sde_ellipse",
     "bpe_train_fp",
     "gcp_warp_fp",
     "flow_dir_fp",
@@ -449,6 +454,8 @@ def all_queries() -> dict[str, QuerySpec]:
         resample,
         gausspyr,
         solar,
+        hotspot,
+        sde,
         overlay_segments,
         packing,
         multimodal,
