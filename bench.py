@@ -274,6 +274,9 @@ def main() -> None:
         # r5 sixteenth wave: LISA hot spots, deviational ellipse
         "hotspot_gi",
         "sde_ellipse",
+        # r5 seventeenth wave: GLCM texture, cloud-shadow projection
+        "glcm_texture_fp",
+        "shadow_mask_fp",
     ]
     from data_model_spark.cache import unpersist_tracked
 

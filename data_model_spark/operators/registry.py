@@ -195,6 +195,10 @@ PRIORITY_ORDER: list[str] = [
     # standard deviational ellipse --
     "hotspot_gi",
     "sde_ellipse",
+    # -- round-5 seventeenth wave (past the window; two replay oracles +
+    # local parity): GLCM texture screen, cloud-shadow projection --
+    "glcm_texture_fp",
+    "shadow_mask_fp",
     "bpe_train_fp",
     "gcp_warp_fp",
     "flow_dir_fp",
@@ -456,6 +460,8 @@ def all_queries() -> dict[str, QuerySpec]:
         solar,
         hotspot,
         sde,
+        texture,
+        shadow,
         overlay_segments,
         packing,
         multimodal,
