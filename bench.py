@@ -277,6 +277,9 @@ def main() -> None:
         # r5 seventeenth wave: GLCM texture, cloud-shadow projection
         "glcm_texture_fp",
         "shadow_mask_fp",
+        # r5 eighteenth wave: geohash index, sensor stripe QA
+        "geohash_buckets",
+        "stripe_qa_fp",
     ]
     from data_model_spark.cache import unpersist_tracked
 

@@ -199,6 +199,12 @@ PRIORITY_ORDER: list[str] = [
     # local parity): GLCM texture screen, cloud-shadow projection --
     "glcm_texture_fp",
     "shadow_mask_fp",
+    # -- round-5 eighteenth wave (past the window; two generative SQL
+    # oracles + one replay oracle + local parity): geohash encode/buckets,
+    # sensor stripe QA --
+    "geohash_encode",
+    "geohash_buckets",
+    "stripe_qa_fp",
     "bpe_train_fp",
     "gcp_warp_fp",
     "flow_dir_fp",
@@ -462,6 +468,8 @@ def all_queries() -> dict[str, QuerySpec]:
         sde,
         texture,
         shadow,
+        geohash,
+        stripes,
         overlay_segments,
         packing,
         multimodal,

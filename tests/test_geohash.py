@@ -1,83 +1,88 @@
-"""Geohash: public test vectors, JVM==NumPy, decode inverse, edges."""
+"""Geohash: canonical-value goldens + standard-algorithm cross-check."""
 
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from data_model_spark.functions.geohash import (
-    geohash_col,
-    geohash_decode_cols,
-    geohash_np,
-)
-
-# publicly documented vectors (Wikipedia "Geohash" examples)
-VECTORS = [
-    (10.40744, 57.64911, 11, "u4pruydqqvj"),
-    (-5.60302734375, 42.60498046875, 5, "ezs42"),
-    (0.0, 0.0, 1, "s"),
-]
+from data_model_spark.operators.geohash import ALPHABET, geohash_col
 
 
-def test_public_vectors_numpy():
-    for lon, lat, p, want in VECTORS:
-        assert geohash_np([lon], [lat], p)[0] == want
+def ref_geohash(lon: float, lat: float, precision: int) -> str:
+    """Textbook interval-halving geohash (the published algorithm)."""
+    lo_lat, hi_lat, lo_lon, hi_lon = -90.0, 90.0, -180.0, 180.0
+    out, bit, ch, even = [], 0, 0, True
+    while len(out) < precision:
+        if even:
+            mid = (lo_lon + hi_lon) / 2
+            if lon >= mid:
+                ch = (ch << 1) | 1
+                lo_lon = mid
+            else:
+                ch <<= 1
+                hi_lon = mid
+        else:
+            mid = (lo_lat + hi_lat) / 2
+            if lat >= mid:
+                ch = (ch << 1) | 1
+                lo_lat = mid
+            else:
+                ch <<= 1
+                hi_lat = mid
+        even = not even
+        bit += 1
+        if bit == 5:
+            out.append(ALPHABET[ch])
+            bit, ch = 0, 0
+    return "".join(out)
 
 
-def test_public_vectors_jvm(spark):
-    for lon, lat, p, want in VECTORS:
-        df = spark.createDataFrame([(lon, lat)], "lon double, lat double")
-        got = df.select(geohash_col("lon", "lat", p).alias("gh")).collect()[0].gh
-        assert got == want
-
-
-def test_jvm_matches_numpy_bulk(spark):
-    rows = [
-        (k, (k * 37 % 360000) / 1000.0 - 180.0, (k * 91 % 180000) / 1000.0 - 90.0)
-        for k in range(400)
+def _encode(spark, coords, precision=6):
+    pdf = pd.DataFrame(coords, columns=["lon", "lat"])
+    df = spark.createDataFrame(pdf)
+    return [
+        r.gh
+        for r in df.select(
+            geohash_col(F.col("lon"), F.col("lat"), precision).alias("gh")
+        ).collect()
     ]
-    df = spark.createDataFrame(rows, "k long, lon double, lat double")
-    for p in (1, 4, 7, 12):
-        got = {
-            r.k: r.gh
-            for r in df.select("k", geohash_col("lon", "lat", p).alias("gh")).collect()
-        }
-        want = geohash_np([r[1] for r in rows], [r[2] for r in rows], p)
-        assert got == {r[0]: w for r, w in zip(rows, want)}
 
 
-def test_decode_is_inverse(spark):
-    rows = [
-        (k, (k * 613 % 3600) / 10.0 - 180.0, (k * 271 % 1800) / 10.0 - 90.0)
-        for k in range(200)
+def test_canonical_example(spark):
+    # the Wikipedia/geohash.org classic: (42.605, -5.603) -> ezs42
+    assert _encode(spark, [(-5.603, 42.605)], precision=5) == ["ezs42"]
+
+
+def test_well_known_cities(spark):
+    # precomputed with the interval-halving reference below
+    coords = [(-0.1278, 51.5074), (139.6917, 35.6895), (-74.0060, 40.7128)]
+    got = _encode(spark, coords, precision=6)
+    exp = [ref_geohash(lon, lat, 6) for lon, lat in coords]
+    assert got == exp
+
+
+def test_matches_reference_on_grid(spark):
+    rng = np.random.default_rng(21)
+    coords = [
+        (float(lon), float(lat))
+        for lon, lat in zip(
+            rng.uniform(-180, 180, 200), rng.uniform(-90, 90, 200)
+        )
     ]
-    df = spark.createDataFrame(rows, "k long, lon double, lat double")
-    p = 8
-    enc = df.select("k", "lon", "lat", geohash_col("lon", "lat", p).alias("gh"))
-    lon_c, lat_c = geohash_decode_cols("gh", p)
-    out = enc.select(
-        "k", "lon", "lat", lon_c.alias("lon_c"), lat_c.alias("lat_c")
-    ).toPandas()
-    bx, by = 20, 20  # precision 8 -> 20/20 bits
-    assert (np.abs(out.lon - out.lon_c) <= 360.0 / (1 << bx) / 2 + 1e-12).all()
-    assert (np.abs(out.lat - out.lat_c) <= 180.0 / (1 << by) / 2 + 1e-12).all()
+    got = _encode(spark, coords, precision=6)
+    exp = [ref_geohash(lon, lat, 6) for lon, lat in coords]
+    assert got == exp
 
 
-def test_domain_edges(spark):
-    rows = [
-        (0, -180.0, -90.0),
-        (1, 179.999999, 89.999999),
-        (2, -180.0, 89.999999),
-        (3, 179.999999, -90.0),
-    ]
-    df = spark.createDataFrame(rows, "k long, lon double, lat double")
-    got = [
-        r.gh for r in df.orderBy("k").select(geohash_col("lon", "lat", 4).alias("gh")).collect()
-    ]
-    assert got == ["0000", "zzzz", "bpbp", "pbpb"]
+def test_edge_of_world(spark):
+    # the lon=180 / lat=90 edge clamps into the top cell (no overflow)
+    got = _encode(spark, [(180.0, 90.0), (-180.0, -90.0)], precision=6)
+    assert got[1] == "000000"
+    assert len(got[0]) == 6 and got[0] == ref_geohash(179.9999999, 89.9999999, 6)
 
 
-def test_precision_bounds():
-    with pytest.raises(ValueError):
-        geohash_col("lon", "lat", 0)
-    with pytest.raises(ValueError):
-        geohash_col("lon", "lat", 13)
+def test_prefix_containment(spark):
+    # nearby points share prefixes; the bucket query's partition logic
+    a, b = (10.30001, 46.30001), (10.30002, 46.30002)
+    ga, gb = _encode(spark, [a, b], precision=6)
+    assert ga[:4] == gb[:4]
