@@ -280,6 +280,12 @@ def main() -> None:
         # r5 eighteenth wave: geohash index, sensor stripe QA
         "geohash_buckets",
         "stripe_qa_fp",
+        # r5 nineteenth wave: Web-Mercator covers, quadkeys
+        "slippy_cover_fp",
+        "quadkey_encode",
+        # r5 twentieth wave: trajectory kinematics, space-time cube
+        "traj_kinematics",
+        "spacetime_cube",
     ]
     from data_model_spark.cache import unpersist_tracked
 

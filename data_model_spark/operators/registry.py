@@ -205,6 +205,15 @@ PRIORITY_ORDER: list[str] = [
     "geohash_encode",
     "geohash_buckets",
     "stripe_qa_fp",
+    # -- round-5 nineteenth wave (past the window; one generative SQL
+    # oracle + one replay oracle + local parity): Web-Mercator XYZ tile
+    # covers, Bing quadkeys --
+    "slippy_cover_fp",
+    "quadkey_encode",
+    # -- round-5 twentieth wave (past the window; two generative SQL
+    # oracles + local parity): trajectory kinematics QA, space-time cube --
+    "traj_kinematics",
+    "spacetime_cube",
     "bpe_train_fp",
     "gcp_warp_fp",
     "flow_dir_fp",
@@ -470,6 +479,8 @@ def all_queries() -> dict[str, QuerySpec]:
         shadow,
         geohash,
         stripes,
+        webmercator,
+        kinematics,
         overlay_segments,
         packing,
         multimodal,

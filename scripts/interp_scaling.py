@@ -24,7 +24,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_PTS = int(os.environ.get("SPARK_GRAFT_INTERP_PTS", "200000"))
+N_PTS = int(os.environ.get("SPARK_GRAFT_INTERP_PTS", "2000000"))
+N_PTS_AGG = int(os.environ.get("SPARK_GRAFT_INTERP_AGG_PTS", "20000000"))
 N_SCENES = int(os.environ.get("SPARK_GRAFT_INTERP_SCENES", "1536"))
 BOX = (10.0, 46.0, 12.0, 48.0)  # the full congruential scatter extent
 
@@ -52,24 +53,24 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    def points():
+    def points(n):
         return (
-            spark.range(1, N_PTS + 1)
+            spark.range(1, n + 1)
             .select(F.col("id").alias("point_id"))
             .withColumn(
-                "lon", 10.0 + F.pmod(F.col("point_id") * 37, F.lit(200000)) / 100000.0
+                "lon", 10.0 + F.pmod(F.col("point_id") * 37, F.lit(n)) * (2.0 / n)
             )
             .withColumn(
-                "lat", 46.0 + F.pmod(F.col("point_id") * 91, F.lit(200000)) / 100000.0
+                "lat", 46.0 + F.pmod(F.col("point_id") * 91, F.lit(n)) * (2.0 / n)
             )
             .withColumn("value", F.pmod(F.col("point_id") * 53, F.lit(1000)) / 10.0)
         )
 
     def tiles():
         images = generate_images_df(spark, N_SCENES)
-        return tiling.build_tiles(images, repartition=False).filter(
-            F.col("level") == 0
-        )
+        return tiling.merge_tiles(
+            tiling.build_tiles(images, repartition=False)
+        ).filter(F.col("level") == 0)
 
     timings: dict[str, float] = {}
 
@@ -80,9 +81,12 @@ def main() -> int:
         return n
 
     targets = grid_window(spark, RES, *BOX)
-    n_cells = run("kriging", lambda: kriging_grid(points(), targets))
-    run("kde", lambda: kde_grid(points(), targets, res=RES, bandwidth=0.02))
-    run("hotspot", lambda: local_stats(cell_counts(points(), targets)))
+    n_cells = run("kriging", lambda: kriging_grid(points(N_PTS), targets))
+    run("kde", lambda: kde_grid(points(N_PTS_AGG), targets, res=RES, bandwidth=0.02))
+    run(
+        "hotspot",
+        lambda: local_stats(cell_counts(points(N_PTS_AGG), targets)),
+    )
     n_tiles = run("glcm", lambda: texture_tiles(tiles()))
     run("shadow", lambda: shadow_tiles(tiles()))
 
