@@ -286,6 +286,8 @@ def main() -> None:
         # r5 twentieth wave: trajectory kinematics, space-time cube
         "traj_kinematics",
         "spacetime_cube",
+        # r5 twenty-first wave: GeoTIFF codec round trip
+        "geotiff_rt_fp",
     ]
     from data_model_spark.cache import unpersist_tracked
 

@@ -214,6 +214,9 @@ PRIORITY_ORDER: list[str] = [
     # oracles + local parity): trajectory kinematics QA, space-time cube --
     "traj_kinematics",
     "spacetime_cube",
+    # -- round-5 twenty-first wave (past the window; replay oracle +
+    # local parity): from-spec GeoTIFF codec round trip --
+    "geotiff_rt_fp",
     "bpe_train_fp",
     "gcp_warp_fp",
     "flow_dir_fp",
@@ -481,6 +484,7 @@ def all_queries() -> dict[str, QuerySpec]:
         stripes,
         webmercator,
         kinematics,
+        geotiff_io,
         overlay_segments,
         packing,
         multimodal,
