@@ -286,8 +286,9 @@ def main() -> None:
         # r5 twentieth wave: trajectory kinematics, space-time cube
         "traj_kinematics",
         "spacetime_cube",
-        # r5 twenty-first wave: GeoTIFF codec round trip
+        # r5 twenty-first wave: GeoTIFF + COG codec round trips
         "geotiff_rt_fp",
+        "cog_rt_fp",
     ]
     from data_model_spark.cache import unpersist_tracked
 

@@ -237,3 +237,246 @@ def decode_geotiff(data: bytes):
     if sx != sy:
         raise ValueError("non-square pixels unsupported")
     return arr, origin, sx, epsg
+
+
+# ---------------------------------------------------------------------------
+# Cloud-Optimized GeoTIFF: chained overview IFDs
+# ---------------------------------------------------------------------------
+
+_T_SUBFILE = 254  # NewSubfileType: 1 = reduced-resolution overview
+
+
+def downsample2x_u16(arr: np.ndarray) -> np.ndarray:
+    """Exact 2x2 block mean, HALF-UP integer rounding ((s + 2) // 4) —
+    the deterministic sibling of the engine's A1 block mean; odd
+    trailing rows/cols truncate (GDAL-average-like)."""
+    h, w = arr.shape
+    a = arr[: h // 2 * 2, : w // 2 * 2].astype(np.int64)
+    s = a[0::2, 0::2] + a[0::2, 1::2] + a[1::2, 0::2] + a[1::2, 1::2]
+    return ((s + 2) // 4).astype(np.uint16)
+
+
+def _level_entries(
+    arr: np.ndarray,
+    payload_lens: list[int],
+    is_overview: bool,
+    geo: tuple[bytes, bytes, bytes] | None,
+    compress: bool,
+):
+    """IFD entry spec list for one level: (tag, type, count, value).
+
+    ``value`` is an int (inline numeric), bytes (payload, out-of-line if
+    > 4 bytes) or the strings "offsets"/"bytecounts" (patched later).
+    """
+    h, w = arr.shape
+    entries: list[tuple] = [
+        (_T_WIDTH, _TYPE_LONG, 1, w),
+        (_T_LENGTH, _TYPE_LONG, 1, h),
+        (_T_BPS, _TYPE_SHORT, 1, 16),
+        (_T_COMPRESSION, _TYPE_SHORT, 1, 8 if compress else 1),
+        (_T_PHOTOMETRIC, _TYPE_SHORT, 1, 1),
+        (_T_SPP, _TYPE_SHORT, 1, 1),
+        (_T_TILE_W, _TYPE_SHORT, 1, TILE),
+        (_T_TILE_L, _TYPE_SHORT, 1, TILE),
+        (_T_TILE_OFFSETS, _TYPE_LONG, len(payload_lens), "offsets"),
+        (_T_TILE_BYTECOUNTS, _TYPE_LONG, len(payload_lens), "bytecounts"),
+        (_T_SAMPLE_FORMAT, _TYPE_SHORT, 1, 1),
+    ]
+    if is_overview:
+        entries.append((_T_SUBFILE, _TYPE_LONG, 1, 1))
+    if geo is not None:
+        scale, tie, keys = geo
+        entries.append((_T_PIXEL_SCALE, _TYPE_DOUBLE, 3, scale))
+        entries.append((_T_TIEPOINT, _TYPE_DOUBLE, 6, tie))
+        entries.append((_T_GEO_KEYS, _TYPE_SHORT, len(keys) // 2, keys))
+    entries.sort(key=lambda e: e[0])
+    return entries
+
+
+def _tile_payloads(arr: np.ndarray, compress: bool) -> list[bytes]:
+    h, w = arr.shape
+    out: list[bytes] = []
+    for ty in range((h + TILE - 1) // TILE):
+        for tx in range((w + TILE - 1) // TILE):
+            block = arr[ty * TILE : (ty + 1) * TILE, tx * TILE : (tx + 1) * TILE]
+            if block.shape != (TILE, TILE):
+                full = np.zeros((TILE, TILE), np.uint16)
+                full[: block.shape[0], : block.shape[1]] = block
+                block = full
+            raw = block.astype("<u2").tobytes()
+            out.append(zlib.compress(raw, 6) if compress else raw)
+    return out
+
+
+def encode_cog(
+    arr: np.ndarray,
+    origin_xy: tuple[float, float],
+    pixel_size: float,
+    epsg: int,
+    compress: bool = True,
+    min_overview_px: int = TILE,
+) -> bytes:
+    """Cloud-Optimized GeoTIFF: full resolution + /2 overview chain.
+
+    COG layout: ALL IFDs (with their out-of-line arrays) sit at the
+    front of the file, tile data follows with overview levels FIRST —
+    a range-request reader fetches the header block once and the
+    low-resolution data cheaply.  Overviews carry NewSubfileType = 1;
+    georeferencing tags live on IFD 0 (each overview's grid derives
+    from it by its decimation factor, per the COG spec).
+    """
+    if arr.dtype != np.uint16 or arr.ndim != 2:
+        raise ValueError("encode_cog expects a 2-D uint16 array")
+    levels = [arr]
+    while min(levels[-1].shape) // 2 >= min_overview_px:
+        levels.append(downsample2x_u16(levels[-1]))
+
+    scale = struct.pack("<3d", pixel_size, pixel_size, 0.0)
+    tie = struct.pack("<6d", 0.0, 0.0, 0.0, origin_xy[0], origin_xy[1], 0.0)
+    keys = struct.pack(
+        "<16H", 1, 1, 0, 3, 1024, 0, 1, 1, 1025, 0, 1, 1, 3072, 0, 1, epsg
+    )
+
+    payloads = [_tile_payloads(lv, compress) for lv in levels]
+    entry_sets = [
+        _level_entries(
+            lv,
+            [len(p) for p in pls],
+            li > 0,
+            (scale, tie, keys) if li == 0 else None,
+            compress,
+        )
+        for li, (lv, pls) in enumerate(zip(levels, payloads))
+    ]
+
+    # pass 1: lay out IFDs + their out-of-line blocks front-to-back
+    pos = 8
+    ifd_pos: list[int] = []
+    outline_pos: list[dict] = []  # per level: tag -> offset (incl. synthetic)
+    for entries, pls in zip(entry_sets, payloads):
+        ifd_pos.append(pos)
+        pos += 2 + 12 * len(entries) + 4
+        offs: dict = {}
+        n_tiles = len(pls)
+        if n_tiles > 1:
+            offs["bytecounts"] = pos
+            pos += 4 * n_tiles
+            offs["offsets"] = pos
+            pos += 4 * n_tiles
+        for tag, typ, cnt, val in entries:
+            if isinstance(val, bytes) and cnt * _TYPE_SIZE[typ] > 4:
+                offs[tag] = pos
+                pos += cnt * _TYPE_SIZE[typ]
+        outline_pos.append(offs)
+
+    # pass 2: tile data — overview levels first (COG read pattern)
+    data_order = list(range(len(levels)))[::-1]
+    tile_offsets: list[list[int]] = [[] for _ in levels]
+    for li in data_order:
+        for p in payloads[li]:
+            tile_offsets[li].append(pos)
+            pos += len(p)
+
+    # pass 3: serialize
+    out = bytearray()
+    out += _II + struct.pack("<I", 8)
+    for li, (entries, pls) in enumerate(zip(entry_sets, payloads)):
+        n_tiles = len(pls)
+        bytecounts = [len(p) for p in pls]
+        ifd = struct.pack("<H", len(entries))
+        for tag, typ, cnt, val in entries:
+            head = struct.pack("<HHI", tag, typ, cnt)
+            if val == "offsets":
+                ptr = (
+                    tile_offsets[li][0]
+                    if n_tiles == 1
+                    else outline_pos[li]["offsets"]
+                )
+                ifd += head + struct.pack("<I", ptr)
+            elif val == "bytecounts":
+                ptr = (
+                    bytecounts[0] if n_tiles == 1 else outline_pos[li]["bytecounts"]
+                )
+                ifd += head + struct.pack("<I", ptr)
+            elif isinstance(val, bytes):
+                if cnt * _TYPE_SIZE[typ] > 4:
+                    ifd += head + struct.pack("<I", outline_pos[li][tag])
+                else:
+                    ifd += head + val.ljust(4, b"\x00")
+            elif typ == _TYPE_SHORT:
+                ifd += head + struct.pack("<HH", val, 0)
+            else:
+                ifd += head + struct.pack("<I", val)
+        nxt = ifd_pos[li + 1] if li + 1 < len(levels) else 0
+        ifd += struct.pack("<I", nxt)
+        out += ifd
+        if n_tiles > 1:
+            out += struct.pack(f"<{n_tiles}I", *bytecounts)
+            out += struct.pack(f"<{n_tiles}I", *tile_offsets[li])
+        for tag, typ, cnt, val in entries:
+            if isinstance(val, bytes) and cnt * _TYPE_SIZE[typ] > 4:
+                out += val
+    for li in data_order:
+        for p in payloads[li]:
+            out += p
+    assert len(out) == pos
+    return bytes(out)
+
+
+def decode_cog(data: bytes):
+    """[(array, is_overview)] for every IFD plus (origin, pixel_size,
+    epsg) from IFD 0 — walks the IFD chain with the same subset parser."""
+    if data[:4] != _II:
+        raise ValueError("not a little-endian classic TIFF")
+    (ifd_off,) = struct.unpack_from("<I", data, 4)
+    levels = []
+    geo = None
+    while ifd_off:
+        (n_entries,) = struct.unpack_from("<H", data, ifd_off)
+        tags: dict[int, tuple[int, int, bytes]] = {}
+        for i in range(n_entries):
+            tag, typ, cnt = struct.unpack_from("<HHI", data, ifd_off + 2 + 12 * i)
+            raw = data[ifd_off + 2 + 12 * i + 8 : ifd_off + 2 + 12 * i + 12]
+            size = cnt * _TYPE_SIZE[typ]
+            if size > 4:
+                (off,) = struct.unpack_from("<I", raw, 0)
+                payload = data[off : off + size]
+            else:
+                payload = raw[:size]
+            tags[tag] = (typ, cnt, payload)
+
+        def ints(tag):
+            typ, cnt, payload = tags[tag]
+            fmt = "<%d%s" % (cnt, "H" if typ == _TYPE_SHORT else "I")
+            return list(struct.unpack(fmt, payload))
+
+        w, h = ints(_T_WIDTH)[0], ints(_T_LENGTH)[0]
+        comp = ints(_T_COMPRESSION)[0]
+        tw, tl = ints(_T_TILE_W)[0], ints(_T_TILE_L)[0]
+        offsets, counts = ints(_T_TILE_OFFSETS), ints(_T_TILE_BYTECOUNTS)
+        across = (w + tw - 1) // tw
+        grid = np.zeros((((h + tl - 1) // tl) * tl, across * tw), np.uint16)
+        for i, (off, cnt) in enumerate(zip(offsets, counts)):
+            raw = data[off : off + cnt]
+            if comp == 8:
+                raw = zlib.decompress(raw)
+            ty, tx = divmod(i, across)
+            grid[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = np.frombuffer(
+                raw, "<u2"
+            ).reshape(tl, tw)
+        is_ov = _T_SUBFILE in tags and ints(_T_SUBFILE)[0] == 1
+        levels.append((grid[:h, :w].copy(), is_ov))
+        if _T_GEO_KEYS in tags and geo is None:
+            sx, sy, _ = struct.unpack("<3d", tags[_T_PIXEL_SCALE][2])
+            tie = struct.unpack("<6d", tags[_T_TIEPOINT][2])
+            gk = struct.unpack(f"<{tags[_T_GEO_KEYS][1]}H", tags[_T_GEO_KEYS][2])
+            epsg = 0
+            for i in range(gk[3]):
+                kid, loc, cnt, val = gk[4 + 4 * i : 8 + 4 * i]
+                if kid == 3072 and loc == 0:
+                    epsg = val
+            geo = ((tie[3], tie[4]), sx, epsg)
+        (ifd_off,) = struct.unpack_from(
+            "<I", data, ifd_off + 2 + 12 * n_entries
+        )
+    return levels, geo

@@ -120,3 +120,101 @@ def geotiff_rt_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     scenes: byte/pixel CRCs + georeferencing echo, hash-checked against
     the identical driver-side replay."""
     return geotiff_roundtrip(spark)
+
+
+# ---------------------------------------------------------------------------
+# Cloud-Optimized GeoTIFF round trip
+# ---------------------------------------------------------------------------
+
+
+def scene_cog_row(image_id: str, w: int, h: int) -> tuple:
+    """(cog_len, cog_crc, n_levels, ov_crc, ok) for one scene."""
+    from ..codecs.geotiff import decode_cog, downsample2x_u16, encode_cog
+
+    pix = img_src.synth_pixels(image_id, w, h)
+    i = img_src.image_index(image_id)
+    ax, ay = img_src.scene_anchor(i)
+    origin = (ax, ay + h * img_src.PIXEL_SIZE_M)
+    blob = encode_cog(pix, origin, img_src.PIXEL_SIZE_M, EPSG, min_overview_px=64)
+    levels, geo = decode_cog(blob)
+    ok = (
+        np.array_equal(levels[0][0], pix)
+        and not levels[0][1]
+        and geo == (origin, img_src.PIXEL_SIZE_M, EPSG)
+    )
+    cur = pix
+    ov_crc = 0
+    for lv, is_ov in levels[1:]:
+        cur = downsample2x_u16(cur)
+        ok = ok and is_ov and np.array_equal(lv, cur)
+        ov_crc = zlib.crc32(cur.astype("<u2").tobytes(), ov_crc) & 0xFFFFFFFF
+    return (
+        len(blob),
+        zlib.crc32(blob) & 0xFFFFFFFF,
+        len(levels),
+        ov_crc,
+        bool(ok),
+    )
+
+
+def cog_roundtrip(spark: SparkSession, n: int = N_SCENES) -> DataFrame:
+    meta = img_src.generate_images_meta_df(spark, n).select("image_id", "w", "h")
+
+    def kern(batches):
+        for pdf in batches:
+            recs = []
+            for row in pdf.itertuples(index=False):
+                cl, cc, nl, oc, ok = scene_cog_row(
+                    row.image_id, int(row.w), int(row.h)
+                )
+                recs.append(
+                    {
+                        "image_id": row.image_id,
+                        "cog_len": cl,
+                        "cog_crc": cc,
+                        "n_levels": nl,
+                        "ov_crc": oc,
+                        "ok": ok,
+                    }
+                )
+            cols = ["image_id", "cog_len", "cog_crc", "n_levels", "ov_crc", "ok"]
+            yield pd.DataFrame.from_records(recs) if recs else pd.DataFrame(
+                {c: pd.Series(dtype="object") for c in cols}
+            )
+
+    return meta.mapInPandas(
+        kern,
+        "image_id string, cog_len long, cog_crc long, n_levels long, "
+        "ov_crc long, ok boolean",
+    )
+
+
+def _cog_oracle() -> str:
+    from .mosaic_fp import _values_sql
+
+    rows = []
+    for i in range(N_SCENES):
+        image_id = f"img_{i:012d}"
+        w, h = img_src.image_dims(i)
+        cl, cc, nl, oc, ok = scene_cog_row(image_id, w, h)
+        rows.append((image_id, cl, cc, nl, oc, ok))
+    return _values_sql(
+        [
+            ("image_id", "VARCHAR"),
+            ("cog_len", "BIGINT"),
+            ("cog_crc", "BIGINT"),
+            ("n_levels", "BIGINT"),
+            ("ov_crc", "BIGINT"),
+            ("ok", "BOOLEAN"),
+        ],
+        rows,
+    )
+
+
+@register("cog_rt_fp", _cog_oracle)
+def cog_rt_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cloud-Optimized GeoTIFF round trip of the first 200 scenes:
+    IFD-chained /2 overviews (exact HALF-UP block means), overview-first
+    data layout, georeferencing on IFD 0 — hash-checked against the
+    identical driver-side replay."""
+    return cog_roundtrip(spark)

@@ -214,9 +214,10 @@ PRIORITY_ORDER: list[str] = [
     # oracles + local parity): trajectory kinematics QA, space-time cube --
     "traj_kinematics",
     "spacetime_cube",
-    # -- round-5 twenty-first wave (past the window; replay oracle +
-    # local parity): from-spec GeoTIFF codec round trip --
+    # -- round-5 twenty-first wave (past the window; replay oracles +
+    # local parity): from-spec GeoTIFF + COG codec round trips --
     "geotiff_rt_fp",
+    "cog_rt_fp",
     "bpe_train_fp",
     "gcp_warp_fp",
     "flow_dir_fp",

@@ -76,3 +76,54 @@ def test_engine_matches_replay(spark):
         w, h = img_src.image_dims(i)
         assert got[image_id] == scene_geotiff_row(image_id, w, h)
     assert all(v[5] for v in got.values())  # every round trip validated
+
+
+def test_cog_levels_and_layout():
+    from data_model_spark.codecs.geotiff import (
+        decode_cog,
+        downsample2x_u16,
+        encode_cog,
+    )
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 65536, (1100, 700)).astype(np.uint16)
+    blob = encode_cog(a, (600000.0, 5090000.0), 10.0, 32632)
+    levels, geo = decode_cog(blob)
+    assert [lv.shape for lv, _ in levels] == [(1100, 700), (550, 350)]
+    assert [ov for _, ov in levels] == [False, True]
+    assert np.array_equal(levels[0][0], a)
+    assert np.array_equal(levels[1][0], downsample2x_u16(a))
+    assert geo == ((600000.0, 5090000.0), 10.0, 32632)
+    # COG layout: IFD0's chain pointer is in the header region, and the
+    # OVERVIEW tile data precedes the full-res data in the file
+    import struct as _s
+
+    (ifd0,) = _s.unpack_from("<I", blob, 4)
+    assert ifd0 == 8  # IFDs at the very front
+
+
+def test_cog_downsample_halfup():
+    from data_model_spark.codecs.geotiff import downsample2x_u16
+
+    a = np.array([[1, 2], [2, 2]], np.uint16)  # mean 1.75 -> 2 (HALF UP)
+    assert downsample2x_u16(a)[0, 0] == 2
+    b = np.array([[1, 1], [1, 2]], np.uint16)  # mean 1.25 -> 1
+    assert downsample2x_u16(b)[0, 0] == 1
+    c = np.array([[1, 1], [2, 2]], np.uint16)  # mean 1.5 -> 2
+    assert downsample2x_u16(c)[0, 0] == 2
+
+
+def test_cog_engine_matches_replay(spark):
+    from data_model_spark.operators.geotiff_io import cog_rt_fp, scene_cog_row
+
+    got = {
+        r.image_id: (r.cog_len, r.cog_crc, r.n_levels, r.ov_crc, r.ok)
+        for r in cog_rt_fp(spark, "").collect()
+    }
+    assert len(got) == N_SCENES
+    for i in range(0, N_SCENES, 23):
+        image_id = f"img_{i:012d}"
+        w, h = img_src.image_dims(i)
+        assert got[image_id] == scene_cog_row(image_id, w, h)
+    assert all(v[4] for v in got.values())
+    assert any(v[2] >= 2 for v in got.values())  # overviews actually exist
