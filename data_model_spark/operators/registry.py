@@ -218,6 +218,14 @@ PRIORITY_ORDER: list[str] = [
     # local parity): from-spec GeoTIFF + COG codec round trips --
     "geotiff_rt_fp",
     "cog_rt_fp",
+    # -- round-5 twenty-second wave (past the window; four generative SQL
+    # oracles + local parity): hexagonal cell index — axial encode with
+    # exact cube rounding, bucket histogram, k-ring candidate join,
+    # coarse-pitch rollup --
+    "hex_encode",
+    "hex_buckets",
+    "hex_kring_join",
+    "hex_rollup",
     "bpe_train_fp",
     "gcp_warp_fp",
     "flow_dir_fp",
@@ -482,6 +490,7 @@ def all_queries() -> dict[str, QuerySpec]:
         texture,
         shadow,
         geohash,
+        hexgrid,
         stripes,
         webmercator,
         kinematics,
