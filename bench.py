@@ -289,6 +289,9 @@ def main() -> None:
         # r5 twenty-first wave: GeoTIFF + COG codec round trips
         "geotiff_rt_fp",
         "cog_rt_fp",
+        # r5 twenty-second wave: hexagonal cell index
+        "hex_buckets",
+        "hex_kring_join",
     ]
     from data_model_spark.cache import unpersist_tracked
 
