@@ -226,6 +226,11 @@ PRIORITY_ORDER: list[str] = [
     "hex_buckets",
     "hex_kring_join",
     "hex_rollup",
+    # -- round-5 twenty-third wave (past the window; two replay oracles +
+    # local parity): S2-style cube-face quadtree index — point cells and
+    # exact footprint cell-range covers --
+    "s2_cells_fp",
+    "s2_cover_fp",
     "bpe_train_fp",
     "gcp_warp_fp",
     "flow_dir_fp",
@@ -491,6 +496,7 @@ def all_queries() -> dict[str, QuerySpec]:
         shadow,
         geohash,
         hexgrid,
+        s2grid,
         stripes,
         webmercator,
         kinematics,
