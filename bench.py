@@ -292,6 +292,8 @@ def main() -> None:
         # r5 twenty-second wave: hexagonal cell index
         "hex_buckets",
         "hex_kring_join",
+        # r5 twenty-third wave: S2-style cube-face index
+        "s2_cover_fp",
     ]
     from data_model_spark.cache import unpersist_tracked
 
