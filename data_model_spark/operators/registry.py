@@ -231,6 +231,9 @@ PRIORITY_ORDER: list[str] = [
     # exact footprint cell-range covers --
     "s2_cells_fp",
     "s2_cover_fp",
+    # -- round-5 twenty-fourth wave (past the window; generative SQL
+    # oracle + local parity): Theil-Sen median slope per series --
+    "theil_sen_slope",
     "bpe_train_fp",
     "gcp_warp_fp",
     "flow_dir_fp",
@@ -541,6 +544,7 @@ def all_queries() -> dict[str, QuerySpec]:
         spatial_queries,
         substrings,
         text,
+        theilsen,
         threshold,
         trajectory,
         triangles,
