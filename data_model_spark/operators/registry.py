@@ -234,6 +234,9 @@ PRIORITY_ORDER: list[str] = [
     # -- round-5 twenty-fourth wave (past the window; generative SQL
     # oracle + local parity): Theil-Sen median slope per series --
     "theil_sen_slope",
+    # -- round-5 twenty-fifth wave (past the window; replay oracle +
+    # local parity): Hough line peak per tile --
+    "hough_peak_fp",
     "bpe_train_fp",
     "gcp_warp_fp",
     "flow_dir_fp",
@@ -471,6 +474,7 @@ def all_queries() -> dict[str, QuerySpec]:
         jpeg_qa,
         mannkendall,
         histmatch,
+        hough,
         hull,
         hydrology,
         intervals,
