@@ -237,6 +237,9 @@ PRIORITY_ORDER: list[str] = [
     # -- round-5 twenty-fifth wave (past the window; replay oracle +
     # local parity): Hough line peak per tile --
     "hough_peak_fp",
+    # -- round-5 twenty-sixth wave (past the window; generative SQL
+    # oracle + local parity): HyperANF reachability sketches --
+    "hyperanf_reach",
     "bpe_train_fp",
     "gcp_warp_fp",
     "flow_dir_fp",
@@ -476,6 +479,7 @@ def all_queries() -> dict[str, QuerySpec]:
         histmatch,
         hough,
         hull,
+        hyperanf,
         hydrology,
         intervals,
         ivf_kmeans,
