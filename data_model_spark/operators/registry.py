@@ -240,6 +240,9 @@ PRIORITY_ORDER: list[str] = [
     # -- round-5 twenty-sixth wave (past the window; generative SQL
     # oracle + local parity): HyperANF reachability sketches --
     "hyperanf_reach",
+    # -- round-5 twenty-seventh wave (past the window; replay oracle +
+    # local parity): exact squared Euclidean distance transform --
+    "edt_fp",
     "bpe_train_fp",
     "gcp_warp_fp",
     "flow_dir_fp",
@@ -468,6 +471,7 @@ def all_queries() -> dict[str, QuerySpec]:
         drift,
         dsir,
         dtw,
+        edt,
         areal,
         fid,
         funnel,
