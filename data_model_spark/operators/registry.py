@@ -243,6 +243,9 @@ PRIORITY_ORDER: list[str] = [
     # -- round-5 twenty-seventh wave (past the window; replay oracle +
     # local parity): exact squared Euclidean distance transform --
     "edt_fp",
+    # -- round-5 twenty-eighth wave (past the window; replay oracle +
+    # local parity): Kleinberg burst detection per term stream --
+    "burst_detect_fp",
     "bpe_train_fp",
     "gcp_warp_fp",
     "flow_dir_fp",
@@ -452,6 +455,7 @@ def all_queries() -> dict[str, QuerySpec]:
         boundaries,
         boxes,
         bpe,
+        bursts,
         ccl,
         components,
         cell_rollup,
