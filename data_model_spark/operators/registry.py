@@ -246,6 +246,9 @@ PRIORITY_ORDER: list[str] = [
     # -- round-5 twenty-eighth wave (past the window; replay oracle +
     # local parity): Kleinberg burst detection per term stream --
     "burst_detect_fp",
+    # -- round-5 twenty-ninth wave (past the window; generative SQL
+    # oracle + local parity): seasonal decomposition per series --
+    "seasonal_profile",
     "bpe_train_fp",
     "gcp_warp_fp",
     "flow_dir_fp",
@@ -544,6 +547,7 @@ def all_queries() -> dict[str, QuerySpec]:
         sampling,
         scd,
         search,
+        seasonal,
         semdedup,
         sessions,
         similarity,
