@@ -249,6 +249,10 @@ PRIORITY_ORDER: list[str] = [
     # -- round-5 twenty-ninth wave (past the window; generative SQL
     # oracle + local parity): seasonal decomposition per series --
     "seasonal_profile",
+    # -- round-5 thirtieth wave (past the window; replay oracle + local
+    # parity): integer-exact Brovey pan-sharpening over the 4-way
+    # co-keyed band-tile join --
+    "brovey_sharpen_fp",
     "bpe_train_fp",
     "gcp_warp_fp",
     "flow_dir_fp",
@@ -529,6 +533,7 @@ def all_queries() -> dict[str, QuerySpec]:
         negatives,
         od_flows,
         pagerank,
+        pansharpen,
         pii,
         pipeline_queries,
         pipeline_curation,
