@@ -88,14 +88,14 @@ def burst_summary(k: int) -> tuple[int, int, int]:
     return runs, int(st.sum()), ck
 
 
-def burst_terms(spark: SparkSession) -> DataFrame:
+def burst_terms(spark: SparkSession, n_terms: int = N_TERMS) -> DataFrame:
     """One row per term: burst counts of the deterministic streams.
 
     The stream explodes to (term, ts) rows first so the DP genuinely
     runs on the per-group shuffled shape (not a metadata shortcut)."""
-    base = spark.range(N_TERMS * N_EVENTS).selectExpr(
-        "id % {n} AS term".format(n=N_TERMS),
-        "CAST(id / {n} AS INT) AS seq".format(n=N_TERMS),
+    base = spark.range(n_terms * N_EVENTS).selectExpr(
+        "id % {n} AS term".format(n=n_terms),
+        "CAST(id / {n} AS INT) AS seq".format(n=n_terms),
     )
 
     def kern(key, pdf):

@@ -38,6 +38,15 @@ def get_spark(
         # measured: 1024 -> 31-38 s merge, 64 -> 94 s, 256 -> 10-24 s)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # HotSpot refuses to JIT methods over ~8000 bytecodes
+        # (-XX:-DontCompileHugeMethods default), so a whole-stage-codegen
+        # method between 8000 and Spark's 65535 default limit runs as
+        # INTERPRETED bytecode — measured 15x slower than the volcano
+        # fallback on a broadcast join whose probe key is a wide
+        # arithmetic expression (hexgrid cube rounding).  Lowering the
+        # limit to the JIT threshold makes Spark fall back for exactly
+        # the stages HotSpot would refuse anyway — strictly better.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
