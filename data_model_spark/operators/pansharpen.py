@@ -100,8 +100,11 @@ def band_table(spark: SparkSession, band: str, n: int = N_SCENES) -> DataFrame:
 def sharpen_scenes(spark: SparkSession, n: int = N_SCENES) -> DataFrame:
     joined = band_table(spark, BANDS[0], n)
     for v in (*BANDS[1:], SHARP):
+        # every side is a byte-carrying table that GROWS with the data —
+        # never a broadcast candidate (the canonical_docs lesson): pin
+        # sort-merge so AQE cannot pick a driver-OOM broadcast at scale
         joined = joined.join(
-            band_table(spark, v, n).drop("w", "h"), ["scene"]
+            band_table(spark, v, n).drop("w", "h").hint("merge"), ["scene"]
         )
 
     def kern(batches):

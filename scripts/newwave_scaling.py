@@ -8,10 +8,10 @@ The north-rule N vs 4N protocol (same input, local[2] vs local[8]
 physical-core regime, interleaved rounds, medians).  Fixture sizes are
 scaled so each family runs seconds, not milliseconds, at local[2]:
 
-* lattice: 400M-point congruential scatter (hex buckets), 16M-point
-  k-ring probe set vs 200-query ring join, 8M-point S2 encode;
-* series: 6,000 users x 120 events for Theil-Sen (pair join ~43M
-  rows), 60,000 users for seasonal windows, 16,000 term streams;
+* lattice: 1.6B-point congruential scatter (hex buckets), 256M-point
+  k-ring probe set vs 200-query ring join, 16M-point S2 encode;
+* series: 24,000 users x 120 events for Theil-Sen (pair join ~171M
+  rows), 240,000 users for seasonal windows, 32,000 term streams;
 * graph: 1.6M-node ring + chords (degree 4), 2 HyperANF rounds;
 * kernels: 768-scene tile table (EDT + Hough), 4,096-scene Brovey.
 
@@ -28,12 +28,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_HEX = int(os.environ.get("SPARK_GRAFT_NW_HEX", "400000000"))
-N_KRING = int(os.environ.get("SPARK_GRAFT_NW_KRING", "16000000"))
-N_S2 = int(os.environ.get("SPARK_GRAFT_NW_S2", "8000000"))
-N_USERS = int(os.environ.get("SPARK_GRAFT_NW_USERS", "6000"))
+N_HEX = int(os.environ.get("SPARK_GRAFT_NW_HEX", "1600000000"))
+N_KRING = int(os.environ.get("SPARK_GRAFT_NW_KRING", "256000000"))
+N_S2 = int(os.environ.get("SPARK_GRAFT_NW_S2", "16000000"))
+N_USERS = int(os.environ.get("SPARK_GRAFT_NW_USERS", "24000"))
 N_PER_USER = int(os.environ.get("SPARK_GRAFT_NW_PER_USER", "120"))
-N_TERMS = int(os.environ.get("SPARK_GRAFT_NW_TERMS", "16000"))
+N_TERMS = int(os.environ.get("SPARK_GRAFT_NW_TERMS", "32000"))
 N_NODES = int(os.environ.get("SPARK_GRAFT_NW_NODES", "1600000"))
 N_SCENES_K = int(os.environ.get("SPARK_GRAFT_NW_SCENES", "768"))
 N_SCENES_B = int(os.environ.get("SPARK_GRAFT_NW_BROVEY", "4096"))
@@ -48,7 +48,7 @@ def main() -> int:
     from data_model_spark.operators import tiling
     from data_model_spark.operators.bursts import burst_terms
     from data_model_spark.operators.edt import edt_tiles
-    from data_model_spark.operators.hexgrid import KRING, hex_cols, kring_offsets
+    from data_model_spark.operators.hexgrid import KRING, PACK, hex_cols, kring_offsets
     from data_model_spark.operators.hough import hough_tiles
     from data_model_spark.operators.hyperanf import hyperanf_states
     from data_model_spark.operators.pansharpen import sharpen_scenes
@@ -130,8 +130,8 @@ def main() -> int:
         )
 
     def hex_kring_big():
-        # pitch sized to the fixture density (16M points in the 2x2-deg
-        # box): size=0.0005 gives ~0.1 points per cell, the production
+        # pitch sized to the fixture density (64M points in the 2x2-deg
+        # box): size=0.0005 gives ~0.4 points per cell, the production
         # shape where ring output stays O(k) per query
         ksize = 0.0005
         pts = points(N_KRING)
@@ -157,10 +157,15 @@ def main() -> int:
         )
         cand = qrs.select("query_id", F.explode(offs).alias("o"), "qhq", "qhr").select(
             "query_id",
-            (F.col("qhq") + F.col("o.dq")).alias("hq"),
-            (F.col("qhr") + F.col("o.dr")).alias("hr"),
+            (
+                (F.col("qhq") + F.col("o.dq")) * F.lit(PACK)
+                + (F.col("qhr") + F.col("o.dr"))
+            ).alias("cell"),
         )
-        return pts.join(F.broadcast(cand), ["hq", "hr"]).select("query_id", "point_id")
+        pts_cell = pts.select(
+            "point_id", (F.col("hq") * F.lit(PACK) + F.col("hr")).alias("cell")
+        )
+        return pts_cell.join(F.broadcast(cand), ["cell"]).select("query_id", "point_id")
 
     run("hex_buckets", hex_buckets_big)
     run("hex_kring", hex_kring_big)
