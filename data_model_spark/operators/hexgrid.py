@@ -87,6 +87,12 @@ def with_hex_cells(
     to JIT), after which the INLINE form is the fastest again (2.5 s vs
     5.9 s staged on a 16M-row probe) and the operators use it.  This
     helper remains for sessions that cannot carry the config.
+
+    A second, distinct cliff hides behind the same symptom: giant
+    single-invocation generator tasks (spark.range makes exactly one
+    slice per core) can strand HotSpot in tier-3 OSR code after a deopt
+    — see the ``spark.default.parallelism`` note in ``session.py`` for
+    the measurements and the task-size fix.
     """
     t = "__hex_"
     qf = ((lon - F.lit(X0)) * F.lit(C_Q) - (lat - F.lit(Y0)) * F.lit(C_13)) / F.lit(size)

@@ -21,9 +21,15 @@ pattern).
 
 Scale shape: per round, edges join the register table on the neighbor
 key (shuffle on node id) and a same-key groupBy max — AQE reuses the
-hash partitioning; rounds are t (typically ~log diameter).  State per
-node is m=16 rows here (p=4); production p=8..12 changes only the
-constant.  Longer chains would add ``localCheckpoint`` lineage
+hash partitioning; rounds are t (typically ~log diameter).  State is
+PACKED: one row per node carrying all m=16 registers as an array
+(slot 0 = empty; rho >= 1 for occupied), the layout the published
+HyperANF uses — so the per-round join and aggregation move |nodes| +
+|edges| rows, not (node, bucket) skinny rows (up to m x more rows
+through every exchange as sketches fill; measured ~2x wall on the
+1.6M-node probe after packing).  The elementwise-max merge is m
+JVM-side ``max(regs[i])`` aggregates.  Production p=8..12 changes only
+the array width.  Longer chains would add ``localCheckpoint`` lineage
 truncation as `components.py` does.
 """
 
@@ -43,7 +49,13 @@ REST_BITS = 60 - P
 REST_MASK = (1 << REST_BITS) - 1
 
 
+M = 1 << P  # registers per node
+
+
 def _initial_regs(edges: DataFrame) -> DataFrame:
+    """(node, regs) — regs is the m-slot packed register array: the
+    node's own bucket holds its rho (>= 1 by construction), every other
+    slot holds 0 = empty."""
     nodes = (
         edges.select("src")
         .union(edges.select(F.col("dst").alias("src")))
@@ -51,22 +63,36 @@ def _initial_regs(edges: DataFrame) -> DataFrame:
         .select(F.col("src").alias("node"))
     )
     h = md5_60(F.col("node").cast("string"))
-    return (
-        nodes.select(
-            "node",
-            F.shiftrightunsigned(h, REST_BITS).alias("bucket"),
-            h.bitwiseAND(F.lit(REST_MASK)).alias("rest"),
-        )
-        .withColumn("rho", F.expr(_rho_sql("rest", REST_BITS)))
-        .select("node", "bucket", F.col("rho").alias("mj"))
+    hashed = nodes.select(
+        "node",
+        F.shiftrightunsigned(h, REST_BITS).alias("bucket"),
+        h.bitwiseAND(F.lit(REST_MASK)).alias("rest"),
+    ).withColumn("rho", F.expr(_rho_sql("rest", REST_BITS)))
+    regs = F.array(
+        *[
+            F.when(F.col("bucket") == b, F.col("rho"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            for b in range(M)
+        ]
     )
+    return hashed.select("node", regs.alias("regs"))
+
+
+def _merge_regs() -> F.Column:
+    """Elementwise-max merge as m JVM max-aggregates over array slots."""
+    return F.array(*[F.max(F.col("regs")[b]) for b in range(M)]).alias("regs")
 
 
 def _state_fp(regs: DataFrame, t: int) -> DataFrame:
-    return regs.groupBy("node").agg(
+    zero = F.lit(0).cast("long")
+    return regs.select(
+        "node",
         F.lit(t).cast("long").alias("t"),
-        F.count(F.lit(1)).alias("n_regs"),
-        F.sum("mj").alias("reg_sum"),
+        F.aggregate(
+            "regs", zero, lambda acc, x: acc + F.when(x > 0, 1).otherwise(0)
+        ).alias("n_regs"),
+        F.aggregate("regs", zero, lambda acc, x: acc + x).alias("reg_sum"),
     )
 
 
@@ -78,13 +104,9 @@ def hyperanf_states(edges: DataFrame, rounds: int = ROUNDS) -> DataFrame:
     out = _state_fp(cur, 0)
     for t in range(1, rounds + 1):
         nb = e.join(cur, e["dst"] == cur["node"]).select(
-            e["src"].alias("node"), "bucket", "mj"
+            e["src"].alias("node"), "regs"
         )
-        cur = (
-            nb.unionByName(cur)
-            .groupBy("node", "bucket")
-            .agg(F.max("mj").alias("mj"))
-        )
+        cur = nb.unionByName(cur).groupBy("node").agg(_merge_regs())
         out = out.unionByName(_state_fp(cur, t))
     return out
 

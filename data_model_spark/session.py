@@ -47,6 +47,23 @@ def get_spark(
         # limit to the JIT threshold makes Spark fall back for exactly
         # the stages HotSpot would refuse anyway — strictly better.
         .config("spark.sql.codegen.hugeMethodLimit", "8000")
+        # Bound GENERATOR task size the way files.maxPartitionBytes bounds
+        # scan tasks.  PySpark's spark.range() hard-codes numPartitions =
+        # sc.defaultParallelism (sql/session.py), so a billion-row synthetic
+        # source becomes ONE giant loop invocation per core.  HotSpot can
+        # then strand the whole job in C1 tier-3 OSR code: the tier-4 OSR
+        # of the codegen'd agg loop hits an uncommon-trap deopt shortly
+        # after install, the replacement tier-3 OSR never re-promotes
+        # (single-invocation methods never retrigger the invocation
+        # counter), and every thread that enters after the deopt runs
+        # profiling code for the rest of the stage — measured 13-24x
+        # slower at local[32] (196 s vs 14.5 s for a 1.6B-row hex-encode
+        # groupBy; PrintCompilation shows the tier-4 OSR made not entrant
+        # at +0.5 s with no re-promotion).  >=4 tasks per thread restores
+        # method re-entry and full-speed code (1.6B rows: 32 slices 196 s,
+        # 64 -> 55 s, 128 -> 6.1 s, 256 -> 6.0 s); 8x is used for margin.
+        # On a real cluster the same rule holds per executor slot.
+        .config("spark.default.parallelism", str(8 * cores))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

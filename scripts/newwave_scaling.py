@@ -10,8 +10,9 @@ scaled so each family runs seconds, not milliseconds, at local[2]:
 
 * lattice: 1.6B-point congruential scatter (hex buckets), 256M-point
   k-ring probe set vs 200-query ring join, 16M-point S2 encode;
-* series: 24,000 users x 120 events for Theil-Sen (pair join ~171M
-  rows), 240,000 users for seasonal windows, 32,000 term streams;
+* series: 240,000 users x 120 events for Theil-Sen (~1.7B pairwise
+  slopes inside the per-group kernel) and seasonal windows, 32,000
+  term streams;
 * graph: 1.6M-node ring + chords (degree 4), 2 HyperANF rounds;
 * kernels: 768-scene tile table (EDT + Hough), 4,096-scene Brovey.
 
@@ -112,8 +113,21 @@ def main() -> int:
         ).filter(F.col("level") == 0)
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
 
     def run(name, fn):
+        # Two timed executions per op; the WARM one is the headline.
+        # One-shot timing charges the whole JIT/codegen warmup of each
+        # op's generated stages to whichever core count runs it — a
+        # near-constant absolute cost (measured ~7-8 s for theil_sen at
+        # BOTH local[2] and local[8]) that is amortized over a 4x
+        # longer run at 2 cores, systematically depressing the 2->8
+        # ratio.  The north rule's metric is sustained throughput at
+        # 10^12 rows, where warmup is noise — same reasoning as
+        # bench.py's median-of-3.  Cold runs are kept alongside.
+        t0 = time.perf_counter()
+        n = fn().count()
+        cold[name] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         n = fn().count()
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -172,9 +186,12 @@ def main() -> int:
     run("s2_cells", lambda: s2_point_cells(spark, n=N_S2))
 
     # series family
-    ev = events(N_USERS, N_PER_USER)
     ev_big = events(N_USERS * 10, N_PER_USER)
-    run("theil_sen", lambda: theil_sen(ev))
+    # theil_sen moved to the 10x fixture after the per-group-kernel
+    # rewrite (collect_list + pandas_udf): the 24k-user fixture now
+    # finishes in ~1.6 s warm at local[8] — below the probe's noise
+    # floor; 240k users keeps it in the measurable band
+    run("theil_sen", lambda: theil_sen(ev_big))
     run("seasonal", lambda: seasonal_profile(ev_big))
     run("bursts", lambda: burst_terms(spark, n_terms=N_TERMS))
 
@@ -195,6 +212,7 @@ def main() -> int:
                 "round": round_tag,
                 "n_tiles": n_tiles,
                 "timings": timings,
+                "cold": cold,
                 "total_s": total,
             }
         )
