@@ -3,13 +3,23 @@
 # (hex/S2 lattice, Theil-Sen/seasonal/bursts series, HyperANF, EDT/
 # Hough/Brovey kernels): interleaved local[2] / local[8] pairs
 # (physical-core regime), median of ROUNDS rounds, plus one local[32]
-# context run.  Writes raw JSONL to BENCH/newwave_scaling.jsonl.
+# context run.  A machine_ceiling.py probe runs BEFORE EACH ROUND
+# (same protocol as scaling_bench.sh) so every paired job ratio is
+# normalized against what pure compute scaled 2->8 in the SAME noise
+# window.  Writes raw JSONL to BENCH/newwave_scaling.jsonl and the
+# window-matched ceilings to BENCH/newwave_ceiling.jsonl.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 ROUNDS="${SPARK_GRAFT_SCALE_ROUNDS:-3}"
 OUT=BENCH/newwave_scaling.jsonl
+CEIL=BENCH/newwave_ceiling.jsonl
 : > "$OUT"
+: > "$CEIL"
 for round in $(seq 1 "$ROUNDS"); do
+  echo "== ceiling probe round $round ==" >&2
+  python scripts/machine_ceiling.py \
+    | python -c "import json,sys; d=json.load(sys.stdin); d['round']='$round'; print(json.dumps(d))" \
+    | tee -a "$CEIL" >&2
   for cores in 2 8; do
     echo "== round $round local[$cores] ==" >&2
     python scripts/newwave_scaling.py "$cores" "$round" 2>/dev/null | tail -1 >> "$OUT"
@@ -18,29 +28,40 @@ for round in $(seq 1 "$ROUNDS"); do
 done
 python scripts/newwave_scaling.py 32 ctx 2>/dev/null | tail -1 >> "$OUT"
 rm -rf /dev/shm/spark-local-nw-32
-python - "$OUT" <<'PY'
+python - "$OUT" "$CEIL" <<'PY'
 import json, statistics, sys
 rows = [json.loads(l) for l in open(sys.argv[1])]
+ceils = {c["round"]: c for c in (json.loads(l) for l in open(sys.argv[2]))}
 by = {}
 for r in rows:
     by.setdefault(r["cores"], []).append(r["total_s"])
 t2, t8 = statistics.median(by[2]), statistics.median(by[8])
 pairs = sorted(set(r["round"] for r in rows if r["round"] != "ctx"))
-per_round = []
+per_round, per_round_norm = [], []
 for p in pairs:
     a = next(r["total_s"] for r in rows if r["round"] == p and r["cores"] == 2)
     b = next(r["total_s"] for r in rows if r["round"] == p and r["cores"] == 8)
-    per_round.append(round(a / (4 * b), 3))
+    eff = a / (4 * b)
+    per_round.append(round(eff, 3))
+    ceil = ceils.get(p, {}).get("eff_2_8")
+    per_round_norm.append(round(eff / ceil, 3) if ceil else None)
 per_op = {}
 for op in rows[0]["timings"]:
     a = statistics.median([r["timings"][op] for r in rows if r["cores"] == 2])
     b = statistics.median([r["timings"][op] for r in rows if r["cores"] == 8])
     per_op[op] = round(a / (4 * b), 3)
+med_ceil = statistics.median([c["eff_2_8"] for c in ceils.values()]) if ceils else None
+eff = t2 / (4 * t8)
 print(json.dumps({
     "median_t2": t2, "median_t8": t8,
-    "efficiency_2_to_8": round(t2 / (4 * t8), 3),
+    "efficiency_2_to_8": round(eff, 3),
+    "median_hw_ceiling_2_8": med_ceil,
+    "efficiency_normalized": round(eff / med_ceil, 3) if med_ceil else None,
     "per_round_efficiency": per_round,
+    "per_round_normalized": per_round_norm,
     "per_op_efficiency": per_op,
+    "median_steady_bw_ratio_2_8": statistics.median(
+        [c["steady_bw_ratio_2_8"] for c in ceils.values()]) if ceils else None,
     "t32_ctx": by.get(32, [None])[0],
 }))
 PY
