@@ -294,6 +294,10 @@ def main() -> None:
         "hex_kring_join",
         # r5 twenty-third wave: S2-style cube-face index
         "s2_cover_fp",
+        # r5 closing wave 31: Harris corners, seam QA, bicubic overzoom
+        "harris_fp",
+        "seam_qa_fp",
+        "bicubic_overzoom_fp",
     ]
     from data_model_spark.cache import unpersist_tracked
 

@@ -253,6 +253,12 @@ PRIORITY_ORDER: list[str] = [
     # parity): integer-exact Brovey pan-sharpening over the 4-way
     # co-keyed band-tile join --
     "brovey_sharpen_fp",
+    # -- round-5 closing wave 31 (past the window; replay-VALUES oracles
+    # + local parity + pytest goldens): Harris corner screen, mosaic
+    # seam QA (edge-strip adjacency join), exact bicubic overzoom --
+    "harris_fp",
+    "seam_qa_fp",
+    "bicubic_overzoom_fp",
     "bpe_train_fp",
     "gcp_warp_fp",
     "flow_dir_fp",
@@ -491,9 +497,11 @@ def all_queries() -> dict[str, QuerySpec]:
         gramian,
         jpeg_qa,
         mannkendall,
+        harris,
         histmatch,
         hough,
         hull,
+        seams,
         hyperanf,
         hydrology,
         intervals,
