@@ -298,6 +298,7 @@ def main() -> None:
         "harris_fp",
         "seam_qa_fp",
         "bicubic_overzoom_fp",
+        "pyramid_audit_fp",
     ]
     from data_model_spark.cache import unpersist_tracked
 

@@ -259,6 +259,7 @@ PRIORITY_ORDER: list[str] = [
     "harris_fp",
     "seam_qa_fp",
     "bicubic_overzoom_fp",
+    "pyramid_audit_fp",
     "bpe_train_fp",
     "gcp_warp_fp",
     "flow_dir_fp",
@@ -501,6 +502,7 @@ def all_queries() -> dict[str, QuerySpec]:
         histmatch,
         hough,
         hull,
+        pyramid_audit,
         seams,
         hyperanf,
         hydrology,

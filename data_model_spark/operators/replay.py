@@ -164,3 +164,84 @@ def tile_block(G: np.ndarray, origin: tuple[int, int], tx: int, ty: int):
 
 def mosaic_vars(canvases: dict[tuple, np.ndarray]) -> list[str]:
     return sorted({v for (v, _, _) in canvases})
+
+
+@lru_cache(maxsize=4)
+def merged_canvases_at(n_images: int, level: int) -> dict[tuple, np.ndarray]:
+    """{(var, tile_x, tile_y): uint16 (256, 256)} — the LEVEL-``level``
+    merged canvases of the first ``n_images`` synthetic scenes.
+
+    Sequential replay of the engine's per-image level cut
+    (``tiling.py:107-183``): the /2 sum-quad cascade for reflectance
+    bands on cleanly-halving dims, the type-dispatched direct
+    ``downsample`` otherwise, then floor-arithmetic placement on the
+    level grid (pixel = PX_M * 2^level) in ascending-scene overwrite
+    order.  ``merged_canvases_at(n, 0) == merged_canvases(n)`` by
+    construction (level 0 takes the decoded image verbatim).
+    """
+    from ..codecs import decode_image, encode_image
+    from ..functions import gridlib
+    from ..sources import images as img_src
+    from .downsample import downsample, variable_type
+
+    px = PX_M * (1 << level)
+    tile_m = TILE_PX * px
+    canvases: dict[tuple, np.ndarray] = {}
+    for i in range(n_images):
+        w, h = img_src.image_dims(i)
+        var = img_src.band_for(i)
+        fmt = img_src.image_fmt(i)
+        raw = img_src.synth_pixels(f"img_{i:012d}", w, h)
+        dec = decode_image(encode_image(raw, fmt), fmt, w, h)
+        ax, ay = img_src.scene_anchor(i)
+        top = ay + h * PX_M
+        level_dims = [
+            (lv["level"], lv["width"], lv["height"])
+            for lv in gridlib.overview_levels(w, h, min_dimension=64)
+        ]
+        if level not in [d[0] for d in level_dims]:
+            continue
+        cascade_ok = variable_type(var) == "reflectance"
+        acc = arr = None
+        prev_lw = prev_lh = None
+        lw = lh = 0
+        for lv, lw, lh in level_dims:
+            if lv > level:
+                break
+            if lw == 0 or lh == 0:
+                continue
+            if lv == 0:
+                arr = dec
+                acc = dec.astype(np.int64)
+            elif cascade_ok and acc is not None and prev_lw == 2 * lw and prev_lh == 2 * lh:
+                acc = acc.reshape(lh, 2, lw, 2).sum(axis=(1, 3), dtype=np.int64)
+                arr = (acc / 4.0**lv).astype(dec.dtype)
+            else:
+                acc = None
+                arr = downsample(dec, lh, lw, var)
+            prev_lw, prev_lh = lw, lh
+            if lv == level:
+                break
+        if arr is None or arr.shape != (lh, lw):
+            continue
+        left = anchor_left = ax
+        tx0 = math.floor(anchor_left / tile_m)
+        tx1 = math.floor((anchor_left + lw * px - 1e-9) / tile_m)
+        ty0 = math.floor((top - lh * px + 1e-9) / tile_m)
+        ty1 = math.floor((top - 1e-9) / tile_m)
+        for ty in range(ty0, ty1 + 1):
+            for tx in range(tx0, tx1 + 1):
+                t_left, t_top = tx * tile_m, (ty + 1) * tile_m
+                c0 = max(0, round((t_left - left) / px))
+                c1 = min(lw, round((t_left + tile_m - left) / px))
+                r0 = max(0, round((top - t_top) / px))
+                r1 = min(lh, round((top - (t_top - tile_m)) / px))
+                if c1 <= c0 or r1 <= r0:
+                    continue
+                oy = r0 + round((t_top - top) / px)
+                ox = c0 + round((left - t_left) / px)
+                cv = canvases.setdefault(
+                    (var, tx, ty), np.zeros((TILE_PX, TILE_PX), np.uint16)
+                )
+                cv[oy : oy + (r1 - r0), ox : ox + (c1 - c0)] = arr[r0:r1, c0:c1]
+    return canvases
