@@ -299,6 +299,7 @@ def main() -> None:
         "seam_qa_fp",
         "bicubic_overzoom_fp",
         "pyramid_audit_fp",
+        "majority_filter_fp",
     ]
     from data_model_spark.cache import unpersist_tracked
 

@@ -260,6 +260,7 @@ PRIORITY_ORDER: list[str] = [
     "seam_qa_fp",
     "bicubic_overzoom_fp",
     "pyramid_audit_fp",
+    "majority_filter_fp",
     "bpe_train_fp",
     "gcp_warp_fp",
     "flow_dir_fp",
@@ -502,6 +503,7 @@ def all_queries() -> dict[str, QuerySpec]:
         histmatch,
         hough,
         hull,
+        majority,
         pyramid_audit,
         seams,
         hyperanf,
