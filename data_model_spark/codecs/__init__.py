@@ -1,1 +1,6 @@
-from .registry import decode_image, encode_image, psnr_db  # noqa: F401
+from .registry import (  # noqa: F401
+    decode_image,
+    encode_image,
+    encode_image_with_decoded,
+    psnr_db,
+)

@@ -282,13 +282,34 @@ def _encode_scan(zz: np.ndarray) -> bytes:
     return scan.replace(b"\xff", b"\xff\x00")  # byte stuffing
 
 
+def _reconstruct_gray8(zz: np.ndarray, q: np.ndarray, bh: int, bw: int, h: int, w: int) -> np.ndarray:
+    """Dequantize + IDCT of zigzagged quantized blocks — the exact pixel
+    arithmetic of ``decode_jpeg_gray8`` (same dtypes, same einsum, same
+    rounding), shared by the decoder and by ``encode_jpeg_gray8``'s
+    ``return_decoded`` path (entropy coding is lossless, so the encoder's
+    own ``zz`` equals what the decoder recovers from the stream)."""
+    coeffs = zz[:, UNZIGZAG].reshape(-1, 8, 8) * q
+    blocks = np.einsum("ji,njk,kl->nil", _C, coeffs.astype(np.float64), _C)
+    img = _from_blocks(blocks, bh, bw, h, w) + 128.0
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+
 def encode_jpeg_gray8(
-    img8: np.ndarray, quality: int = 95, extra_app: bytes | None = None
-) -> bytes:
+    img8: np.ndarray,
+    quality: int = 95,
+    extra_app: bytes | None = None,
+    return_decoded: bool = False,
+):
     """Encode a (h, w) uint8 image as baseline JFIF, grayscale.
 
     ``extra_app``: optional payload written as an APP4 segment after APP0
     (application data per T.81 B.2.4.6 — standard decoders skip it).
+
+    ``return_decoded=True`` additionally returns the decoded-pixel
+    reconstruction ``(bytes, uint8 array)`` computed directly from the
+    encoder's quantized coefficients — bit-identical to
+    ``decode_jpeg_gray8(bytes)`` (asserted in tests) without paying the
+    entropy-decode pass.
     """
     img8 = np.asarray(img8, dtype=np.uint8)
     h, w = img8.shape
@@ -316,6 +337,8 @@ def encode_jpeg_gray8(
     out += b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
     out += scan
     out += b"\xff\xd9"  # EOI
+    if return_decoded:
+        return bytes(out), _reconstruct_gray8(zz, q, bh, bw, h, w)
     return bytes(out)
 
 
@@ -405,16 +428,23 @@ def decode_jpeg_gray8(data: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS: [Ns, Cs1, Td<<4|Ta, Ss, Se, AhAl]
             dc_tid, ac_tid = seg[2] >> 4, seg[2] & 0x0F
             j = i + ln
-            # entropy data runs to the next real marker (skip stuffed FF00)
+            # entropy data runs to the next real marker (skip stuffed FF00):
+            # jump FF-to-FF with bytes.find instead of walking every byte
             k = j
-            while k < len(data) - 1:
-                if data[k] == 0xFF and data[k + 1] not in (0x00,):
-                    if 0xD0 <= data[k + 1] <= 0xD7:  # RSTn inside the scan
-                        raise NotImplementedError(
-                            "restart markers in entropy data not supported"
-                        )
+            while True:
+                k = data.find(b"\xff", k)
+                if k == -1 or k >= len(data) - 1:
+                    k = len(data) - 1
                     break
-                k += 1
+                nxt = data[k + 1]
+                if nxt == 0x00:
+                    k += 2
+                    continue
+                if 0xD0 <= nxt <= 0xD7:  # RSTn inside the scan
+                    raise NotImplementedError(
+                        "restart markers in entropy data not supported"
+                    )
+                break
             scan = data[j:k].replace(b"\xff\x00", b"\xff")
             i = k
             continue
@@ -423,13 +453,36 @@ def decode_jpeg_gray8(data: bytes) -> np.ndarray:
         raise ValueError("truncated JPEG stream")
 
     q = qt[qtid]
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    n = bh * bw
+
+    # native scan decode when the compiled helper is available (identical
+    # algorithm, ~40x the symbol loop); nonzero return = malformed stream,
+    # fall through to the python loop so error behavior is unchanged
+    from . import _native
+
+    if _native.decode_scan is not None:
+        import ctypes
+
+        coeffs = np.zeros(n * 64, dtype=np.int32)
+        dc_t = np.ascontiguousarray(dc_peek[dc_tid], dtype=np.uint32)
+        ac_t = np.ascontiguousarray(ac_peek[ac_tid], dtype=np.uint32)
+        rc = _native.decode_scan(
+            scan + b"\x00\x00\x00",
+            len(scan),
+            dc_t.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            ac_t.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            n,
+            coeffs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if rc == 0:
+            return _reconstruct_gray8(coeffs.reshape(n, 64), q, bh, bw, h, w)
+
     # symbol-level decode loop: plain-bytes indexing + list tables (numpy
     # scalar access is ~10x slower per op); one iteration per SYMBOL via the
     # 16-bit peek tables, never per bit
     tdc = dc_peek[dc_tid].tolist()
     tac = ac_peek[ac_tid].tolist()
-    bh, bw = (h + 7) // 8, (w + 7) // 8
-    n = bh * bw
     flat = [0] * (n * 64)
     buf = scan + b"\x00\x00\x00"
     pos = 0
@@ -479,7 +532,4 @@ def decode_jpeg_gray8(data: bytes) -> np.ndarray:
             flat[base + k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
             k += 1
     zz = np.array(flat, dtype=np.int32).reshape(n, 64)
-    coeffs = zz[:, UNZIGZAG].reshape(-1, 8, 8) * q
-    blocks = np.einsum("ji,njk,kl->nil", _C, coeffs.astype(np.float64), _C)
-    img = _from_blocks(blocks, bh, bw, h, w) + 128.0
-    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+    return _reconstruct_gray8(zz, q, bh, bw, h, w)

@@ -118,6 +118,37 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
+def encode_image_with_decoded(arr: np.ndarray, fmt: str) -> tuple[bytes, np.ndarray]:
+    """``(encode_image(arr, fmt), decode_image(those bytes))`` without the
+    decode pass: lossless formats return the input pixels; JPEG reuses the
+    encoder's own quantized coefficients (``encode_jpeg_gray8``'s
+    ``return_decoded`` — bit-identical, entropy coding is lossless).  Used
+    by generators that need both the stream and its decoded ground truth
+    (e.g. phash of the lossy pixels)."""
+    a = np.asarray(arr, dtype=np.uint16)
+    if fmt in ("raw-u16", "png"):
+        return encode_image(a, fmt), a
+    if fmt == "jpeg":
+        if JPEG_BACKEND != "pure-numpy-t81":
+            data = _encode_jpeg_u16(a)
+            return data, _decode_jpeg_u16(data)
+        lo = float(a.min()) if a.size else 0.0
+        hi = float(a.max()) if a.size else 0.0
+        scale = max((hi - lo) / 255.0, 1.0 / 255.0)
+        e8 = np.clip(np.round((a.astype(np.float64) - lo) / scale), 0, 255).astype(
+            np.uint8
+        )
+        app4 = _APP4_MAGIC + struct.pack(">dd", lo, scale)
+        data, dec8 = encode_jpeg_gray8(
+            e8, quality=JPEG_QUALITY, extra_app=app4, return_decoded=True
+        )
+        dec16 = np.clip(
+            np.round(dec8.astype(np.float64) * scale + lo), 0, 65535
+        ).astype(np.uint16)
+        return data, dec16
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
 def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
     """Decode image bytes to a (h, w) uint16 array."""
     if fmt == "raw-u16":

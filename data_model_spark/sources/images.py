@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from ..codecs import encode_image
+from ..codecs import encode_image, encode_image_with_decoded  # noqa: F401
 from ..functions import crs
 
 IMAGE_SCHEMA = T.StructType(
@@ -182,13 +182,9 @@ def _rows_for_indices(
         w, h = image_dims(i, dim_cycle)
         fmt = image_fmt(i)
         pixels = synth_pixels(image_id, w, h)
-        data = encode_image(pixels, fmt)
-        if fmt == "jpeg":
-            from ..codecs import decode_image
-
-            decoded = decode_image(data, fmt, w, h)
-        else:
-            decoded = pixels
+        # encoder-side reconstruction: identical to decode_image(data, ...)
+        # (entropy coding is lossless) without the entropy-decode pass
+        data, decoded = encode_image_with_decoded(pixels, fmt)
         recs.append(
             {
                 "image_id": image_id,
