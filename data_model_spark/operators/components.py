@@ -85,6 +85,57 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
+import os as _os
+
+#: edge-count ceiling for the single-task union-find fast path.  Size-based
+#: (not core-count-based), so the choice is scale-adaptive: a graph this
+#: small finishes in one narrow task in ~0.1 s, where the distributed
+#: large/small-star rounds pay O(log^2 n) shuffle floors; any larger graph
+#: takes the distributed path unchanged.
+CC_SMALL_EDGES = int(_os.environ.get("DMS_CC_SMALL_EDGES", str(1 << 18)))
+
+
+def _cc_single_task(e: DataFrame) -> DataFrame:
+    """(node, comp=min reachable id) via one-task union-find — the exact
+    output ``connected_components`` produces, for graphs small enough that
+    multi-round shuffles are pure overhead.  Runs executor-side (coalesced
+    mapInPandas), never on the driver."""
+    import pandas as pd
+
+    def uf(batches):
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for u, v in zip(pdf["u"].to_numpy(), pdf["v"].to_numpy()):
+                u, v = int(u), int(v)
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    # union by min so the final root IS the component min
+                    if ru < rv:
+                        parent[rv] = ru
+                    else:
+                        parent[ru] = rv
+        nodes = list(parent.keys())
+        # roots not in parent map to themselves; collect every seen node
+        seen = set(nodes)
+        for n in nodes:
+            seen.add(find(n))
+        out_nodes = sorted(seen)
+        yield pd.DataFrame(
+            {"node": out_nodes, "comp": [find(n) for n in out_nodes]}
+        )
+
+    return e.coalesce(1).mapInPandas(uf, "node long, comp long")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
@@ -98,6 +149,11 @@ def connected_components(
     rounds without a fixed point (the algorithm's bound is O(log^2 n), so
     25 covers any realistic graph; a non-convergence here means the edge
     extraction upstream is pathological).
+
+    Scale-adaptive: below ``CC_SMALL_EDGES`` distinct edges the transitive
+    closure runs as a single-task union-find (same canonical min labels,
+    one narrow stage instead of O(log^2) shuffle rounds); at scale the
+    distributed large/small-star path runs unchanged.
     """
     e = (
         edges.select(
@@ -125,6 +181,8 @@ def connected_components(
     sig = signature(e)
     if sig[0] == 0:
         return e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    if ROUND_HOOK is None and sig[0] <= CC_SMALL_EDGES:
+        return _cc_single_task(e)
     import time as _time
 
     for _round in range(max_iter):

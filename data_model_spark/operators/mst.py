@@ -79,7 +79,8 @@ def boruvka_msf(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
             .distinct()  # two components may pick the same edge
             .localCheckpoint(eager=True)
         )
-        if picked.isEmpty():
+        n_picked = picked.count()
+        if n_picked == 0:
             break
         # an edge picked this round joins two distinct comps; its endpoints
         # share a comp forever after, so it can never be re-picked — the
@@ -91,6 +92,12 @@ def boruvka_msf(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
         relabel = connected_components(
             picked.select("ca", "cb"), "ca", "cb"
         ).withColumnRenamed("comp", "new_comp")
+        from .components import CC_SMALL_EDGES
+
+        if n_picked <= CC_SMALL_EDGES:
+            # known-small rename table: broadcast both relabel joins so the
+            # (much larger) working edge set is never shuffled for them
+            relabel = F.broadcast(relabel)
         e = (
             e.join(
                 relabel.withColumnRenamed("node", "ca"), "ca", "left"

@@ -353,6 +353,7 @@ def geozarr_store_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from ..cache import track
     from ..sources.images import generate_images_df
     from . import tiling
 
@@ -360,32 +361,33 @@ def geozarr_store_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         store = os.path.join(base, "out.zarr")
         images = generate_images_df(spark, _N_IMG)
-        merged = tiling.merge_tiles(
-            tiling.build_tiles(images, min_dimension=64, repartition=False)
+        # persisted: write_geozarr runs two jobs over the mosaic (extents
+        # agg + chunk write) — without the cache the whole decode->tile->
+        # merge fixture pipeline executes twice
+        merged = track(
+            tiling.merge_tiles(
+                tiling.build_tiles(images, min_dimension=64, repartition=False)
+            )
         )
         write_geozarr(merged, store).count()  # materialize the write
         nodes = Z.open_store(store)
-        out = None
-        for p, m in sorted(nodes.items()):
-            if m["node_type"] != "array":
-                continue
-            var, lv = p.split("/")
-            df = (
-                Z.chunks_df(spark, store, p)
-                .agg(
-                    F.count("*").alias("n_chunks"),
-                    F.round(F.sum("px_sum"), 3).alias("sum_value"),
-                )
-                .select(
-                    F.lit(var).alias("var"),
-                    F.lit(int(lv)).alias("level"),
-                    "n_chunks",
-                    "sum_value",
-                )
+        arrays = {p: m for p, m in nodes.items() if m["node_type"] == "array"}
+        # ONE binaryFile scan across every array (was: one scan per array,
+        # ~40 listing+scan fixed costs); per-chunk px_sum values are exact
+        # integers in f8, so the grouped sum is order-insensitive
+        out = (
+            Z.store_chunks_df(spark, store, arrays)
+            .groupBy(
+                F.split("array_path", "/").getItem(0).alias("var"),
+                F.split("array_path", "/").getItem(1).cast("int").alias("level"),
             )
-            out = df if out is None else out.unionByName(df)
+            .agg(
+                F.count("*").alias("n_chunks"),
+                F.round(F.sum("px_sum"), 3).alias("sum_value"),
+            )
+        )
         # self-contained local relation: the temp store is removed below
-        rows = [tuple(r) for r in out.collect()]
+        rows = sorted(tuple(r) for r in out.collect())
         from ..sources.tables import local_df
 
         return local_df(
@@ -441,6 +443,7 @@ def geozarr_sharded_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from ..cache import track
     from ..sources.images import generate_images_df
     from . import tiling
 
@@ -448,31 +451,26 @@ def geozarr_sharded_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         store = os.path.join(base, "out.zarr")
         images = generate_images_df(spark, _N_IMG)
-        merged = tiling.merge_tiles(
-            tiling.build_tiles(images, min_dimension=64, repartition=False)
+        merged = track(
+            tiling.merge_tiles(
+                tiling.build_tiles(images, min_dimension=64, repartition=False)
+            )
         )
         write_geozarr(merged, store, shard_tiles=_SHARD_K).count()
         nodes = Z.open_store(store)
-        out = None
-        for p, m in sorted(nodes.items()):
-            if m["node_type"] != "array":
-                continue
-            var, lv = p.split("/")
-            df = (
-                Z.chunks_df(spark, store, p)
-                .agg(
-                    F.count("*").alias("n_chunks"),
-                    F.round(F.sum("px_sum"), 3).alias("sum_value"),
-                )
-                .select(
-                    F.lit(var).alias("var"),
-                    F.lit(int(lv)).alias("level"),
-                    "n_chunks",
-                    "sum_value",
-                )
+        arrays = {p: m for p, m in nodes.items() if m["node_type"] == "array"}
+        out = (
+            Z.store_chunks_df(spark, store, arrays)
+            .groupBy(
+                F.split("array_path", "/").getItem(0).alias("var"),
+                F.split("array_path", "/").getItem(1).cast("int").alias("level"),
             )
-            out = df if out is None else out.unionByName(df)
-        rows = [tuple(r) for r in out.collect()]
+            .agg(
+                F.count("*").alias("n_chunks"),
+                F.round(F.sum("px_sum"), 3).alias("sum_value"),
+            )
+        )
+        rows = sorted(tuple(r) for r in out.collect())
         from ..sources.tables import local_df
 
         return local_df(
@@ -571,9 +569,13 @@ def store_layout_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="dms_layout_val_")
     try:
         store = os.path.join(base, "out.zarr")
+        from ..cache import track
+
         images = generate_images_df(spark, _N_IMG)
-        merged = tiling.merge_tiles(
-            tiling.build_tiles(images, min_dimension=64, repartition=False)
+        merged = track(
+            tiling.merge_tiles(
+                tiling.build_tiles(images, min_dimension=64, repartition=False)
+            )
         )
         write_geozarr(merged, store).count()
         docs = docs_from_zarr_store(store)

@@ -531,6 +531,65 @@ def chunks_df(spark: SparkSession, root: str, array_path: str) -> DataFrame:
     return files.mapInPandas(decode, CHUNK_SCHEMA)
 
 
+def store_chunks_df(
+    spark: SparkSession, root: str, metas: dict[str, dict]
+) -> DataFrame:
+    """Distributed decode of MANY arrays' chunks in ONE ``binaryFile`` scan.
+
+    Same per-chunk rows as ``chunks_df`` but with a single file listing and
+    a single scan stage across every array in ``metas`` (path -> validated
+    array metadata, as returned by ``open_store``) — for store-wide
+    consumers like the round-trip fingerprint queries, where one scan per
+    array would pay the listing/scan fixed cost dozens of times.
+    """
+    root = os.path.abspath(root)
+    paths = sorted(p for p, m in metas.items() if m["node_type"] == "array")
+    for p in paths:
+        if len(metas[p]["shape"]) != 2:
+            raise ValueError("store_chunks_df handles 2-D arrays")
+    files = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load([os.path.join(root, p, "c") for p in paths])
+        .select("path", "content")
+    )
+    metas = {p: metas[p] for p in paths}
+
+    def decode(batches):
+        for pdf in batches:
+            recs = []
+            for row in pdf.itertuples(index=False):
+                prefix, chunk = row.path.split("/c/", 1)
+                if prefix.startswith("file:"):
+                    prefix = prefix[5:]
+                apath = os.path.relpath(prefix, root)
+                meta = metas[apath]
+                idx = tuple(int(p) for p in chunk.split("/"))
+                block = _crop(meta, idx, _decode_chunk(meta, bytes(row.content)))
+                le = np.ascontiguousarray(
+                    block, dtype=block.dtype.newbyteorder("<")
+                )
+                recs.append(
+                    {
+                        "array_path": apath,
+                        "cy": idx[0],
+                        "cx": idx[1],
+                        "h": block.shape[0],
+                        "w": block.shape[1],
+                        "data": le.tobytes(),
+                        "px_sum": float(block.astype("f8").sum()),
+                        "px_min": float(block.min()),
+                        "px_max": float(block.max()),
+                        "crc32": zlib.crc32(le.tobytes()),
+                    }
+                )
+            yield pd.DataFrame.from_records(recs) if recs else pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in CHUNK_SCHEMA.fields}
+            )
+
+    return files.mapInPandas(decode, CHUNK_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # zarr store -> tile pyramid (the reference `convert` entry, cli.py:174-179)
 # ---------------------------------------------------------------------------

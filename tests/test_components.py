@@ -99,10 +99,28 @@ def test_canonical_docs_keep_flags(spark):
     }
 
 
-def test_non_convergence_raises(spark):
+def test_non_convergence_raises(spark, monkeypatch):
+    from data_model_spark.operators import components as C
+
+    # force the distributed large/small-star path (the guard under test);
+    # the single-task fast path has no iteration budget to exhaust
+    monkeypatch.setattr(C, "CC_SMALL_EDGES", 0)
     df = spark.createDataFrame([(i, i + 1) for i in range(1, 40)], "doc_a long, doc_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iter=1)
+
+
+def test_small_fast_path_matches_distributed(spark, monkeypatch):
+    from data_model_spark.operators import components as C
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 10), (5, 5), (20, 3)],
+        "doc_a long, doc_b long",
+    )
+    fast = sorted(tuple(r) for r in connected_components(df).collect())
+    monkeypatch.setattr(C, "CC_SMALL_EDGES", 0)
+    dist = sorted(tuple(r) for r in connected_components(df).collect())
+    assert fast == dist
 
 
 from hypothesis import given, settings
