@@ -52,7 +52,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import fixture_range, load_table
 from .registry import register
 
 CELL = 256  # candidate-grid pitch; >= no box dimension exceeds 2 cells/axis
@@ -340,7 +340,7 @@ def box_nms_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True greedy NMS over the fixed 4000-box fixture (20 boxes/scene),
     hash-checked against the pure-NumPy greedy replay; sf-independent so
     the VALUES oracle is exact at every scale."""
-    ids = spark.range(_FP_N).select(F.col("id").alias("event_id"))
+    ids = fixture_range(spark, _FP_N).select(F.col("id").alias("event_id"))
     return greedy_nms(boxes_from_ids(ids))
 
 
@@ -481,9 +481,9 @@ def box_match_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     2000 jittered ground-truth twins; per-scene tp counts + matched-id
     sums hash-checked against the pure-NumPy greedy replay."""
     pred = boxes_from_ids(
-        spark.range(_FP_N).select(F.col("id").alias("event_id"))
+        fixture_range(spark, _FP_N).select(F.col("id").alias("event_id"))
     )
-    gt = gt_from_ids(spark.range(_GT_N).select(F.col("id").alias("gt_id")))
+    gt = gt_from_ids(fixture_range(spark, _GT_N).select(F.col("id").alias("gt_id")))
     return match_stats(pred, gt)
 
 
@@ -620,7 +620,7 @@ def box_ap_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort (bounded-score-domain rank decomposition); hash-checked
     against the sequential lexsort replay."""
     pred = boxes_from_ids(
-        spark.range(_FP_N).select(F.col("id").alias("event_id"))
+        fixture_range(spark, _FP_N).select(F.col("id").alias("event_id"))
     )
-    gt = gt_from_ids(spark.range(_GT_N).select(F.col("id").alias("gt_id")))
+    gt = gt_from_ids(fixture_range(spark, _GT_N).select(F.col("id").alias("gt_id")))
     return ap_stats(pred, gt)

@@ -139,7 +139,9 @@ def bpe_train_merges(spark, sf_dir):
     pure-Python Sennrich reference on the same corpus."""
     merges = bpe_train(load_table(spark, sf_dir, "documents"), n_merges=20)
     rows = [(i, l, r, n) for i, (l, r, n) in enumerate(merges)]
-    return spark.createDataFrame(rows, "rank int, left string, right string, pair_count long")
+    from ..sources.tables import local_df
+
+    return local_df(spark, rows, "rank int, left string, right string, pair_count long")
 
 
 # ---------------------------------------------------------------------------
@@ -195,13 +197,16 @@ def bpe_train_fp(spark, sf_dir):
     pair-count/merge plan (JVM pair explode + fold, one winner collected
     per round) over the seeded fixture corpus, hash-checked against the
     sequential Sennrich replay."""
-    docs = spark.createDataFrame(
+    from ..sources.tables import local_df
+
+    docs = local_df(
+        spark,
         [(i, t) for i, t in enumerate(_fixture_texts())],
         "doc_id long, text string",
     )
     merges = bpe_train(docs, n_merges=_FIX_MERGES)
     rows = [(i, l, r, n) for i, (l, r, n) in enumerate(merges)]
-    return spark.createDataFrame(rows, "rank int, lhs string, rhs string, pair_count long")
+    return local_df(spark, rows, "rank int, lhs string, rhs string, pair_count long")
 
 
 # ---------------------------------------------------------------------------
@@ -274,7 +279,10 @@ def bpe_encode_tokens(spark, sf_dir):
     """Train on the seeded fixture, then ENCODE its vocabulary with the
     learned merges — (word, token count, space-joined tokens), the full
     train->apply loop hash-checked against the sequential replay."""
-    docs = spark.createDataFrame(
+    from ..sources.tables import local_df
+
+    docs = local_df(
+        spark,
         [(i, t) for i, t in enumerate(_fixture_texts())],
         "doc_id long, text string",
     )

@@ -32,6 +32,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+from ..sources.tables import fixture_range
 from .registry import register
 from .upsample import _CK_MOD, _CK_MUL
 
@@ -93,7 +94,7 @@ def burst_terms(spark: SparkSession, n_terms: int = N_TERMS) -> DataFrame:
 
     The stream explodes to (term, ts) rows first so the DP genuinely
     runs on the per-group shuffled shape (not a metadata shortcut)."""
-    base = spark.range(n_terms * N_EVENTS).selectExpr(
+    base = fixture_range(spark, n_terms * N_EVENTS).selectExpr(
         "id % {n} AS term".format(n=n_terms),
         "CAST(id / {n} AS INT) AS seq".format(n=n_terms),
     )

@@ -31,7 +31,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import local_df
+from ..sources.tables import fixture_range, local_df
 from .registry import register
 
 # (group_path, var, resolution_m, vk) — vk seeds the deterministic value
@@ -69,7 +69,7 @@ def scene_var_tables(spark: SparkSession) -> DataFrame:
             [s for s in VAR_SPECS if s[2] == res],
             "group_path string, var string, resolution int, vk int",
         )
-        grid = spark.range(n * n).select(
+        grid = fixture_range(spark, n * n).select(
             (F.col("id") / n).cast("int").alias("y"),
             F.pmod(F.col("id"), F.lit(n)).cast("int").alias("x"),
         )

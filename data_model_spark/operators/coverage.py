@@ -31,7 +31,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import fixture_range, load_table
 from .boxes import _FP_N, _GT_N, _SQL_BOXES, N_SCENES, _np_boxes, _np_gt
 from .boxes import boxes_from_ids, greedy_match_np, gt_from_ids, match_flags
 from .registry import register
@@ -203,7 +203,7 @@ def score_calibration_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability bins of the 4000-pred / 2000-gt matching fixture;
     exact per-decile (n_pred, n_tp) vs the sequential replay."""
     pred = boxes_from_ids(
-        spark.range(_FP_N).select(F.col("id").alias("event_id"))
+        fixture_range(spark, _FP_N).select(F.col("id").alias("event_id"))
     )
-    gt = gt_from_ids(spark.range(_GT_N).select(F.col("id").alias("gt_id")))
+    gt = gt_from_ids(fixture_range(spark, _GT_N).select(F.col("id").alias("gt_id")))
     return score_calibration(pred, gt)

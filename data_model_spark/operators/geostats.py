@@ -127,8 +127,10 @@ def ripley_k_counts(points: DataFrame, radii=K_RADII) -> DataFrame:
     the shared pair join evaluates the whole ladder.
     """
     pairs = _pairs(points, max(radii))
-    radii_df = pairs.sparkSession.createDataFrame(
-        [(int(r),) for r in sorted(radii)], "radius long"
+    from ..sources.tables import local_df
+
+    radii_df = local_df(
+        pairs.sparkSession, [(int(r),) for r in sorted(radii)], "radius long"
     )
     return (
         pairs.crossJoin(F.broadcast(radii_df))

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..sources.tables import fixture_range
 from .registry import register
 from .spatial import _pack_cell
 from .surfaces import grid_window, with_grid_xy
@@ -104,7 +105,7 @@ def synthetic_points(spark: SparkSession) -> DataFrame:
     congruential scatter the IDW/spatial suites use, SF-independent so
     the sequential oracle replay is closed-form."""
     return (
-        spark.range(1, N_PTS + 1)
+        fixture_range(spark, 1, N_PTS + 1)
         .select(F.col("id").alias("point_id"))
         .withColumn("lon", 10.0 + F.pmod(F.col("point_id") * 37, F.lit(2000)) / 1000.0)
         .withColumn("lat", 46.0 + F.pmod(F.col("point_id") * 91, F.lit(2000)) / 1000.0)

@@ -164,8 +164,10 @@ def _walk_pings(spark, sf_dir) -> DataFrame:
 
 
 def _roads_df(spark) -> DataFrame:
-    return spark.createDataFrame(
-        _street_values(), "seg_id long, ax long, ay long, bx long, by long"
+    from ..sources.tables import local_df
+
+    return local_df(
+        spark, _street_values(), "seg_id long, ax long, ay long, bx long, by long"
     )
 
 

@@ -63,6 +63,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .boxes import _FP_N, N_SCENES, _np_boxes, boxes_from_ids, iou_pairs
+from ..sources.tables import fixture_range
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -238,7 +239,7 @@ def mask_rle_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COCO column-major RLE of the 4000 inscribed-ellipse instance
     masks, fingerprinted per scene; hash-checked against the sequential
     replay (same kernel, distributed plumbing under test)."""
-    ids = spark.range(_FP_N).select(F.col("id").alias("event_id"))
+    ids = fixture_range(spark, _FP_N).select(F.col("id").alias("event_id"))
     return mask_rle_scene_stats(boxes_from_ids(ids))
 
 
@@ -386,7 +387,7 @@ def mask_iou_pairs_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle is the brute-force all-overlapping-pairs replay, so a
     driver match proves bucketed-candidate completeness AND the
     interval-overlap counting."""
-    ids = spark.range(_FP_N).select(F.col("id").alias("event_id"))
+    ids = fixture_range(spark, _FP_N).select(F.col("id").alias("event_id"))
     return mask_iou_pairs(boxes_from_ids(ids))
 
 
@@ -510,7 +511,7 @@ def box_fusion_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Weighted Box Fusion over the fixed 4000-box
     fixture; per-scene cluster counts + fused-coordinate sums
     hash-checked against the sequential replay."""
-    ids = spark.range(_FP_N).select(F.col("id").alias("event_id"))
+    ids = fixture_range(spark, _FP_N).select(F.col("id").alias("event_id"))
     return box_fusion(boxes_from_ids(ids))
 
 
@@ -583,7 +584,7 @@ def panoptic_pq(spark: SparkSession) -> DataFrame:
     segmentations partition the same canvas) selects the unique matches;
     PQ's SQ numerator is the integer microsum."""
     n_tiles = (PQ_CANVAS // PQ_TILE) ** 2
-    tiles = spark.range(n_tiles).select(F.col("id").alias("tile_id"))
+    tiles = fixture_range(spark, n_tiles).select(F.col("id").alias("tile_id"))
     joint = (
         tiles.mapInPandas(_pq_tile_kernel, "a bigint, b bigint, cnt bigint")
         .groupBy("a", "b")

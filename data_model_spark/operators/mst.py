@@ -43,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import fixture_range, load_table
 from .components import connected_components
 from .registry import register
 
@@ -130,7 +130,7 @@ R_MST = 220  # radius graph lag cap, meters (sparser than the variogram
 def range_points(spark: SparkSession, n: int = N_PTS) -> DataFrame:
     """The geostats field over ``range(1, n+1)`` keys instead of the
     customer table — identical arithmetic, scale-independent."""
-    return spark.range(1, n + 1).selectExpr(
+    return fixture_range(spark, 1, n + 1).selectExpr(
         "id AS point_id",
         "id * 37 % 2000 AS px",
         "id * 91 % 2000 AS py",

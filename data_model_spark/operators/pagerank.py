@@ -57,11 +57,17 @@ def pagerank_fixedpoint(
     registered query does).  ``rank`` is in SCALE-units (sums to ~SCALE
     minus truncation dust).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # materialize the (possibly expensive) edge derivation ONCE: it feeds
+    # nodes, deg and the per-iteration join — uncheckpointed it would
+    # re-execute for each consumer (~2 + iterations times)
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)  # re-read every iteration for the base term
     )
     n = nodes.count()
     if n == 0:

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from ..codecs import decode_image, encode_image
 from ..sources import images as img_src
+from ..sources.tables import fixture_range
 from .registry import register
 from .upsample import _CK_MOD, _CK_MUL
 
@@ -75,7 +76,7 @@ def band_table(spark: SparkSession, band: str, n: int = N_SCENES) -> DataFrame:
     """(scene, w, h, d_<band>) byte-carrying band table."""
     import pandas as pd
 
-    base = spark.range(n).select(F.col("id").alias("scene"))
+    base = fixture_range(spark, n).select(F.col("id").alias("scene"))
 
     def gen(batches):
         for pdf in batches:

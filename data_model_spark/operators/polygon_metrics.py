@@ -150,8 +150,10 @@ FROM agg"""
 def polygon_metrics_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shoelace area + centroid for the overlay suite's two vector
     layers (literal zones + supplier footprint rects)."""
-    spark_zones = spark.createDataFrame(
-        _zone_vertices(), "poly_id string, idx long, qx long, qy long"
+    from ..sources.tables import local_df
+
+    spark_zones = local_df(
+        spark, _zone_vertices(), "poly_id string, idx long, qx long, qy long"
     )
     rects = _rect_vertices(load_table(spark, sf_dir, "supplier"))
     verts = spark_zones.unionByName(

@@ -152,7 +152,9 @@ def adc_topk(
         qs = q[j * sub_dim : (j + 1) * sub_dim]
         for cid, c in cents:
             lut.append((j, cid, sum((qi - ci) ** 2 for qi, ci in zip(qs, c))))
-    lut_df = vectors.sparkSession.createDataFrame(lut, "j int, cid int, d long")
+    from ..sources.tables import local_df
+
+    lut_df = local_df(vectors.sparkSession, lut, "j int, cid int, d long")
 
     stacked = codes.select(
         "vec_id",
@@ -203,8 +205,10 @@ def adc_topk_multi(
                     (int(qr["vec_id"]), j, cid,
                      sum((qi - ci) ** 2 for qi, ci in zip(qs, c)))
                 )
-    lut_df = vectors.sparkSession.createDataFrame(
-        lut, "query_id long, j int, cid int, d long"
+    from ..sources.tables import local_df
+
+    lut_df = local_df(
+        vectors.sparkSession, lut, "query_id long, j int, cid int, d long"
     )
     stacked = codes.select(
         "vec_id",

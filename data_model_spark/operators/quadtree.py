@@ -49,6 +49,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.tables import fixture_range
 from .registry import register
 
 QT_N = 512  # canvas edge
@@ -59,7 +60,7 @@ _LEVELS = [16, 32, 64, 128, 256, 512]
 
 def _pixels(spark: SparkSession) -> DataFrame:
     """The virtual raster as (x, y, v) — pure column arithmetic."""
-    ids = spark.range(QT_N * QT_N)
+    ids = fixture_range(spark, QT_N * QT_N)
     x = F.expr(f"id div {QT_N}")
     y = F.pmod(F.col("id"), F.lit(QT_N))
     v = (

@@ -34,6 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.tables import fixture_range
 from .registry import register
 
 CANVAS = 1024
@@ -137,5 +138,5 @@ def _raster_oracle() -> str:
 def rasterize_lines_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Burn the 500-segment fixture into the 4x4 tile grid; per-tile
     pixel counts + position-weighted sums vs the sequential replay."""
-    segs = spark.range(_N_SEGS).select(F.col("id").alias("seg_id"))
+    segs = fixture_range(spark, _N_SEGS).select(F.col("id").alias("seg_id"))
     return rasterize_lines(segs)

@@ -90,7 +90,9 @@ def corpus_df(spark: SparkSession) -> DataFrame:
         (int(i), int(o), [float(x) for x in v])
         for (i, o), v in zip(id_owner, vecs)
     ]
-    return spark.createDataFrame(rows, _EMB_SCHEMA)
+    from ..sources.tables import local_df
+
+    return local_df(spark, rows, _EMB_SCHEMA)
 
 
 def queries_df(spark: SparkSession) -> DataFrame:
@@ -98,7 +100,9 @@ def queries_df(spark: SparkSession) -> DataFrame:
     rows = [
         (int(i), int(i), [float(x) for x in v]) for i, v in zip(qids, qvecs)
     ]
-    return spark.createDataFrame(rows, _EMB_SCHEMA)
+    from ..sources.tables import local_df
+
+    return local_df(spark, rows, _EMB_SCHEMA)
 
 
 def lsh_retrieve_topk(

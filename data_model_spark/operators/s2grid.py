@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from ..functions import crs
 from ..sources import images as img_src
+from ..sources.tables import fixture_range
 from .registry import register
 
 LEVEL = 14  # 2^14 x 2^14 cells per face (~600 m at the equator)
@@ -104,7 +105,7 @@ def scatter_lonlat(ids: np.ndarray):
 
 def s2_point_cells(spark: SparkSession, n: int = N_PTS) -> DataFrame:
     """(point_id, face, i, j) for the fixed scatter — zero shuffle."""
-    base = spark.range(n).select(F.col("id").alias("point_id"))
+    base = fixture_range(spark, n).select(F.col("id").alias("point_id"))
 
     def kern(batches):
         for pdf in batches:

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import fixture_range, load_table
 from .dedup import MD5_60_SQL, md5_60
 from .registry import register
 
@@ -129,7 +129,7 @@ def _snap_b(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    fresh = spark.range(15).select(
+    fresh = fixture_range(spark, 15).select(
         (F.col("id") + 20000).alias("doc_id"),
         F.concat(F.lit("new document "), F.col("id").cast("string")).alias("text"),
     )

@@ -54,7 +54,9 @@ def sssp_khop(
         F.col(weight).cast("long").alias("w"),
     )
     spark = edges.sparkSession
-    dist = spark.createDataFrame([(source, 0)], "node long, dist long")
+    from ..sources.tables import local_df
+
+    dist = local_df(spark, [(source, 0)], "node long, dist long")
     for _ in range(k):
         dist = _relax_round(e, dist).localCheckpoint()
     return dist

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .spatial import _pack_cell
+from ..sources.tables import fixture_range
 
 
 def with_grid_xy(
@@ -55,7 +56,7 @@ def grid_window(
     ty0 = int((lat_min + 90.0) / 180.0 * n)
     ty1 = int((lat_max + 90.0) / 180.0 * n)
     return (
-        spark.range(tx0, tx1 + 1)
+        fixture_range(spark, tx0, tx1 + 1)
         .select(F.col("id").alias("tx"))
         .withColumn("ty", F.explode(F.sequence(F.lit(ty0), F.lit(ty1))))
     )

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..sources.tables import load_table
+from ..sources.tables import fixture_range, load_table
 from .registry import register
 
 
@@ -260,7 +260,7 @@ _HOUR_US = 3_600_000_000
 
 
 def _traj_fixture(spark) -> DataFrame:
-    ids = spark.range(_FIX_USERS * _FIX_LEN)
+    ids = fixture_range(spark, _FIX_USERS * _FIX_LEN)
     seq = F.col("id") % _FIX_LEN + 1
     move = ((seq - 1) / _FIX_BLOCK).cast("long") % 2 == 0
     d = ids.select(

@@ -201,10 +201,10 @@ def _write_sharded(
         (var, lv, tx0, ty1)
         for (var, lv), (tx0, _tx1, _ty0, ty1) in sorted(b_ext.value.items())
     ]
+    from ..sources.tables import local_df
+
     ext_df = F.broadcast(
-        spark.createDataFrame(
-            ext_rows, "var string, level int, tx0 long, ty1 long"
-        )
+        local_df(spark, ext_rows, "var string, level int, tx0 long, ty1 long")
     )
     keyed = (
         tiles.select("var", "level", "tile_x", "tile_y", "data")

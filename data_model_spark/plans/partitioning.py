@@ -219,7 +219,10 @@ def zorder_partition_auto(
     )
     grid_bits = max(1, extent.bit_length())
     spark = df.sparkSession
-    origins = spark.createDataFrame(
+    from ..sources.tables import local_df
+
+    origins = local_df(
+        spark,
         [(r[0], int(r._x0), int(r._y0)) for r in stats],
         f"{level_col} int, _ox long, _oy long",
     )

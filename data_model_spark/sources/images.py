@@ -218,10 +218,13 @@ def generate_images_df(
 
     No shuffle; each partition generates its id range independently, which is
     exactly how a 10^12-row synthetic table would be materialized on a
-    cluster (scan-only, linear scaling).
+    cluster (scan-only, linear scaling).  Partition count is capped at the
+    row count: a 48-image fixture gets 48 single-image tasks, not the
+    hundreds of near-empty tasks ``default.parallelism`` (sized for
+    billion-row generators) would schedule.
     """
     if num_partitions is None:
-        num_partitions = max(spark.sparkContext.defaultParallelism, 8)
+        num_partitions = max(1, min(n, max(spark.sparkContext.defaultParallelism, 8)))
 
     def gen(batches):
         for pdf in batches:
@@ -279,7 +282,7 @@ def generate_images_meta_df(
     (w, h, fmt).
     """
     if num_partitions is None:
-        num_partitions = max(spark.sparkContext.defaultParallelism, 8)
+        num_partitions = max(1, min(n, max(spark.sparkContext.defaultParallelism, 8)))
 
     def gen(batches):
         for pdf in batches:

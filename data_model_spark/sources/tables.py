@@ -40,6 +40,25 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
     return spark.createDataFrame(pdf, schema)
 
 
+def fixture_range(spark: SparkSession, start, end=None) -> DataFrame:
+    """``spark.range`` sized for FIXTURE-scale inputs (hundreds to a few
+    thousand rows feeding per-row pandas kernels).
+
+    PySpark's ``spark.range`` defaults to ``spark.default.parallelism``
+    partitions — tuned session-side for billion-row generators (8 tasks
+    per core), which turns a 200-row fixture into hundreds of near-empty
+    tasks whose scheduling dominates the query.  Here the partition count
+    is ``min(n, spark.sql.shuffle.partitions)``: one waveful of tasks,
+    each with real work, and the same knob that scales the session on a
+    real cluster.
+    """
+    if end is None:
+        start, end = 0, start
+    n = max(int(end) - int(start), 1)
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return spark.range(start, end, numPartitions=max(1, min(n, width)))
+
+
 def _split_ddl(ddl: str) -> list[str]:
     """Split a DDL column list on top-level commas (ARRAY<..> safe)."""
     out, depth, cur = [], 0, []
