@@ -32,11 +32,15 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # 256 rows/batch: image and tile rows run ~100-150 KB, so a batch is
-        # ~25-40 MB — big enough to amortize Arrow framing, small enough that
-        # 32 concurrent tasks stay within executor memory (SURVEY.md §7 risk v;
-        # measured: 1024 -> 31-38 s merge, 64 -> 94 s, 256 -> 10-24 s)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # Arrow batches bounded by BYTES, not rows (Spark 4's maxBytesPerBatch
+        # is the direct knob — guide §4.2): image/tile rows (~100-300 KB) cap
+        # at ~32 MB/batch, the same memory envelope the old 256-row cap gave
+        # (SURVEY.md §7 risk v), while narrow rows batch 10k at a time instead
+        # of paying Python/Arrow framing every 256 rows (measured r6:
+        # pack_sequences 0.61 -> 0.26 s, lm_perplexity 1.13 -> 0.83 s,
+        # str_pack_pages 0.56 -> 0.45 s; image paths unchanged-to-better)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", "32m")
         .config("spark.sql.parquet.compression.codec", "zstd")
         # HotSpot refuses to JIT methods over ~8000 bytecodes
         # (-XX:-DontCompileHugeMethods default), so a whole-stage-codegen

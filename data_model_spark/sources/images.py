@@ -218,13 +218,16 @@ def generate_images_df(
 
     No shuffle; each partition generates its id range independently, which is
     exactly how a 10^12-row synthetic table would be materialized on a
-    cluster (scan-only, linear scaling).  Partition count is capped at the
-    row count: a 48-image fixture gets 48 single-image tasks, not the
-    hundreds of near-empty tasks ``default.parallelism`` (sized for
-    billion-row generators) would schedule.
+    cluster (scan-only, linear scaling).  Partition count: two wavefuls of
+    tasks (2x shuffle width), capped at the row count — heavy per-image
+    tasks need parallelism, not the per-row task floods
+    ``default.parallelism`` (sized for billion-row JVM generators) gives
+    (512 images: 256 tasks 2.2 s -> 64 tasks 1.3 s, mapInPandas per-task
+    overhead dominating).
     """
     if num_partitions is None:
-        num_partitions = max(1, min(n, max(spark.sparkContext.defaultParallelism, 8)))
+        width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        num_partitions = max(1, min(n, 2 * max(width, 4)))
 
     def gen(batches):
         for pdf in batches:
@@ -282,7 +285,8 @@ def generate_images_meta_df(
     (w, h, fmt).
     """
     if num_partitions is None:
-        num_partitions = max(1, min(n, max(spark.sparkContext.defaultParallelism, 8)))
+        width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        num_partitions = max(1, min(n, 2 * max(width, 4)))
 
     def gen(batches):
         for pdf in batches:
