@@ -45,6 +45,8 @@ centroid table against the vector table, embarrassingly parallel.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -73,17 +75,25 @@ def _dist_key_expr():
     distance to the mean s/n; exact-int64 numerator (< 2^53), identical
     IEEE division cross-engine.
     """
-    dot = F.aggregate(
-        F.zip_with(F.col("xq"), F.col("s"), lambda x, sv: x * sv),
-        F.lit(0).cast("long"),
-        lambda acc, t: acc + t,
-    )
-    ss = F.aggregate(
-        F.col("s"), F.lit(0).cast("long"), lambda acc, sv: acc + sv * sv
-    )
-    return (ss - F.lit(2) * F.col("n") * dot).cast("double") / (
-        F.col("n") * F.col("n")
-    ).cast("double")
+    # vectorized pandas kernel for the former interpreted HOF folds: all
+    # arithmetic is exact int64 (numerator < 2^53, asserted by the design
+    # note above), so the result is identical regardless of fold order;
+    # the final division replays the same cast-to-double sequence
+    @F.pandas_udf("double")
+    def _dk(sx: pd.Series, ss_: pd.Series, sn: pd.Series) -> pd.Series:
+        n_rows = len(sx)
+        if n_rows == 0:
+            return pd.Series([], dtype="float64")
+        X = np.stack(sx.to_numpy()).astype(np.int64, copy=False)
+        S = np.stack(ss_.to_numpy()).astype(np.int64, copy=False)
+        n = sn.to_numpy().astype(np.int64)
+        dot = (X * S).sum(axis=1)
+        ss = (S * S).sum(axis=1)
+        num = (ss - 2 * n * dot).astype(np.float64)
+        den = (n * n).astype(np.float64)
+        return pd.Series(num / den)
+
+    return _dk("xq", "s", "n")
 
 
 def _assign(vectors_q: DataFrame, cents: list[tuple[int, list[int], int]]) -> DataFrame:

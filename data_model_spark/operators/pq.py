@@ -27,6 +27,8 @@ broadcasts the m*k lookup table — never a crossJoin against the corpus.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..sources.tables import load_table, local_df
@@ -46,11 +48,19 @@ def _subspace(vq: DataFrame, j: int, sub_dim: int) -> DataFrame:
 
 
 def _d2_expr():
-    return F.aggregate(
-        F.zip_with(F.col("xq"), F.col("c"), lambda x, cv: (x - cv) * (x - cv)),
-        F.lit(0).cast("long"),
-        lambda acc, t: acc + t,
-    )
+    # exact-int64 squared distance as a vectorized pandas kernel (order-
+    # insensitive integer sum, identical to the former interpreted fold)
+    import numpy as np
+    @F.pandas_udf("long")
+    def _d2(sx: pd.Series, sc: pd.Series) -> pd.Series:
+        if len(sx) == 0:
+            return pd.Series([], dtype="int64")
+        X = np.stack(sx.to_numpy()).astype(np.int64, copy=False)
+        C = np.stack(sc.to_numpy()).astype(np.int64, copy=False)
+        d = X - C
+        return pd.Series((d * d).sum(axis=1))
+
+    return _d2("xq", "c")
 
 
 def _assign_snap(vq: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
