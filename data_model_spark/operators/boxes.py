@@ -151,7 +151,12 @@ def iou_pairs(
             ).alias("cy"),
         )
 
-    ca = cover(boxes, "a").withColumnRenamed("ascene", "scene")
+    from ..sources.tables import widen
+
+    # probe side widened: the planner broadcasts one cover side, so the
+    # within-cell pair evaluation runs at the OTHER side's parallelism —
+    # one partition when boxes come from a single-row-group event file
+    ca = cover(widen(boxes), "a").withColumnRenamed("ascene", "scene")
     cb = cover(boxes, "b").withColumnRenamed("bscene", "scene")
     iw = F.least("ax1", "bx1") - F.greatest("ax0", "bx0")
     ih = F.least("ay1", "by1") - F.greatest("ay0", "by0")

@@ -92,7 +92,7 @@ import os as _os
 #: small finishes in one narrow task in ~0.1 s, where the distributed
 #: large/small-star rounds pay O(log^2 n) shuffle floors; any larger graph
 #: takes the distributed path unchanged.
-CC_SMALL_EDGES = int(_os.environ.get("DMS_CC_SMALL_EDGES", str(1 << 18)))
+CC_SMALL_EDGES = int(_os.environ.get("DMS_CC_SMALL_EDGES", str(1 << 20)))
 
 
 def _cc_single_task(e: DataFrame) -> DataFrame:

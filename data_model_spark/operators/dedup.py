@@ -68,7 +68,13 @@ def tokens_df(docs: DataFrame) -> DataFrame:
 
 
 def shingles_df(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) with per-doc-distinct n-gram token shingles."""
+    """(doc_id, shingle) with per-doc-distinct n-gram token shingles.
+
+    (Deliberately NOT widened: at bench scale the whole shingle-pair
+    probe is sub-second even single-core, so an extra repartition costs
+    more than it saves — measured +0.5 s on ngram_jaccard_pairs; corpus-
+    scale inputs arrive as multi-file tables with real scan parallelism.)
+    """
     parts = " ,' ',".join(f"element_at(ws, i+{k})" for k in range(n))
     expr = (
         f"array_distinct(transform(sequence(1, size(ws)-{n - 1}), "

@@ -72,11 +72,22 @@ def _pairs(points: DataFrame, r_max: int = R_MAX) -> DataFrame:
 
     Cell pitch r_max; left side exploded to the 3x3 neighborhood, right
     side at its home cell; kept iff left.point_id < right.point_id.
+
+    The home side is round-robin repartitioned to the session's shuffle
+    width before the join: the planner broadcasts the (narrow) exploded
+    probe side, so the quadratic within-cell refine runs at the HOME
+    side's parallelism — which from a single parquet file is 1-2 scan
+    partitions, serializing ~10^8 candidate evaluations onto two cores.
+    One narrow-row exchange buys full-width parallelism; at cluster
+    scale, where the probe side outgrows the broadcast threshold, the
+    planner falls back to the keyed shuffle join and AQE's skew splitting
+    takes over (guide §2.5/§3.1).
     """
+    width = int(points.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     home = points.selectExpr(
         "point_id AS id_b", "px AS bx", "py AS by", "z AS zb",
         f"px DIV {r_max} AS cx", f"py DIV {r_max} AS cy",
-    )
+    ).repartition(width)
     probe = (
         points.withColumn("dx", F.explode(F.expr("array(-1, 0, 1)")))
         .withColumn("dy", F.explode(F.expr("array(-1, 0, 1)")))

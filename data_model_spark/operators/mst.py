@@ -64,6 +64,15 @@ def boruvka_msf(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
             "id_a", "id_b", "w", "id_a AS ca", "id_b AS cb"
         ).localCheckpoint(eager=True)
     )
+    # scale-adaptive: a graph small enough for one task runs Kruskal
+    # executor-side (unique weights => the identical canonical forest the
+    # Borůvka rounds produce) instead of paying O(log n) shuffle rounds;
+    # same threshold discipline as components.CC_SMALL_EDGES, and the
+    # distributed path runs unchanged when the scaling-bench hook is live.
+    from . import components as _cmp
+
+    if _cmp.ROUND_HOOK is None and e.count() <= _cmp.CC_SMALL_EDGES:
+        return _kruskal_single_task(e)
     forest_parts: list[DataFrame] = []
     for _ in range(max_rounds):
         # each component's minimum outgoing edge, from either side
@@ -118,6 +127,51 @@ def boruvka_msf(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     for part in forest_parts[1:]:
         out = out.unionByName(part)
     return out
+
+
+def _kruskal_single_task(e: DataFrame) -> DataFrame:
+    """One-task Kruskal over (id_a, id_b, w) — the exact forest edge set
+    the Borůvka rounds compute (unique weights make the MSF unique)."""
+    import numpy as np
+    import pandas as pd
+
+    def kern(batches):
+        ea, eb, ew = [], [], []
+        for pdf in batches:
+            ea.append(pdf["id_a"].to_numpy(dtype=np.int64))
+            eb.append(pdf["id_b"].to_numpy(dtype=np.int64))
+            ew.append(pdf["w"].to_numpy(dtype=np.int64))
+        if not ea:
+            yield pd.DataFrame({"id_a": [], "id_b": [], "w": []}).astype("int64")
+            return
+        a = np.concatenate(ea)
+        b = np.concatenate(eb)
+        w = np.concatenate(ew)
+        order = np.argsort(w, kind="stable")
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        oa, ob, ow = [], [], []
+        for i in order.tolist():
+            u, v = int(a[i]), int(b[i])
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[ru] = rv
+                oa.append(u)
+                ob.append(v)
+                ow.append(int(w[i]))
+        yield pd.DataFrame({"id_a": oa, "id_b": ob, "w": ow}).astype("int64")
+
+    return e.select("id_a", "id_b", "w").coalesce(1).mapInPandas(
+        kern, "id_a long, id_b long, w long"
+    )
 
 
 N_PTS = 1500  # fixed fixture: point count (sf-independent, like the

@@ -390,7 +390,12 @@ def radius_join(
     if res < 2:
         raise ValueError("radius_join needs res >= 2 (ring cells distinct)")
 
-    pts = with_point_cell(points, res, lon, lat).select(
+    from ..sources.tables import widen
+
+    # widened source: from a single-row-group file the scan is ONE
+    # partition, which would serialize the broadcast-probe haversine
+    # refine onto one core (no-op for already-wide sources)
+    pts = with_point_cell(widen(points), res, lon, lat).select(
         F.col(id_col), F.col(lon), F.col(lat), "cell"
     )
 

@@ -59,6 +59,26 @@ def fixture_range(spark: SparkSession, start, end=None) -> DataFrame:
     return spark.range(start, end, numPartitions=max(1, min(n, width)))
 
 
+def widen(df: DataFrame, width: int | None = None) -> DataFrame:
+    """Raise a narrow source's parallelism before fan-out compute.
+
+    Single-row-group parquet files scan as ONE partition no matter the
+    split config, so a broadcast-joined candidate explosion downstream
+    runs on one core (measured: the whole 10^8-candidate geostats refine
+    serialized).  When the current plan has fewer partitions than the
+    session's shuffle width, insert one round-robin repartition of the
+    narrow rows; sources that are already wide (real multi-file tables at
+    scale) pass through untouched, so no redundant shuffle at cluster
+    scale.
+    """
+    spark = df.sparkSession
+    if width is None:
+        width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() < width:
+        return df.repartition(width)
+    return df
+
+
 def _split_ddl(ddl: str) -> list[str]:
     """Split a DDL column list on top-level commas (ARRAY<..> safe)."""
     out, depth, cur = [], 0, []
