@@ -22,15 +22,17 @@ pattern).
 Scale shape: per round, edges join the register table on the neighbor
 key (shuffle on node id) and a same-key groupBy max — AQE reuses the
 hash partitioning; rounds are t (typically ~log diameter).  State is
-PACKED: one row per node carrying all m=16 registers as an array
-(slot 0 = empty; rho >= 1 for occupied), the layout the published
-HyperANF uses — so the per-round join and aggregation move |nodes| +
-|edges| rows, not (node, bucket) skinny rows (up to m x more rows
-through every exchange as sketches fill; measured ~2x wall on the
-1.6M-node probe after packing).  The elementwise-max merge is m
-JVM-side ``max(regs[i])`` aggregates.  Production p=8..12 changes only
-the array width.  Longer chains would add ``localCheckpoint`` lineage
-truncation as `components.py` does.
+BIT-PACKED (r6): all m=16 six-bit registers ride in two int64 words
+(w0 = buckets 0..9, w1 = 10..15), so the |edges| join-output rows — the
+round's heavy shuffle — carry 16 bytes of state instead of a 16-element
+long array (~10x fewer state bytes through every exchange; the r5 array
+layout was itself ~2x better than skinny (node, bucket) rows on the
+1.6M-node probe, and the r5 scaling-weak verdict flagged this stage as
+shuffle-bandwidth-bound).  The elementwise-max merge is m JVM-side
+``max(field)`` aggregates repacked by disjoint-field sum; register
+values are identical integers, so the fingerprints are unchanged.
+Production p=8..12 changes only the word layout.  The edge list is
+localCheckpointed once (it feeds the node set and every round's join).
 """
 
 from __future__ import annotations
@@ -52,10 +54,27 @@ REST_MASK = (1 << REST_BITS) - 1
 M = 1 << P  # registers per node
 
 
+#: registers bit-packed into two int64 words, 6 bits per register (rho of
+#: a 56-bit rest is <= 57 < 64): word 0 holds buckets 0..9, word 1 holds
+#: 10..15.  vs the previous 16-element long array this cuts the per-row
+#: state from ~16x8 bytes + array framing to 16 bytes — and the HEAVY
+#: rows of each round are the |edges| join outputs carrying the state
+#: (VERDICT r5 #4: the scaling-weak stage was shuffle-bandwidth-bound).
+_W0_SLOTS = 10
+_FBITS = 6
+_FMASK = (1 << _FBITS) - 1
+
+
+def _field(b: int) -> F.Column:
+    """Register b extracted from the packed (w0, w1) state."""
+    if b < _W0_SLOTS:
+        return F.expr(f"shiftrightunsigned(w0, {b * _FBITS}) & {_FMASK}")
+    return F.expr(f"shiftrightunsigned(w1, {(b - _W0_SLOTS) * _FBITS}) & {_FMASK}")
+
+
 def _initial_regs(edges: DataFrame) -> DataFrame:
-    """(node, regs) — regs is the m-slot packed register array: the
-    node's own bucket holds its rho (>= 1 by construction), every other
-    slot holds 0 = empty."""
+    """(node, w0, w1) — the node's own bucket holds its rho (>= 1 by
+    construction), every other register is 0 = empty."""
     nodes = (
         edges.select("src")
         .union(edges.select(F.col("dst").alias("src")))
@@ -68,45 +87,66 @@ def _initial_regs(edges: DataFrame) -> DataFrame:
         F.shiftrightunsigned(h, REST_BITS).alias("bucket"),
         h.bitwiseAND(F.lit(REST_MASK)).alias("rest"),
     ).withColumn("rho", F.expr(_rho_sql("rest", REST_BITS)))
-    regs = F.array(
-        *[
-            F.when(F.col("bucket") == b, F.col("rho"))
-            .otherwise(F.lit(0))
-            .cast("long")
-            for b in range(M)
-        ]
+    return hashed.select(
+        "node",
+        F.expr(
+            f"CASE WHEN bucket < {_W0_SLOTS} "
+            f"THEN shiftleft(CAST(rho AS BIGINT), CAST(bucket * {_FBITS} AS INT)) "
+            "ELSE CAST(0 AS BIGINT) END"
+        ).alias("w0"),
+        F.expr(
+            f"CASE WHEN bucket >= {_W0_SLOTS} "
+            f"THEN shiftleft(CAST(rho AS BIGINT), CAST((bucket - {_W0_SLOTS}) * {_FBITS} AS INT)) "
+            "ELSE CAST(0 AS BIGINT) END"
+        ).alias("w1"),
     )
-    return hashed.select("node", regs.alias("regs"))
 
 
-def _merge_regs() -> F.Column:
-    """Elementwise-max merge as m JVM max-aggregates over array slots."""
-    return F.array(*[F.max(F.col("regs")[b]) for b in range(M)]).alias("regs")
+def _merge_regs() -> list:
+    """Elementwise-max merge: per-register max aggregates repacked into
+    the two words (fields are disjoint, so the repack is a plain sum)."""
+    w0 = None
+    w1 = None
+    for b in range(M):
+        mx = F.max(_field(b))
+        if b < _W0_SLOTS:
+            term = F.shiftleft(mx, b * _FBITS)
+            w0 = term if w0 is None else w0 + term
+        else:
+            term = F.shiftleft(mx, (b - _W0_SLOTS) * _FBITS)
+            w1 = term if w1 is None else w1 + term
+    return [w0.alias("w0"), w1.alias("w1")]
 
 
 def _state_fp(regs: DataFrame, t: int) -> DataFrame:
-    zero = F.lit(0).cast("long")
+    n_regs = None
+    reg_sum = None
+    for b in range(M):
+        f = _field(b)
+        occ = F.when(f > 0, 1).otherwise(0)
+        n_regs = occ if n_regs is None else n_regs + occ
+        reg_sum = f if reg_sum is None else reg_sum + f
     return regs.select(
         "node",
         F.lit(t).cast("long").alias("t"),
-        F.aggregate(
-            "regs", zero, lambda acc, x: acc + F.when(x > 0, 1).otherwise(0)
-        ).alias("n_regs"),
-        F.aggregate("regs", zero, lambda acc, x: acc + x).alias("reg_sum"),
+        n_regs.cast("long").alias("n_regs"),
+        reg_sum.cast("long").alias("reg_sum"),
     )
 
 
 def hyperanf_states(edges: DataFrame, rounds: int = ROUNDS) -> DataFrame:
     """(node, t, n_regs, reg_sum) for t = 0..rounds — the integer
     fingerprint of every node's reachability sketch per round."""
-    e = edges.select("src", "dst")
+    # materialize the (possibly expensive) edge derivation once: it feeds
+    # the node set and every round's join
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
     cur = _initial_regs(e)
     out = _state_fp(cur, 0)
     for t in range(1, rounds + 1):
         nb = e.join(cur, e["dst"] == cur["node"]).select(
-            e["src"].alias("node"), "regs"
+            e["src"].alias("node"), "w0", "w1"
         )
-        cur = nb.unionByName(cur).groupBy("node").agg(_merge_regs())
+        cur = nb.unionByName(cur).groupBy("node").agg(*_merge_regs())
         out = out.unionByName(_state_fp(cur, t))
     return out
 

@@ -87,6 +87,10 @@ def quadtree_leaves(spark: SparkSession, threshold: int = QT_T) -> DataFrame:
             F.sum("v").alias("s"),
             F.sum(F.col("v") * F.col("v")).alias("ss"),
         )
+        # 1024-row table referenced by every cascade level, every
+        # reachability join and every leaf branch (~12 plan occurrences):
+        # checkpoint once so the 512^2-pixel base aggregation runs once
+        .localCheckpoint(eager=True)
     )
     stats = {QT_MIN: base}
     for blk in _LEVELS[1:]:
