@@ -59,6 +59,18 @@ def bpe_train(docs: DataFrame, n_merges: int = 20) -> list[tuple[str, str, int]]
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
     )
+    # scale-adaptive vocabulary collapse: BPE training operates on the
+    # distinct-word vocabulary, which is orders of magnitude smaller than
+    # the corpus.  When it fits the bounded-collect budget, run the merge
+    # loop driver-side with the SAME kernel the pytest pins equal to the
+    # distributed trainer — one job instead of ~2-3 jobs per merge round.
+    # Above the cap the distributed loop below runs unchanged.
+    import os as _os
+
+    small = int(_os.environ.get("DMS_BPE_SMALL_VOCAB", "8192"))
+    probe = words.limit(small + 1).collect()
+    if len(probe) <= small:
+        return _ref_bpe_vocab({r["w"]: int(r["cnt"]) for r in probe}, n_merges)
     syms = words.select(
         "cnt",
         F.expr(
@@ -94,17 +106,12 @@ def bpe_train(docs: DataFrame, n_merges: int = 20) -> list[tuple[str, str, int]]
     return merges
 
 
-def ref_bpe(texts, n_merges):
-    """Sequential Sennrich reference (shared kernel: the pytest equality
-    check and the ``bpe_train_fp`` oracle both replay through this)."""
-    import re
+def _ref_bpe_vocab(vocab: dict, n_merges: int):
+    """Merge loop over a (word -> count) vocabulary — the shared
+    sequential kernel (identical picks and tie-breaks to the distributed
+    trainer, pinned by tests/test_bpe.py)."""
     from collections import Counter
 
-    vocab = Counter()
-    for t in texts:
-        for w in re.split(" +", t.strip().lower()):
-            if w:
-                vocab[w] += 1
     seqs = {w: list(w) + [END] for w in vocab}
     merges = []
     for _ in range(n_merges):
@@ -129,6 +136,20 @@ def ref_bpe(texts, n_merges):
                     out.append(x)
             seqs[w] = out
     return merges
+
+
+def ref_bpe(texts, n_merges):
+    """Sequential Sennrich reference (shared kernel: the pytest equality
+    check and the ``bpe_train_fp`` oracle both replay through this)."""
+    import re
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in re.split(" +", t.strip().lower()):
+            if w:
+                vocab[w] += 1
+    return _ref_bpe_vocab(vocab, n_merges)
 
 
 @register("bpe_train_merges", None)  # iterative; reference equality in tests/test_bpe.py
