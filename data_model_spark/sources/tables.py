@@ -37,7 +37,15 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
             else [c.strip().split()[0] for c in _split_ddl(schema)]
         )
         pdf = pd.DataFrame(list(rows), columns=names)
-    return spark.createDataFrame(pdf, schema)
+    out = spark.createDataFrame(pdf, schema)
+    # Arrow createDataFrame slices the frame into ``defaultParallelism``
+    # batches (sized for billion-row generators), so a 500-row dim table
+    # executes as 256 near-empty tasks through every downstream pandas-UDF
+    # stage — the same tiny-task flood ``fixture_range`` fixes for
+    # spark.range.  Coalesce (narrow, no shuffle) to one waveful of tasks;
+    # coalesce never *increases* partitions, so large frames are untouched.
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return out.coalesce(max(1, min(len(pdf), width)))
 
 
 def fixture_range(spark: SparkSession, start, end=None) -> DataFrame:
