@@ -50,7 +50,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table, local_df
+from ..sources.tables import load_table
 from .registry import register
 
 QUANT_SCALE = 1024
@@ -68,49 +68,54 @@ def quantize(vectors: DataFrame, dim: int = DIM) -> DataFrame:
     )
 
 
-def _dist_key_expr():
-    """Count-normalized nearest-centroid key for a row (s ARRAY<BIGINT>, n BIGINT).
+def _key_matrix(X: np.ndarray, S: np.ndarray, n: np.ndarray) -> np.ndarray:
+    """float64 nearest-centroid key matrix (rows x centroids).
 
     ``(||s||^2 - 2 * n * (xq . s)) / n^2`` — same order as the true squared
-    distance to the mean s/n; exact-int64 numerator (< 2^53), identical
-    IEEE division cross-engine.
+    distance to the mean s/n; exact-int64 numerator (< 2^53, module
+    contract), so the astype(float64) is exact and the IEEE division is
+    the identical correctly-rounded value on every engine.
     """
-    # vectorized pandas kernel for the former interpreted HOF folds: all
-    # arithmetic is exact int64 (numerator < 2^53, asserted by the design
-    # note above), so the result is identical regardless of fold order;
-    # the final division replays the same cast-to-double sequence
-    @F.pandas_udf("double")
-    def _dk(sx: pd.Series, ss_: pd.Series, sn: pd.Series) -> pd.Series:
-        n_rows = len(sx)
-        if n_rows == 0:
-            return pd.Series([], dtype="float64")
-        X = np.stack(sx.to_numpy()).astype(np.int64, copy=False)
-        S = np.stack(ss_.to_numpy()).astype(np.int64, copy=False)
-        n = sn.to_numpy().astype(np.int64)
-        dot = (X * S).sum(axis=1)
-        ss = (S * S).sum(axis=1)
-        num = (ss - 2 * n * dot).astype(np.float64)
-        den = (n * n).astype(np.float64)
-        return pd.Series(num / den)
+    dot = X @ S.T  # int64, exact under the 2^53 numerator bound
+    ss = (S * S).sum(axis=1)
+    num = (ss[None, :] - 2 * n[None, :] * dot).astype(np.float64)
+    den = (n * n).astype(np.float64)
+    return num / den[None, :]
 
-    return _dk("xq", "s", "n")
+
+def _cent_arrays(
+    cents: list[tuple[int, list[int], int]],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(cent_ids, S, n) sorted by cent_id so argmin tie-breaks to low id."""
+    ordered = sorted(cents, key=lambda c: c[0])
+    cids = np.array([c[0] for c in ordered], dtype=np.int64)
+    S = np.array([c[1] for c in ordered], dtype=np.int64)
+    n = np.array([c[2] for c in ordered], dtype=np.int64)
+    return cids, S, n
 
 
 def _assign(vectors_q: DataFrame, cents: list[tuple[int, list[int], int]]) -> DataFrame:
-    """(vec_id, xq, cell): nearest centroid by exact distance, ties -> low id."""
-    spark = vectors_q.sparkSession
-    cent_df = local_df(
-        spark,
-        [(cid, s, n) for cid, s, n in cents],
-        "cent_id INT, s ARRAY<BIGINT>, n BIGINT",
-    )
-    scored = vectors_q.crossJoin(F.broadcast(cent_df)).withColumn(
-        "dkey", _dist_key_expr()
-    )
-    return scored.groupBy("vec_id").agg(
-        F.min_by("cent_id", F.struct("dkey", "cent_id")).alias("cell"),
-        F.first("xq").alias("xq"),
-    )
+    """(vec_id, xq, cell): nearest centroid by exact distance, ties -> low id.
+
+    The k-row centroid table rides into the pandas kernel as a closure
+    constant (the broadcast a k-row crossJoin build would cost anyway),
+    so assignment is ONE narrow Arrow stage — no candidate explosion, no
+    groupBy(vec_id) shuffle.  ``argmin`` returns the first minimum, which
+    with centroids sorted by cent_id replays min_by's (dkey, cent_id)
+    struct order exactly (the integer numerator can't produce -0.0, so
+    IEEE and java.lang.Double comparisons agree).
+    """
+    cids, S, n = _cent_arrays(cents)
+
+    @F.pandas_udf("int")
+    def _cell(sx: pd.Series) -> pd.Series:
+        if len(sx) == 0:
+            return pd.Series([], dtype="int32")
+        X = np.stack(sx.to_numpy()).astype(np.int64, copy=False)
+        key = _key_matrix(X, S, n)
+        return pd.Series(cids[key.argmin(axis=1)].astype(np.int32))
+
+    return vectors_q.select("vec_id", "xq", _cell("xq").alias("cell"))
 
 
 def kmeans_train(
@@ -118,41 +123,34 @@ def kmeans_train(
 ) -> list[tuple[int, list[int], int]]:
     """Lloyd's k-means on quantized vectors; returns [(cent_id, sums, n)].
 
-    Init: the k lowest vec_ids become centroids (count 1).  Each iteration
-    is one broadcast-assign + one explode/aggregate; only the k*(dim+1)
-    centroid integers return to the driver.
+    Init: the k lowest vec_ids become centroids (count 1).  The sample is
+    bounded at ~2600 rows by the module's exactness contract
+    (``sample_max_id`` guard), i.e. O(metadata) — so it is collected ONCE
+    and the fixed-count Lloyd rounds run driver-side on the same exact
+    int64 arithmetic (sums are associative, the float64 division is the
+    identical IEEE value), replacing ~2 jobs per round with zero.  The
+    full-corpus assignment stays distributed (``_assign``).
     """
-    init = (
-        sample_q.orderBy("vec_id").limit(k).select("xq").collect()
-    )
-    if not init:
+    rows = sample_q.select("vec_id", "xq").collect()
+    if not rows:
         raise ValueError(
             "kmeans_train: empty training sample — no rows to initialize "
             "centroids from (assignment against zero centroids would "
             "silently drop every vector)"
         )
-    cents = [(i, [int(v) for v in r["xq"]], 1) for i, r in enumerate(init)]
+    rows.sort(key=lambda r: r["vec_id"])
+    X = np.array([r["xq"] for r in rows], dtype=np.int64)
+    kk = min(k, len(rows))
+    S = X[:kk].copy()
+    n = np.ones(kk, dtype=np.int64)
     for _ in range(iters):
-        assigned = _assign(sample_q, cents)
-        upd = (
-            assigned.select("cell", F.posexplode("xq").alias("i", "xv"))
-            .groupBy("cell", "i")
-            .agg(F.sum("xv").alias("si"), F.count("*").alias("nn"))
-        )
-        rows = upd.collect()
-        by_cell: dict[int, tuple[list[int], int]] = {}
-        for cid, _, _n in cents:
-            got = [r for r in rows if r["cell"] == cid]
-            if got:
-                s = [0] * dim
-                for r in got:
-                    s[r["i"]] = int(r["si"])
-                by_cell[cid] = (s, int(got[0]["nn"]))
-        cents = [
-            (cid, *by_cell[cid]) if cid in by_cell else (cid, s, n)
-            for cid, s, n in cents
-        ]
-    return cents
+        cell = _key_matrix(X, S, n).argmin(axis=1)  # ties -> lowest cent_id
+        for c in range(kk):
+            members = cell == c
+            if members.any():
+                S[c] = X[members].sum(axis=0)
+                n[c] = int(members.sum())
+    return [(c, [int(v) for v in S[c]], int(n[c])) for c in range(kk)]
 
 
 def ivf_kmeans_assign(
