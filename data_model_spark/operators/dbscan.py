@@ -22,6 +22,8 @@ same haversine distances.
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -29,6 +31,86 @@ from ..sources.tables import load_table
 from .components import connected_components
 from .registry import register
 from .spatial import radius_join
+
+#: epsilon-edge-count ceiling for the single-task labeling fast path.
+#: Size-based (not core-count-based): below it the degree/core/CC/border
+#: stages are pure scheduling overhead; above it the distributed path runs
+#: unchanged.  The candidate radius join itself always stays distributed.
+DBSCAN_SMALL_EDGES = int(_os.environ.get("DMS_DBSCAN_SMALL_EDGES", str(1 << 21)))
+
+
+def _labels_single_task(edges: DataFrame, min_pts: int) -> DataFrame:
+    """(node, cluster, role) for every CORE or BORDER node of the epsilon
+    graph — one coalesced mapInPandas task replaying exactly the
+    degree -> core -> min-id CC -> border-min rules (all integer/min
+    semantics, so the replay is plan-independent).  Noise nodes are the
+    caller's left-join fallback, as in the distributed path."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        a_parts, b_parts = [], []
+        for pdf in batches:
+            a_parts.append(pdf["id_a"].to_numpy(dtype=np.int64, copy=False))
+            b_parts.append(pdf["id_b"].to_numpy(dtype=np.int64, copy=False))
+        empty = pd.DataFrame(
+            {"node": pd.Series(dtype="int64"),
+             "cluster": pd.Series(dtype="int64"),
+             "role": pd.Series(dtype="object")}
+        )
+        if not a_parts:
+            yield empty
+            return
+        a = np.concatenate(a_parts)
+        b = np.concatenate(b_parts)
+        nodes = np.unique(np.concatenate([a, b]))  # sorted: min index=min id
+        ai = np.searchsorted(nodes, a)
+        bi = np.searchsorted(nodes, b)
+        n = len(nodes)
+        deg = np.zeros(n, dtype=np.int64)
+        np.add.at(deg, ai, 1)
+        np.add.at(deg, bi, 1)
+        core = deg + 1 >= min_pts
+
+        # min-id connected components of the core-core subgraph
+        comp = np.arange(n, dtype=np.int64)  # index space; ids are sorted
+        cc = core[ai] & core[bi]
+        cu, cv = ai[cc], bi[cc]
+        while True:  # converges in O(log diameter) passes
+            prev = comp.copy()
+            np.minimum.at(comp, cu, comp[cv])
+            np.minimum.at(comp, cv, comp[cu])
+            while True:
+                nxt = comp[comp]
+                if np.array_equal(nxt, comp):
+                    break
+                comp = nxt
+            if np.array_equal(prev, comp):
+                break
+        cluster = np.where(core, nodes[comp], -1)  # singleton core: own id
+
+        # border: non-core with >= 1 core neighbor -> min core cluster
+        sent = np.iinfo(np.int64).max
+        blab = np.full(n, sent, dtype=np.int64)
+        m = core[bi] & ~core[ai]
+        np.minimum.at(blab, ai[m], cluster[bi[m]])
+        m = core[ai] & ~core[bi]
+        np.minimum.at(blab, bi[m], cluster[ai[m]])
+        border = ~core & (blab != sent)
+
+        keep = core | border
+        out = pd.DataFrame(
+            {
+                "node": nodes[keep],
+                "cluster": np.where(core, cluster, blab)[keep],
+                "role": np.where(core, "core", "border")[keep],
+            }
+        )
+        yield out if len(out) else empty
+
+    return edges.coalesce(1).mapInPandas(
+        kernel, "node long, cluster long, role string"
+    )
 
 
 def dbscan(
@@ -47,10 +129,26 @@ def dbscan(
     cluster's core set, -1 for noise.
     """
     from ..cache import track
+    from . import components as _cmp
 
-    edges = track(
-        radius_join(points, eps_m, res, lat_max, lon, lat, id_col)
+    edges = radius_join(points, eps_m, res, lat_max, lon, lat, id_col).select(
+        "id_a", "id_b"
     )
+    if _cmp.ROUND_HOOK is None:
+        # materialize the candidate refine ONCE (the real distributed work);
+        # the count decides fast vs distributed labeling, and both reuse it
+        edges = edges.localCheckpoint(eager=True)
+        if edges.count() <= DBSCAN_SMALL_EDGES:
+            lbl = _labels_single_task(edges, min_pts)
+            ids = points.select(F.col(id_col).alias("pid"))
+            return ids.join(lbl, ids["pid"] == lbl["node"], "left").select(
+                F.col("pid").alias(id_col),
+                F.coalesce("cluster", F.lit(-1)).alias("cluster"),
+                F.coalesce("role", F.lit("noise")).alias("role"),
+            )
+    else:
+        edges = track(edges)
+
     both = edges.select(F.col("id_a").alias("node"), F.col("id_b").alias("nbr")).unionByName(
         edges.select(F.col("id_b").alias("node"), F.col("id_a").alias("nbr"))
     )

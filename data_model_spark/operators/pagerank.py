@@ -34,6 +34,8 @@ small constant (convergence tolerance is meaningless in fixed-point).
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -41,6 +43,46 @@ from ..sources.tables import load_table
 from .registry import register
 
 SCALE = 10**12
+
+#: edge-count ceiling for the single-task fixed-point fast path.  Size-based
+#: (not core-count-based), same dial family as ``components.CC_SMALL_EDGES``:
+#: below it the per-iteration join+aggregate shuffles are pure scheduling
+#: overhead; above it the distributed rounds run unchanged.
+PR_SMALL_EDGES = int(_os.environ.get("DMS_PR_SMALL_EDGES", str(1 << 21)))
+
+
+def _pagerank_single_task(
+    e: DataFrame, iterations: int, damping_pct: int
+) -> DataFrame:
+    """One-task replay of the fixed-point rounds — bit-identical by
+    construction (every operation is exact int64: floor division, sums
+    commute), executor-side via coalesced mapInPandas, never the driver."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        srcs, dsts = [], []
+        for pdf in batches:
+            srcs.append(pdf["src"].to_numpy(dtype=np.int64, copy=False))
+            dsts.append(pdf["dst"].to_numpy(dtype=np.int64, copy=False))
+        src = np.concatenate(srcs)
+        dst = np.concatenate(dsts)
+        nodes = np.unique(np.concatenate([src, dst]))
+        n = len(nodes)
+        si = np.searchsorted(nodes, src)
+        di = np.searchsorted(nodes, dst)
+        deg = np.zeros(n, dtype=np.int64)
+        np.add.at(deg, si, 1)
+        base = (SCALE // n) * (100 - damping_pct) // 100
+        rank = np.full(n, SCALE // n, dtype=np.int64)
+        for _ in range(iterations):
+            contrib = rank[si] // deg[si]  # rank DIV out_degree, exact
+            s = np.zeros(n, dtype=np.int64)
+            np.add.at(s, di, contrib)
+            rank = base + damping_pct * s // 100  # (85*s) DIV 100, exact
+        yield pd.DataFrame({"node": nodes, "rank": rank})
+
+    return e.coalesce(1).mapInPandas(kernel, "node long, rank long")
 
 
 def pagerank_fixedpoint(
@@ -63,6 +105,15 @@ def pagerank_fixedpoint(
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).localCheckpoint(eager=True)
+
+    from . import components as _cmp
+
+    n_edges = e.count()
+    if n_edges == 0:
+        raise ValueError("pagerank over an empty edge set")
+    if _cmp.ROUND_HOOK is None and n_edges <= PR_SMALL_EDGES:
+        return _pagerank_single_task(e, iterations, damping_pct)
+
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -79,8 +130,6 @@ def pagerank_fixedpoint(
     base = (SCALE // n) * (100 - damping_pct) // 100
     ranks = nodes.select("node", F.lit(SCALE // n).alias("rank"))
     import time as _time
-
-    from . import components as _cmp
 
     for _round in range(iterations):
         _t0 = _time.perf_counter()
@@ -130,6 +179,10 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") + 1000000).alias("supp"),
         )
         .distinct()
+        # both symmetrized union branches read this plan; uncheckpointed,
+        # the join+distinct would execute once per branch (lazy: the first
+        # action materializes, the second branch reuses the same RDD)
+        .localCheckpoint(eager=False)
     )
     return trade.select(F.col("cust").alias("src"), F.col("supp").alias("dst")).union(
         trade.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))

@@ -119,3 +119,19 @@ def test_dbscan_roles_handbuilt(spark):
         5: (0, "border"),
         6: (-1, "noise"),
     }
+
+
+def test_fast_path_matches_distributed(spark, sf_dir, monkeypatch):
+    from data_model_spark.operators import dbscan as dmod
+
+    pts = dmod._blob_points(spark, sf_dir)
+    fast = {
+        int(r.point_id): (int(r.cluster), r.role)
+        for r in dbscan(pts, EPS, MIN_PTS, res=RES, lat_max=48.0).collect()
+    }
+    monkeypatch.setattr(dmod, "DBSCAN_SMALL_EDGES", 0)  # force distributed
+    slow = {
+        int(r.point_id): (int(r.cluster), r.role)
+        for r in dbscan(pts, EPS, MIN_PTS, res=RES, lat_max=48.0).collect()
+    }
+    assert fast == slow

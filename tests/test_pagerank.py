@@ -66,3 +66,15 @@ def test_empty_edges_raises(spark):
     df = spark.createDataFrame([], "src long, dst long")
     with pytest.raises(ValueError, match="empty edge set"):
         pagerank_fixedpoint(df)
+
+
+def test_fast_path_matches_distributed(spark, monkeypatch):
+    from data_model_spark.operators import pagerank as pr
+
+    edges = [(i, (i * 11) % 60) for i in range(60) if i != (i * 11) % 60]
+    edges += [(b, a) for a, b in edges]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fast = _ranks(pagerank_fixedpoint(df, iterations=3))
+    monkeypatch.setattr(pr, "PR_SMALL_EDGES", 0)  # force distributed rounds
+    slow = _ranks(pagerank_fixedpoint(df, iterations=3))
+    assert fast == slow
