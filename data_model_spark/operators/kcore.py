@@ -107,6 +107,9 @@ def _sparse_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") + 1000000).alias("supp"),
         )
         .distinct()
+        # both symmetrized union branches read this plan; uncheckpointed,
+        # the join+distinct would execute once per branch
+        .localCheckpoint(eager=False)
     )
     return trade.select(F.col("cust").alias("src"), F.col("supp").alias("dst")).union(
         trade.select("supp", "cust")

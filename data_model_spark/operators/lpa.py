@@ -21,6 +21,8 @@ driver hash-match pins every round's votes, not just the final labels.
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -30,10 +32,83 @@ from .registry import register
 
 _ROUNDS = 3
 
+#: edge-count ceiling for the single-task round replay (size-based dial,
+#: same family as ``components.CC_SMALL_EDGES``): below it the per-round
+#: join + count + window shuffles are pure scheduling overhead.
+LPA_SMALL_EDGES = int(_os.environ.get("DMS_LPA_SMALL_EDGES", str(1 << 21)))
+
+
+def _lpa_single_task(edges: DataFrame, rounds: int) -> DataFrame:
+    """One-task replay of the synchronous rounds — integer counts, argmax
+    with ties to the smallest label, exactly the window's
+    (c DESC, lbl) order; executor-side via coalesced mapInPandas."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        srcs, dsts = [], []
+        for pdf in batches:
+            srcs.append(pdf["src"].to_numpy(dtype=np.int64, copy=False))
+            dsts.append(pdf["dst"].to_numpy(dtype=np.int64, copy=False))
+        if not srcs:
+            yield pd.DataFrame(
+                {"node": pd.Series(dtype="int64"),
+                 "community": pd.Series(dtype="int64")}
+            )
+            return
+        src = np.concatenate(srcs)
+        dst = np.concatenate(dsts)
+        uni = np.unique(np.concatenate([src, dst]))
+        si = np.searchsorted(uni, src)
+        di = np.searchsorted(uni, dst)
+        n = len(uni)
+        # labels init: node id for every distinct src; non-src dsts unlabeled
+        lbl = uni.copy()
+        labeled = np.zeros(n, dtype=bool)
+        labeled[np.unique(si)] = True
+        for _ in range(rounds):
+            m = labeled[di]  # inner join: only labeled dst votes
+            vs, vl = si[m], lbl[di[m]]
+            order = np.lexsort((vl, vs))
+            vs, vl = vs[order], vl[order]
+            grp = np.empty(len(vs), dtype=bool)
+            if len(vs):
+                grp[0] = True
+                grp[1:] = (vs[1:] != vs[:-1]) | (vl[1:] != vl[:-1])
+            starts = np.flatnonzero(grp)
+            counts = np.diff(np.append(starts, len(vs)))
+            g_src, g_lbl = vs[starts], vl[starts]
+            # per src: max count, ties -> smallest label
+            sel = np.lexsort((g_lbl, -counts, g_src))
+            s_src = g_src[sel]
+            first = np.empty(len(sel), dtype=bool)
+            if len(sel):
+                first[0] = True
+                first[1:] = s_src[1:] != s_src[:-1]
+            win_src = s_src[first]
+            win_lbl = g_lbl[sel][first]
+            lbl2 = uni.copy()
+            lab2 = np.zeros(n, dtype=bool)
+            lbl2[win_src] = win_lbl
+            lab2[win_src] = True
+            lbl, labeled = lbl2, lab2
+        keep = np.flatnonzero(labeled)
+        yield pd.DataFrame({"node": uni[keep], "community": lbl[keep]})
+
+    return edges.coalesce(1).mapInPandas(kernel, "node long, community long")
+
 
 def lpa_communities(edges: DataFrame, rounds: int = _ROUNDS) -> DataFrame:
     """(node, community) after ``rounds`` synchronous LPA rounds; labels
     initialize to the node id."""
+    from . import components as _cmp
+
+    if _cmp.ROUND_HOOK is None:
+        e = edges.select("src", "dst").localCheckpoint(eager=True)
+        if e.count() <= LPA_SMALL_EDGES:
+            return _lpa_single_task(e, rounds)
+        edges = e
+
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
     )

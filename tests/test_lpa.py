@@ -30,3 +30,14 @@ def test_parallelism_invariant(spark, sf_dir):
     a = sorted(map(tuple, lpa_communities(e.repartition(1)).collect()))
     b = sorted(map(tuple, lpa_communities(e.repartition(9)).collect()))
     assert a == b and len(a) > 0
+
+
+def test_fast_path_matches_distributed(spark, sf_dir, monkeypatch):
+    from data_model_spark.operators import lpa as lmod
+    from data_model_spark.operators.kcore import _sparse_trade_edges
+
+    e = _sparse_trade_edges(spark, sf_dir)
+    fast = sorted(map(tuple, lpa_communities(e).collect()))
+    monkeypatch.setattr(lmod, "LPA_SMALL_EDGES", 0)  # force distributed
+    slow = sorted(map(tuple, lpa_communities(e).collect()))
+    assert fast == slow and len(fast) > 0
