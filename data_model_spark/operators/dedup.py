@@ -70,10 +70,11 @@ def tokens_df(docs: DataFrame) -> DataFrame:
 def shingles_df(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) with per-doc-distinct n-gram token shingles.
 
-    (Deliberately NOT widened: at bench scale the whole shingle-pair
-    probe is sub-second even single-core, so an extra repartition costs
-    more than it saves — measured +0.5 s on ngram_jaccard_pairs; corpus-
-    scale inputs arrive as multi-file tables with real scan parallelism.)
+    (NOT widened here: the sub-1k-doc window queries lose more to the
+    repartition of text payloads than the explosion serialization costs —
+    measured +0.4-0.9 s on ngram/minhash/lsh_pr.  Full-corpus pair-join
+    callers widen the docs side themselves: ``jaccard_pairs`` does it
+    adaptively on its ``n_docs`` bound.)
     """
     parts = " ,' ',".join(f"element_at(ws, i+{k})" for k in range(n))
     expr = (
@@ -186,9 +187,20 @@ def jaccard_pairs(
     passes ``n_docs``) gives ``self_pairs`` its ``max_key_freq`` bound,
     replacing the explosion-wide frequency probe on skew-free inputs.
     """
-    sh = shingles_df(docs, n) if shingles is None else shingles
     if salt and n_docs is None:
         n_docs = docs.count()
+    if shingles is None:
+        # widen a narrow full-corpus scan before the explosion: a single-
+        # row-group parquet source otherwise serializes tokenize+explode
+        # (and every read of the persisted shingle table) onto one core.
+        # Small window inputs (< hot_min docs) skip it — the payload
+        # repartition there costs more than it saves.
+        from ..sources.tables import widen
+
+        src = widen(docs) if (n_docs or 0) >= hot_min else docs
+        sh = shingles_df(src, n)
+    else:
+        sh = shingles
     if salt and n_docs >= hot_min and not sh.is_cached:
         sh = _persist(sh)  # reused by sizes + the salted split
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))

@@ -44,7 +44,13 @@ def dedup_delta_pairs(
     ``delta_ids``: one column ``doc_id``.  Work scales with the delta's
     shingle mass, never with |corpus|^2.
     """
-    sh = shingles_df(docs, n)
+    # widen before the explosion (narrow single-file scans serialize it)
+    # and persist: the shingle table feeds sizes, the delta semi/anti
+    # splits AND the probe join — unpersisted it would re-explode per use
+    from ..cache import track
+    from ..sources.tables import widen
+
+    sh = track(shingles_df(widen(docs), n))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     is_delta = delta_ids.select("doc_id").distinct()
     sh_delta = sh.join(is_delta, "doc_id", "left_semi")
