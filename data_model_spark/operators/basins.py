@@ -182,6 +182,84 @@ def _gc(tx, c):
     return tx * TILE_PX + c
 
 
+import os as _os  # noqa: E402
+
+#: boundary-map row ceiling for the single-task closure (size-based dial,
+#: ``components.CC_SMALL_EDGES`` family).  The map holds <= 4*TILE_PX
+#: rows per stored tile, so below this the per-round count + self-join +
+#: checkpoint of the doubling loop is pure scheduling overhead.
+_BASIN_SMALL_BMAP = int(_os.environ.get("DMS_BASIN_SMALL_BMAP", str(1 << 20)))
+
+
+def _closure_single_task(b: DataFrame) -> DataFrame:
+    """Close the tiny functional boundary graph in ONE task: follow each
+    pending row's target chain to its pit (kind 1, pit coords) or first
+    non-stored target (outlet, kind 2, those coords) — the exact fixpoint
+    the doubling rounds converge to (D8 paths are acyclic by height
+    monotonicity, so the walk terminates).  Executor-side via coalesced
+    mapInPandas, memoized with path compression."""
+    import pandas as pd
+
+    def kernel(batches):
+        frames = [pdf for pdf in batches if len(pdf)]
+        if not frames:
+            yield pd.DataFrame(
+                {
+                    "var": pd.Series(dtype="object"),
+                    "gr": pd.Series(dtype="int64"),
+                    "gc": pd.Series(dtype="int64"),
+                    "kind": pd.Series(dtype="int32"),
+                    "tgr": pd.Series(dtype="int64"),
+                    "tgc": pd.Series(dtype="int64"),
+                }
+            )
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        m = {
+            (v, int(r), int(c)): (int(k), int(tr), int(tc))
+            for v, r, c, k, tr, tc in zip(
+                pdf["var"], pdf["gr"], pdf["gc"],
+                pdf["kind"], pdf["tgr"], pdf["tgc"],
+            )
+        }
+        memo: dict = {}
+
+        def term(var, r, c):
+            stack, key = [], (var, r, c)
+            while True:
+                if key in memo:
+                    res = memo[key]
+                    break
+                row = m.get(key)
+                if row is None:  # target tile not stored -> outlet there
+                    res = (2, key[1], key[2])
+                    break
+                k, tr, tc = row
+                if k != 0:  # pit-final row: adopt its label
+                    res = (k, tr, tc)
+                    break
+                stack.append(key)
+                key = (var, tr, tc)
+            for s in stack:
+                memo[s] = res
+            return res
+
+        kinds = pdf["kind"].to_numpy().copy()
+        tgrs = pdf["tgr"].to_numpy().copy()
+        tgcs = pdf["tgc"].to_numpy().copy()
+        for i in range(len(pdf)):
+            if kinds[i] == 0:
+                k, tr, tc = term(pdf["var"].iat[i], int(tgrs[i]), int(tgcs[i]))
+                kinds[i], tgrs[i], tgcs[i] = k, tr, tc
+        out = pdf.copy()
+        out["kind"], out["tgr"], out["tgc"] = kinds, tgrs, tgcs
+        yield out
+
+    return b.coalesce(1).mapInPandas(
+        kernel, "var string, gr long, gc long, kind int, tgr long, tgc long"
+    )
+
+
 def basin_tiles(tiles: DataFrame, max_rounds: int = 14) -> DataFrame:
     """(var, tile_x, tile_y, n_pits, n_pix_out, basin_fp) per level-0
     tile: local D8 pit count, pixels draining off the stored mosaic, and
@@ -219,6 +297,12 @@ def basin_tiles(tiles: DataFrame, max_rounds: int = 14) -> DataFrame:
         _gc(tx + F.col("m.dtx"), F.col("m.tc")).alias("tgc"),
     ).localCheckpoint()
 
+    if _BASIN_SMALL_BMAP > 0:
+        n_bmap = b.count()
+        if n_bmap <= _BASIN_SMALL_BMAP:
+            b = _closure_single_task(b)
+            return _assemble(local, ex, b, keys)
+
     for _ in range(max_rounds):
         if b.filter(F.col("kind") == 0).limit(1).count() == 0:
             break
@@ -253,6 +337,10 @@ def basin_tiles(tiles: DataFrame, max_rounds: int = 14) -> DataFrame:
     else:  # pragma: no cover — 2^14 border hops exceeds any real mosaic
         raise RuntimeError("boundary closure did not converge")
 
+    return _assemble(local, ex, b, keys)
+
+
+def _assemble(local: DataFrame, ex: DataFrame, b: DataFrame, keys) -> DataFrame:
     # assembly: exit classes -> closed labels -> per-tile fingerprint
     lbl = b.select(
         F.col("var").alias("mvar"),

@@ -91,9 +91,30 @@ def morph_stats(tiles: DataFrame, radius: int = 1,
 
 def morph_opening(tiles: DataFrame, radius: int = 1,
                   threshold: int = MASK_THRESHOLD) -> DataFrame:
-    """Morphological opening (erode then dilate): two chained halo
-    exchanges.  Output counts the opened mask per tile — the
-    salt-noise-free mask a snow/water product would keep."""
+    """Morphological opening (erode then dilate): ONE fused halo exchange
+    at radius ``2*radius``.  Output counts the opened mask per tile — the
+    salt-noise-free mask a snow/water product would keep.
+
+    Fusion equivalence with the former erode-exchange -> dilate-exchange
+    chain: erosion at a position 1 px inside a stored neighbor reads mask
+    values at most ``2*radius`` px away — all inside the widened halo —
+    and a MISSING neighbor contributed zero strips to the second
+    exchange, which equals eroding the zero-filled halo (min of zeros is
+    zero).  Same bits, one shuffle instead of two."""
+
+    def opened(P: np.ndarray, n_halo: int) -> dict:
+        mask = (P >= threshold).astype(np.uint8)
+        ero = _win(mask, radius).min(axis=(2, 3))  # (TILE+2r)^2
+        dil = _win(ero, radius).max(axis=(2, 3))  # TILE^2 interior
+        return {"opened_px": int(dil.sum())}
+
+    return halo_exchange(tiles, 2 * radius, opened, _OPEN_FIELDS)
+
+
+def _morph_opening_two_pass(tiles: DataFrame, radius: int = 1,
+                            threshold: int = MASK_THRESHOLD) -> DataFrame:
+    """The pre-fusion erode-exchange -> dilate-exchange chain, kept for
+    the equivalence pin in tests/test_morphology.py."""
     eroded = morph_stats(
         tiles, radius=radius, threshold=threshold, keep_canvas=True
     ).select("var", "level", "tile_x", "tile_y", "data")
@@ -183,9 +204,9 @@ def _open_oracle() -> str:
 
 @register("morph_open_fp", _open_oracle)
 def morph_open_fp(spark, sf_dir):
-    """Morphological opening over the same fixture — two chained halo
-    exchanges; a hash match proves the erode canvases route through the
-    second exchange's strip shuffle bit-intact."""
+    """Morphological opening over the same fixture — one fused
+    double-radius halo exchange; a hash match (against the two-pass
+    replay) proves the fusion conserves the chained-exchange bits."""
     return morph_opening(_merged_tiles(spark)).select(
         "var", "tile_x", "tile_y", "opened_px"
     )

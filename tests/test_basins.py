@@ -122,3 +122,14 @@ def _merged_tiles_n(spark, n_images):
     return tiling.merge_tiles(
         tiling.build_tiles(images, repartition=False)
     ).filter(F.col("level") == 0)
+
+
+def test_single_task_closure_matches_distributed(spark, monkeypatch):
+    from data_model_spark.operators import basins as bmod
+    from data_model_spark.operators.hydrology import _merged_tiles
+
+    tiles = _merged_tiles(spark)
+    fast = sorted(map(tuple, bmod.basin_tiles(tiles).collect()))
+    monkeypatch.setattr(bmod, "_BASIN_SMALL_BMAP", 0)  # force doubling rounds
+    slow = sorted(map(tuple, bmod.basin_tiles(tiles).collect()))
+    assert fast == slow and len(fast) > 0

@@ -117,3 +117,17 @@ def test_kernel_goldens():
     # salt dilates to 3x3 (9 px); the 3x3 square dilates to 5x5 (25 px)
     assert d == 9 + 25
     assert g == d - e
+
+
+def test_fused_opening_matches_two_pass(spark):
+    from data_model_spark.operators.hydrology import _merged_tiles
+    from data_model_spark.operators.morphology import (
+        _morph_opening_two_pass,
+        morph_opening,
+    )
+
+    tiles = _merged_tiles(spark)
+    key = ["var", "tile_x", "tile_y", "opened_px"]
+    fused = sorted(map(tuple, morph_opening(tiles).select(*key).collect()))
+    two = sorted(map(tuple, _morph_opening_two_pass(tiles).select(*key).collect()))
+    assert fused == two and len(fused) > 0
