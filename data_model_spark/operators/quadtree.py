@@ -72,6 +72,78 @@ def _pixels(spark: SparkSession) -> DataFrame:
     return ids.select(x.alias("x"), y.alias("y"), v.cast("long").alias("v"))
 
 
+import os as _os  # noqa: E402
+
+#: base-block-row ceiling for the single-task cascade replay.  The whole
+#: cascade/reachability/leaf algebra operates on the (pixels/QT_MIN^2)-row
+#: base stats table — its ~12 plan branches cost ~3 dozen scheduler jobs
+#: for sub-millisecond integer work.  Size-based dial; 0 disables.
+_QT_SMALL_BASE = int(_os.environ.get("DMS_QT_SMALL_BASE", str(1 << 20)))
+
+
+def _cascade_single_task(base: DataFrame, threshold: int) -> DataFrame:
+    """Replay the cascade -> reachability -> leaf rules on the base stats
+    in ONE task (all int64 sums/products — associative and exact, so the
+    replay is bit-identical to the join algebra); executor-side via
+    coalesced mapInPandas."""
+    import pandas as pd
+
+    def kernel(batches):
+        stats: dict[int, dict] = {QT_MIN: {}}
+        for pdf in batches:
+            for bx, by, n, s, ss in zip(
+                pdf["bx"], pdf["by"], pdf["n"], pdf["s"], pdf["ss"]
+            ):
+                stats[QT_MIN][(int(bx), int(by))] = (int(n), int(s), int(ss))
+        for blk in _LEVELS[1:]:
+            up: dict = {}
+            for (bx, by), (n, s, ss) in stats[blk // 2].items():
+                k = (bx // 2, by // 2)
+                a = up.get(k, (0, 0, 0))
+                up[k] = (a[0] + n, a[1] + s, a[2] + ss)
+            stats[blk] = up
+
+        def split(n, s, ss):
+            return n * ss - s * s > threshold * n * n
+
+        reached = {512: {k: True for k in stats[512]}}
+        for blk in reversed(_LEVELS[:-1]):
+            par = {
+                k: reached[blk * 2][k] and split(*v)
+                for k, v in stats[blk * 2].items()
+                if k in reached[blk * 2]
+            }
+            reached[blk] = {
+                (bx, by): par[(bx // 2, by // 2)]
+                for (bx, by) in stats[blk]
+                if (bx // 2, by // 2) in par
+            }
+        rows = []
+        for blk in _LEVELS:
+            is_floor = blk == QT_MIN
+            for (bx, by), (n, s, ss) in stats[blk].items():
+                r = reached[blk].get((bx, by))
+                if r is None or not r:
+                    continue
+                sp = split(n, s, ss)
+                if not is_floor and sp:
+                    continue
+                rows.append(
+                    (blk, bx, by, n, s, n * ss - s * s,
+                     1 if (is_floor and sp) else 0)
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=["blk", "bx", "by", "n_px", "px_sum", "var_num", "forced"],
+        )
+
+    return base.coalesce(1).mapInPandas(
+        kernel,
+        "blk long, bx long, by long, n_px long, px_sum long, "
+        "var_num long, forced long",
+    )
+
+
 def quadtree_leaves(spark: SparkSession, threshold: int = QT_T) -> DataFrame:
     """Adaptive quadtree leaves of the virtual raster: (blk, bx, by,
     n_px, px_sum, var_num, forced) where ``var_num = n*ss - s^2`` (the
@@ -92,6 +164,9 @@ def quadtree_leaves(spark: SparkSession, threshold: int = QT_T) -> DataFrame:
         # checkpoint once so the 512^2-pixel base aggregation runs once
         .localCheckpoint(eager=True)
     )
+    if _QT_SMALL_BASE > 0 and base.count() <= _QT_SMALL_BASE:
+        return _cascade_single_task(base, threshold)
+
     stats = {QT_MIN: base}
     for blk in _LEVELS[1:]:
         stats[blk] = (

@@ -97,7 +97,12 @@ def test_child_variance_can_exceed_parent():
     assert var_num(child) * n_p * n_p > var_num(parent) * n_c * n_c
 
 
-def test_plan_is_pure_jvm(spark):
+def test_distributed_plan_is_pure_jvm(spark, monkeypatch):
+    # the scale path (above the single-task-replay ceiling) must stay
+    # pure-JVM join algebra; the small-base replay is one MapInPandas task
+    from data_model_spark.operators import quadtree as qmod
+
+    monkeypatch.setattr(qmod, "_QT_SMALL_BASE", 0)
     plan = (
         quadtree_leaves(spark)
         ._jdf.queryExecution()
@@ -107,3 +112,12 @@ def test_plan_is_pure_jvm(spark):
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
                    "FlatMapGroupsInPandas", "CartesianProduct"):
         assert marker not in plan
+
+
+def test_single_task_cascade_matches_distributed(spark, monkeypatch):
+    from data_model_spark.operators import quadtree as qmod
+
+    fast = sorted(map(tuple, qmod.quadtree_leaves(spark).collect()))
+    monkeypatch.setattr(qmod, "_QT_SMALL_BASE", 0)  # force join algebra
+    slow = sorted(map(tuple, qmod.quadtree_leaves(spark).collect()))
+    assert fast == slow and len(fast) > 0
