@@ -535,7 +535,10 @@ def ap_stats(pred: DataFrame, gt: DataFrame, micro: int = 1_000_000) -> DataFram
     AP = ap_microsum / (micro * n_gt)."""
     from pyspark.sql import Window
 
-    flags = match_flags(pred, gt)
+    # the flags table feeds the score histogram AND the rank join;
+    # uncheckpointed, the cogrouped greedy matching (box generation +
+    # cogroup shuffle + Python kernel) would execute once per branch
+    flags = match_flags(pred, gt).localCheckpoint(eager=False)
     hist = flags.groupBy("score").agg(
         F.count("*").alias("n_s"),
         F.sum(F.col("matched").cast("long")).alias("m_s"),

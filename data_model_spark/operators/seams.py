@@ -84,7 +84,10 @@ def seam_qa(tiles: DataFrame) -> DataFrame:
     (tx+1, ty), keyed by the west member.  'V': seam between (tx, ty)
     and its NORTH neighbor (tx, ty+1), keyed by the south member.
     """
-    s = edge_strips(tiles)
+    # the strip table feeds four plan branches (both sides of both
+    # adjacency joins); uncheckpointed, the upstream decode pipeline
+    # would re-execute per branch (lazy: the first action materializes)
+    s = edge_strips(tiles).localCheckpoint(eager=False)
     a = s.select("var", "tile_x", "tile_y", "east", "north")
     be = s.select(
         F.col("var").alias("var2"),
