@@ -33,6 +33,8 @@ final left join — no stage touches more than the within-cell pair list.
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -44,6 +46,103 @@ from .registry import register
 from .similarity import cosine_expr
 
 THRESHOLD = 0.35
+
+#: corpus-row ceiling for the single-task pair/CC/verdict tail.  Worst
+#: case pair work is n^2/(2k), so the default keeps the one-task replay
+#: in the low hundreds of thousands of pairs; above it the distributed
+#: cell-keyed join + star-contraction path runs unchanged.
+SEMDEDUP_SMALL_N = int(_os.environ.get("DMS_SEMDEDUP_SMALL_N", str(1 << 11)))
+
+
+def _verdicts_single_task(with_emb: DataFrame, threshold: float) -> DataFrame:
+    """(vec_id, cell, keep) in ONE task: within-cell pairs scored with the
+    EXACT left-to-right cosine fold ``cosine_expr`` computes, Spark
+    ``F.round`` replayed as HALF_UP on the double's shortest decimal
+    repr, then min-id union-find — bit-identical to the join + CC path."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        frames = [pdf for pdf in batches if len(pdf)]
+        if not frames:
+            yield pd.DataFrame(
+                {"vec_id": pd.Series(dtype="int64"),
+                 "cell": pd.Series(dtype="int32"),
+                 "keep": pd.Series(dtype="bool")}
+            )
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        cells_v = pdf["cell"].to_numpy()
+        E = np.stack(pdf["e"].to_numpy()).astype(np.float64, copy=False)
+        ia_all, ib_all = [], []
+        for c in np.unique(cells_v):
+            idx = np.flatnonzero(cells_v == c)
+            if len(idx) < 2:
+                continue
+            # enumerate unordered pairs with id_a < id_b
+            order = idx[np.argsort(ids[idx], kind="stable")]
+            iu, ju = np.triu_indices(len(order), k=1)
+            ia_all.append(order[iu])
+            ib_all.append(order[ju])
+        comp = {}
+        if ia_all:
+            ia = np.concatenate(ia_all)
+            ib = np.concatenate(ib_all)
+            A, B = E[ia], E[ib]
+            dot = np.zeros(len(ia))
+            na = np.zeros(len(ia))
+            nb = np.zeros(len(ia))
+            for i in range(E.shape[1]):  # exact cosine_expr fold order
+                x, y = A[:, i], B[:, i]
+                dot = dot + x * y
+                na = na + x * x
+                nb = nb + y * y
+            cos = dot / (np.sqrt(na) * np.sqrt(nb))
+            # round-HALF_UP@6 >= t  <=>  value >= t - 5e-7 (decimal), so
+            # decide vectorized away from that boundary and replay the
+            # exact Decimal(repr(x)) quantize only inside a 2e-9 band
+            q = Decimal(1).scaleb(-6)
+            bnd = float(Decimal(str(threshold)) - Decimal("5e-7"))
+            keep_edge = cos >= bnd
+            band = np.flatnonzero(np.abs(cos - bnd) < 2e-9)
+            for j in band:
+                keep_edge[j] = (
+                    float(Decimal(repr(float(cos[j]))).quantize(q, ROUND_HALF_UP))
+                    >= threshold
+                )
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:
+                    parent[x], x = r, parent[x]
+                return r
+
+            for u, v in zip(
+                ids[ia[keep_edge]].tolist(), ids[ib[keep_edge]].tolist()
+            ):
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    if ru < rv:
+                        parent[rv] = ru
+                    else:
+                        parent[ru] = rv
+            comp = {n: find(n) for n in parent}
+        keep = np.array(
+            [comp.get(int(i), int(i)) == int(i) for i in ids], dtype=bool
+        )
+        yield pd.DataFrame(
+            {"vec_id": pdf["vec_id"], "cell": pdf["cell"], "keep": keep}
+        )
+
+    return with_emb.coalesce(1).mapInPandas(
+        kernel, "vec_id long, cell int, keep boolean"
+    )
 
 
 def semdedup(
@@ -68,6 +167,15 @@ def semdedup(
         emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("e")),
         "vec_id",
     )
+
+    from . import components as _cmp
+
+    if _cmp.ROUND_HOOK is None:
+        we = with_emb.localCheckpoint(eager=True)
+        if we.count() <= SEMDEDUP_SMALL_N:
+            return _verdicts_single_task(we, threshold)
+        with_emb = we
+
     a = with_emb.select(
         "cell", F.col("vec_id").alias("id_a"), F.col("e").alias("emb_a")
     )

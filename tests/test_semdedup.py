@@ -118,3 +118,14 @@ def test_kept_set_min_dominates(spark):
     # vec_id 0 is the global minimum: it can never be dropped
     assert kept_min == 0
     assert dropped_min is None or dropped_min > 0
+
+
+def test_single_task_tail_matches_distributed(spark, sf_dir, monkeypatch):
+    from data_model_spark.operators import semdedup as smod
+    from data_model_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fast = sorted(map(tuple, smod.semdedup(emb).collect()))
+    monkeypatch.setattr(smod, "SEMDEDUP_SMALL_N", 0)  # force distributed
+    slow = sorted(map(tuple, smod.semdedup(emb).collect()))
+    assert fast == slow and len(fast) > 0
