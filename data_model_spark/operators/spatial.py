@@ -429,6 +429,21 @@ def radius_join(
         "cell",
     )
     cand = probe.join(build, "cell").filter(F.col("id_a") < F.col("id_b"))
+    # JVM-side bounding-box prefilter before the Arrow refine: a pair
+    # within radius_m satisfies |dlat| <= r/m_per_deg exactly (meridian
+    # arc) and wrap-aware |dlon| <= r/(m_per_deg*cos(lat_max)); the 1%
+    # slack dwarfs the sin-vs-arc curvature deficit and the 0.5 mm the
+    # 3-decimal rounding of the refine can forgive, so the box is a
+    # strict superset of the haversine ball — candidates drop before the
+    # Python boundary, survivors are refined exactly as before.
+    dlat_max = radius_m / m_per_deg * 1.01
+    dlon_max = radius_m / (m_per_deg * math.cos(math.radians(lat_max))) * 1.01
+    dlon_raw = F.abs(F.col("lon_a") - F.col("lon_b"))
+    dlon_eff = F.least(dlon_raw, F.lit(360.0) - dlon_raw)
+    cand = cand.filter(
+        (F.abs(F.col("lat_a") - F.col("lat_b")) <= F.lit(dlat_max))
+        & (dlon_eff <= F.lit(dlon_max))
+    )
     dist = F.round(_dist_udf("lon_a", "lat_a", "lon_b", "lat_b"), 3)
     return (
         cand.withColumn("dist_m", dist)
