@@ -266,6 +266,63 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 64, seed: int = 42) -> D
     return wide.select("doc_id", F.expr(stack))
 
 
+def minhash_band_hashes(
+    sh: DataFrame, num_hashes: int = 64, bands: int = 16, seed: int = 42
+) -> DataFrame:
+    """(doc_id, band, bh) straight from the wide per-doc min columns.
+
+    Band ``b`` holds hash_ids {b, b+bands, ...} in ascending order, so its
+    key is the md5 of those min columns comma-joined — the identical key
+    ``lsh_candidates`` derives from unpivoted signatures, WITHOUT the
+    64x stack explosion and the (doc, band) regroup shuffle (one exchange
+    and a full re-aggregation pass saved at any scale)."""
+    params = minhash_params(num_hashes, seed)
+    x = F.pmod(md5_60("shingle"), F.lit(P_MERSENNE))
+    mins = [
+        F.min(
+            F.pmod(F.lit(a) * F.col("x") + F.lit(b), F.lit(P_MERSENNE))
+        ).alias(f"m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    wide = sh.withColumn("x", x).groupBy("doc_id").agg(*mins)
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"m{i}").cast("string")
+                        for i in range(num_hashes)
+                        if i % bands == b
+                    ],
+                )
+            ).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    return wide.select(
+        "doc_id", F.explode(F.array(*entries)).alias("e")
+    ).select("doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+
+
+def _band_pairs(
+    band_hash: DataFrame,
+    salt: int = 8,
+    hot_min: int = 1024,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Docs sharing a band bucket (the ``lsh_candidates`` join tail)."""
+    return (
+        self_pairs(
+            band_hash, ["band", "bh"], salt=salt, hot_min=hot_min,
+            max_key_freq=n_docs,
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def lsh_candidates(
     signatures: DataFrame,
     bands: int = 16,
@@ -280,6 +337,11 @@ def lsh_candidates(
     goes through the salted ``self_pairs`` path.  Each doc emits exactly one
     row per band, so per-(band, bh) frequency <= ``n_docs`` — pass it to
     skip the adaptive probe when the corpus is provably below ``hot_min``.
+
+    (Pipelines that own the shingle table use ``minhash_band_hashes`` +
+    ``_band_pairs`` instead, skipping the unpivot/regroup; this form stays
+    for callers holding already-unpivoted signatures, and pins their
+    equality in tests.)
     """
     sig = signatures.withColumn("band", F.col("hash_id") % bands)
     # Band key concatenates minhash values in hash_id order (collect_list is
@@ -297,14 +359,7 @@ def lsh_candidates(
             )
         ).alias("bh")
     )
-    return (
-        self_pairs(
-            band_hash, ["band", "bh"], salt=salt, hot_min=hot_min,
-            max_key_freq=n_docs,
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    return _band_pairs(band_hash, salt=salt, hot_min=hot_min, n_docs=n_docs)
 
 
 def minhash_lsh_dedup(
@@ -327,8 +382,9 @@ def minhash_lsh_dedup(
     sh = shingles_df(docs, n)
     if not sh.is_cached:
         sh = _persist(sh)
-    sig = minhash_signatures(sh, num_hashes)
-    cand = lsh_candidates(sig, bands, n_docs=n_docs)
+    cand = _band_pairs(
+        minhash_band_hashes(sh, num_hashes, bands), n_docs=n_docs
+    )
     return jaccard_pairs(
         docs, threshold, n, candidates=cand, shingles=sh, n_docs=n_docs
     )

@@ -53,8 +53,10 @@ def lsh_pr_stats(
     sh = shingles_df(docs, n)
     if not sh.is_cached:
         sh = _persist(sh)  # feeds signatures AND the exact truth join
-    cand = lsh_candidates(
-        minhash_signatures(sh, num_hashes), bands, n_docs=n_docs
+    from .dedup import _band_pairs, minhash_band_hashes
+
+    cand = _band_pairs(
+        minhash_band_hashes(sh, num_hashes, bands), n_docs=n_docs
     ).withColumn("c", F.lit(1))
     truth = (
         jaccard_pairs(docs, threshold, n, shingles=sh, n_docs=n_docs)

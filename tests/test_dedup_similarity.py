@@ -182,3 +182,33 @@ class TestCacheHygiene:
         dedup.jaccard_pairs(docs, 0.5).count()
         assert dedup.unpersist_intermediates() > 0
         assert dedup.unpersist_intermediates() == 0  # idempotent
+
+
+def test_band_hashes_match_signature_path(spark, sf_dir):
+    from data_model_spark.operators import dedup
+    from data_model_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles_df(docs, 3)
+    via_sig = (
+        dedup.minhash_signatures(sh)
+        .withColumn("band", F.col("hash_id") % 16)
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("hash_id", "minhash"))
+                        ),
+                        lambda s: s["minhash"].cast("string"),
+                    ),
+                )
+            ).alias("bh")
+        )
+    )
+    direct = dedup.minhash_band_hashes(sh)
+    a = sorted(map(tuple, via_sig.collect()))
+    b = sorted(map(tuple, direct.select("doc_id", "band", "bh").collect()))
+    assert a == b and len(a) > 0
