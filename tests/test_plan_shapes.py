@@ -149,12 +149,14 @@ class TestRound3Additions:
         plan = plan_of(spark, "curation_keep")
         assert "CartesianProduct" not in plan
 
-    def test_kmeans_assign_broadcasts_centroids(self, spark):
-        # the only cross join allowed is the broadcast of the k-row
-        # centroid table (BroadcastNestedLoopJoin), never a shuffle cartesian
+    def test_kmeans_assign_single_narrow_stage(self, spark):
+        # assignment carries the k-row centroid table as a kernel closure:
+        # no cartesian, no join, no exchange — one Arrow stage over the scan
         plan = plan_of(spark, "ivf_kmeans_assign")
         assert "CartesianProduct" not in plan
-        assert "BroadcastNestedLoop" in plan
+        assert "Join" not in plan
+        assert "Exchange" not in plan
+        assert "ArrowEvalPython" in plan
 
     def test_sessionize_single_user_shuffle(self, spark):
         # lag + running-sum + final agg all share the user_id clustering:
