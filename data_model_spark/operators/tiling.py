@@ -182,35 +182,66 @@ def tiles_for_image(
     return records
 
 
+def _cut_pdf(pdf: "pd.DataFrame", min_dimension: int) -> "pd.DataFrame":
+    """One image-row batch -> tile-fragment frame (the ``cut`` kernel)."""
+    recs: list[dict] = []
+    for row in pdf.itertuples(index=False):
+        decoded = decode_image(row.bytes, row.fmt, row.w, row.h)
+        i = img_src.image_index(row.image_id)
+        ax, ay = img_src.scene_anchor(i)
+        recs.extend(
+            tiles_for_image(
+                row.image_id,
+                decoded,
+                ax,
+                ay,
+                min_dimension=min_dimension,
+                # band-by-band pyramid (reference geozarr.py:974-1183):
+                # the band name drives the A10 kernel dispatch
+                var_name=img_src.band_for(i),
+            )
+        )
+    return pd.DataFrame.from_records(recs) if recs else pd.DataFrame(
+        {f.name: pd.Series(dtype="object") for f in TILE_SCHEMA.fields}
+    )
+
+
 def build_tiles(
     images: DataFrame, min_dimension: int = 64, repartition: bool = True
 ) -> DataFrame:
-    """images DF (input_hint schema) -> tile DF, with the one explicit shuffle."""
+    """images DF (input_hint schema) -> tile DF, with the one explicit shuffle.
 
-    def cut(batches):
-        for pdf in batches:
-            recs: list[dict] = []
-            for row in pdf.itertuples(index=False):
-                decoded = decode_image(row.bytes, row.fmt, row.w, row.h)
-                i = img_src.image_index(row.image_id)
-                ax, ay = img_src.scene_anchor(i)
-                recs.extend(
-                    tiles_for_image(
-                        row.image_id,
-                        decoded,
-                        ax,
-                        ay,
-                        min_dimension=min_dimension,
-                        # band-by-band pyramid (reference geozarr.py:974-1183):
-                        # the band name drives the A10 kernel dispatch
-                        var_name=img_src.band_for(i),
-                    )
+    When ``images`` is an un-cached ``generate_images_df`` plan (marked by
+    the generator), the generate and cut kernels run in ONE Python stage:
+    the synthetic encode and its decode+cut are chained in-process instead
+    of round-tripping every encoded image JVM->Python->JVM between two
+    MapInPandas nodes (guide §4 — control how many bytes cross the
+    boundary).  Same kernels on the same bytes, so tile rows are
+    bit-identical; cached or externally-sourced images keep the two-stage
+    plan (the cache, not the generator, is then the upstream).
+    """
+    gen = getattr(images, "_dms_fixture_gen", None)
+    if gen is not None and not images.is_cached:
+        n, num_partitions, dim_cycle = gen
+        spark = images.sparkSession
+
+        def gen_cut(batches):
+            for pdf in batches:
+                yield _cut_pdf(
+                    img_src._rows_for_indices(pdf["id"].to_numpy(), dim_cycle),
+                    min_dimension,
                 )
-            yield pd.DataFrame.from_records(recs) if recs else pd.DataFrame(
-                {f.name: pd.Series(dtype="object") for f in TILE_SCHEMA.fields}
-            )
 
-    tiles = images.mapInPandas(cut, TILE_SCHEMA)
+        tiles = spark.range(0, n, numPartitions=num_partitions).mapInPandas(
+            gen_cut, TILE_SCHEMA
+        )
+    else:
+
+        def cut(batches):
+            for pdf in batches:
+                yield _cut_pdf(pdf, min_dimension)
+
+        tiles = images.mapInPandas(cut, TILE_SCHEMA)
     if repartition:
         tiles = tiles.repartitionByRange("var", "level", "tile_y", "tile_x")
     return tiles

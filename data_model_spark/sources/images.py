@@ -233,7 +233,15 @@ def generate_images_df(
         for pdf in batches:
             yield _rows_for_indices(pdf["id"].to_numpy(), dim_cycle)
 
-    return spark.range(0, n, numPartitions=num_partitions).mapInPandas(gen, IMAGE_SCHEMA)
+    out = spark.range(0, n, numPartitions=num_partitions).mapInPandas(
+        gen, IMAGE_SCHEMA
+    )
+    # marker for tiling.build_tiles: an un-cached generator plan can fuse
+    # the generate and cut kernels into one Python stage (same kernels,
+    # same bytes — the Arrow round-trip of every encoded image between two
+    # MapInPandas nodes is the only thing removed)
+    out._dms_fixture_gen = (n, num_partitions, dim_cycle)
+    return out
 
 
 def generate_revision_df(
